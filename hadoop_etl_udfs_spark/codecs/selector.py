@@ -101,6 +101,9 @@ def choose_bytes_codec(
     )
 
     estimates = {"raw": est_raw, "dict": est_dict, "rle": est_rle}
+    if global_dict is not None:
+        # broadcast dictionary: codes only, no per-chunk dictionary storage
+        estimates["dict"] = n * bits_needed(len(global_dict[2]) - 1) / 8.0
 
     if enable_fsst and total >= 1024 and u_frac > 0.05:
         window = data[: min(data.nbytes, _FSST_SAMPLE_BYTES)]

@@ -1,0 +1,109 @@
+"""Checkpointed per-chunk lineage + resume-from-failure.
+
+The reference has task-level HA only (namenode failover HdfsService.java:62-87,
+mid-read retry HdfsSerDeImportService.java:141-149); a failed IMPORT restarts
+from zero. This engine records one manifest row per column-chunk
+(chunk_id, column, codec, bytes in/out, CRC) as it writes, and a restarted
+job anti-joins the manifest to skip completed chunks — possible because chunk
+ids are content hashes, not UUIDs (contrast ExportIntoHiveTable.java:148-156).
+
+Resume contract: a restart must re-run the SAME job (same input, same
+partitioning config, same Arrow batch size) — then chunking is deterministic
+and completed chunks skip exactly. Resuming with a *different* input produces
+different chunk boundaries: nothing is lost, but overlapping rows re-encode
+into new chunks (the sink then holds both; dedupe by chunk_id when reading).
+
+Layout under ``out_dir``:
+    chunks/   encoded column-chunk rows (parquet, compression=none — the
+              payloads are already entropy-packed; recompressing wastes CPU)
+    _auto-discovered manifest = the chunks table itself (payload pruned):
+              Parquet column pruning means reading lineage never touches
+              payload bytes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHUNKS_SUBDIR = "chunks"
+
+
+def chunks_path(out_dir: str) -> str:
+    return os.path.join(out_dir, CHUNKS_SUBDIR)
+
+
+def write_encoded(enc: DataFrame, out_dir: str, mode: str = "append") -> None:
+    """Sink encoded column-chunks. Parquet with compression=none: payloads
+    are already codec-packed, and lineage columns are tiny."""
+    (
+        enc.write.mode(mode)
+        .option("compression", "none")
+        .parquet(chunks_path(out_dir))
+    )
+
+
+def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(chunks_path(out_dir))
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Lineage view: payload column pruned at the parquet scan (check
+    ReadSchema in .explain — payload must be absent)."""
+    return read_encoded(spark, out_dir).select(
+        "chunk_id", "column", "n_rows", "codec", "bytes_in", "bytes_out", "crc32"
+    )
+
+
+def completed_chunk_ids(spark: SparkSession, out_dir: str, n_columns: int) -> set[int]:
+    """Chunks with all columns present (a torn write of some columns does not
+    count as done — the groupBy filters partial chunks)."""
+    try:
+        rows = (
+            read_manifest(spark, out_dir)
+            .groupBy("chunk_id")
+            .agg(F.count("*").alias("n_cols"))
+            .filter(F.col("n_cols") >= n_columns)
+            .select("chunk_id")
+            .collect()
+        )
+    except Exception:  # first run: no manifest yet
+        return set()
+    return {r["chunk_id"] for r in rows}
+
+
+def encode_resumable(
+    pages: DataFrame,
+    out_dir: str,
+    codec: str = "auto",
+    salt_buckets: int = 8,
+    n_columns: int = 5,
+) -> dict:
+    """Run (or resume) the encode job; returns lineage stats.
+
+    Restart path: completed chunk ids are collected from the manifest
+    (driver-side, ids only — a few bytes per chunk) and broadcast; the encode
+    kernel recomputes each chunk's content hash and skips completed ones.
+    """
+    from ..operators.encode import encode_pages
+
+    spark = pages.sparkSession
+    done = completed_chunk_ids(spark, out_dir, n_columns)
+    enc = encode_pages(
+        pages, codec=codec, salt_buckets=salt_buckets, skip_chunk_ids=done
+    )
+    write_encoded(enc, out_dir, mode="append")
+    manifest = read_manifest(spark, out_dir)
+    agg = manifest.agg(
+        F.countDistinct("chunk_id").alias("chunks"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("bytes_out").alias("bytes_out"),
+    ).collect()[0]
+    return {
+        "chunks_skipped": len(done),
+        "chunks_total": agg["chunks"],
+        "bytes_in": agg["bytes_in"],
+        "bytes_out": agg["bytes_out"],
+    }

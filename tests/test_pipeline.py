@@ -1,0 +1,143 @@
+"""Spark pipeline tests: generator determinism, end-to-end bit-identical
+round trip (the north-rule gate), lineage resume, global dictionaries.
+
+Mirrors the reference's test families (SURVEY.md §5): round-trip = family 2,
+deterministic synthetic input = family 1, manifest/resume = family 3.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_etl_udfs_spark.operators.encode import (
+    codec_metrics,
+    decode_chunks,
+    encode_pages,
+    verify_roundtrip,
+)
+from hadoop_etl_udfs_spark.plans import globaldict, lineage
+from hadoop_etl_udfs_spark.sources.pages import synthesize_pages
+
+N_DOCS = 3000
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = synthesize_pages(spark, n_docs=N_DOCS, seed=42).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_generator_deterministic_across_partitionings(spark):
+    a = synthesize_pages(spark, 500, seed=7, num_partitions=1)
+    b = synthesize_pages(spark, 500, seed=7, num_partitions=13)
+    fp = lambda df: df.select(
+        F.bit_xor(F.xxhash64(*df.columns)).alias("h")
+    ).collect()[0]["h"]
+    assert fp(a) == fp(b)
+    # different seed -> different table
+    c = synthesize_pages(spark, 500, seed=8, num_partitions=1)
+    assert fp(a) != fp(c)
+
+
+def test_generator_shape(pages):
+    assert pages.count() == N_DOCS
+    assert [f.name for f in pages.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+    # zipf skew: top host should dominate
+    top = (
+        pages.groupBy(F.regexp_extract("url", r"^https://([^/]+)", 1).alias("host"))
+        .count().orderBy(F.desc("count")).first()
+    )
+    assert top["count"] > N_DOCS * 0.05
+    langs = {r["lang"] for r in pages.select("lang").distinct().collect()}
+    assert "en" in langs and len(langs) >= 4
+
+
+def test_roundtrip_bit_identical(spark, pages):
+    enc = encode_pages(pages).cache()
+    try:
+        result = verify_roundtrip(pages, enc)
+        assert result["ok"], result
+        # every chunk carries all five columns
+        per_chunk = enc.groupBy("chunk_id").count().select("count").distinct().collect()
+        assert [r["count"] for r in per_chunk] == [5]
+    finally:
+        enc.unpersist()
+
+
+def test_metrics_rollup(spark, pages):
+    enc = encode_pages(pages)
+    m = {(r["column"], r["codec"]): r for r in codec_metrics(enc).collect()}
+    assert sum(r["n_rows"] for r in m.values()) == N_DOCS * 5
+    for (col, codec), r in m.items():
+        assert r["bytes_out"] > 0
+    # lang must compress heavily (sorted runs)
+    lang_rows = [r for (c, _), r in m.items() if c == "lang"]
+    assert sum(r["bytes_in"] for r in lang_rows) > 10 * sum(
+        r["bytes_out"] for r in lang_rows
+    )
+
+
+def test_resume_skips_completed_chunks(spark, pages):
+    out = tempfile.mkdtemp(prefix="lineage_")
+    try:
+        # first run: encode only half the table (simulated failure)
+        first_half = pages.filter(F.xxhash64("url") % 2 == 0)
+        enc1 = encode_pages(first_half, shuffle=True)
+        lineage.write_encoded(enc1, out)
+        done = lineage.completed_chunk_ids(spark, out, n_columns=5)
+        assert len(done) > 0
+        # resume over the SAME half: all chunks skipped, nothing re-encoded
+        stats = lineage.encode_resumable(first_half, out)
+        assert stats["chunks_skipped"] == len(done)
+        assert stats["chunks_total"] == len(done)
+        # decode from the sink: bit-identical to the half we encoded
+        enc_read = lineage.read_encoded(spark, out)
+        result = verify_roundtrip(first_half, enc_read)
+        assert result["ok"], result
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_manifest_scan_prunes_payload(spark, pages):
+    out = tempfile.mkdtemp(prefix="lineage_")
+    try:
+        lineage.write_encoded(encode_pages(pages), out)
+        plan = lineage.read_manifest(spark, out)._jdf.queryExecution().executedPlan().toString()
+        assert "payload" not in plan.split("ReadSchema")[-1][:400]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_global_dict_lang(spark, pages):
+    gd = globaldict.build_global_dict(pages, "lang")
+    assert len(gd[2]) <= 8
+    gds = {"lang": gd}
+    enc = encode_pages(pages, global_dicts=gds).cache()
+    try:
+        result = verify_roundtrip(pages, enc, global_dicts=gds)
+        assert result["ok"], result
+        lang_codecs = {
+            r["codec"]
+            for r in enc.filter(F.col("column") == "lang").select("codec").distinct().collect()
+        }
+        assert lang_codecs <= {"dict", "rle"}
+    finally:
+        enc.unpersist()
+
+
+def test_global_dict_save_load_roundtrip(spark, pages):
+    out = tempfile.mkdtemp(prefix="gd_")
+    try:
+        gd = globaldict.build_global_dict(pages, "lang")
+        globaldict.save_global_dict(gd, out, "lang")
+        gd2 = globaldict.load_global_dict(out, "lang")
+        assert gd2[2] == gd[2]
+        assert (gd2[0] == gd[0]).all() and (gd2[1] == gd[1]).all()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
