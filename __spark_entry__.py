@@ -1,38 +1,221 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus the
+training-data operators) to a (spark, sf_dir) -> DataFrame callable;
+``oracle_sql()`` holds the DuckDB-equivalent SQL for the SQL-expressible
+ones. Column aliases match between the two (the driver hashes values under
+sorted column names).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hadoop_etl_udfs_spark.operators import dedup, multimodal, relational, similarity
+from hadoop_etl_udfs_spark.operators import textstats
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: TPC-H Q1-style pricing
+    summary (the §2.4 metrics-rollup pattern)."""
+    return relational.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- reference-parity relational operators (SURVEY.md §2.2/§2.6) ---
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "projection_reorder_duplicate": relational.projection_reorder_duplicate,
+        "partition_filter_or_of_and": relational.partition_filter_or_of_and,
+        "pushdown_eq_in": relational.pushdown_eq_in,
+        "json_path_extract": relational.json_path_extract,
+        "partition_value_materialization": relational.partition_value_materialization,
+        "hex_encode": relational.hex_encode,
+        "float_downcast": relational.float_downcast,
+        "char_padding": relational.char_padding,
+        "metrics_rollup": relational.metrics_rollup,
+        "window_user_sessions": relational.window_user_sessions,
+        "top_k_per_group": relational.top_k_per_group,
+        "broadcast_join_enrich": relational.broadcast_join_enrich,
+        # --- text analysis (training-data ops) ---
+        "text_stats": textstats.text_stats,
+        "quality_scores": textstats.quality_scores,
+        "lang_id_heuristic": textstats.lang_id_heuristic,
+        "doc_fingerprints": textstats.doc_fingerprints,
+        # --- dedup ---
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,       # rows-only
+        "simhash64": dedup.simhash64,                        # rows-only
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,    # rows-only
+        # --- similarity search ---
+        "cosine_topk": similarity.cosine_topk,
+        "cosine_topk_lsh": similarity.cosine_topk_lsh,       # rows-only
+        "lsh_buckets": similarity.lsh_buckets,               # rows-only
+        "embedding_neardup_pairs": similarity.embedding_neardup_pairs,  # rows-only
+        # --- multimodal plumbing (decode stubbed; rows-only) ---
+        "multimodal_features": multimodal.multimodal_features_demo,
+        # --- the encode engine itself over a driver table (rows-only) ---
+        "encode_documents_lineage": textstats.encode_documents_lineage,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# SQL fragments shared between Spark builders and DuckDB oracles ------------
+
+def _hits_sql(words: list[str]) -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    terms = [
+        f"((length({padded}) - length(regexp_replace({padded}, ' {w} ', '', 'g'))) / {len(w) + 2})"
+        for w in words
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "nicht"],
+    "fr": ["le", "les", "et"],
+    "es": ["el", "los", "que"],
+}
+
+_TOKCOUNT = "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+_FINGERPRINT = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+
+def _lang_id_sql() -> str:
+    hits = {lg: _hits_sql(ws) for lg, ws in _LANG_MARKERS.items()}
+    greatest = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = "\n        ".join(
+        f"WHEN {hits[lg]} > 0 AND {hits[lg]} = {greatest} THEN '{lg}'"
+        for lg in _LANG_MARKERS
+    )
+    return f"CASE {whens} ELSE 'unknown' END"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "projection_reorder_duplicate": """
+            SELECT l_quantity AS qty, l_orderkey AS okey,
+                   l_returnflag AS rflag, l_quantity AS qty_again
+            FROM lineitem
+        """,
+        "partition_filter_or_of_and": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   sum(l_quantity) AS sum_qty
+            FROM lineitem
+            WHERE (l_returnflag = 'R' AND l_linestatus = 'F')
+               OR (l_returnflag = 'A' AND l_linestatus = 'F')
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "pushdown_eq_in": """
+            SELECT c_custkey, c_name, c_nationkey FROM customer
+            WHERE c_mktsegment = 'BUILDING' AND c_nationkey IN (1, 2, 3, 7)
+        """,
+        "json_path_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+                   json_extract_string(props, '$.missing') AS missing_field
+            FROM events
+        """,
+        "partition_value_materialization": """
+            WITH paths AS (
+                SELECT event_id,
+                       '/warehouse/events/dt=' || strftime(ts, '%Y-%m-%d')
+                       || '/etype=' || event_type || '/part-0.parquet' AS path
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(regexp_extract(path, 'dt=([^/]+)', 1) AS DATE) AS dt,
+                   regexp_extract(path, 'etype=([^/]+)', 1) AS etype
+            FROM paths
+        """,
+        "hex_encode": """
+            SELECT doc_id, hex(substring(text, 1, 8)) AS hex8 FROM documents
+        """,
+        "float_downcast": """
+            SELECT l_orderkey, l_linenumber AS lineno,
+                   CAST(l_quantity AS REAL) AS qty_f
+            FROM lineitem
+        """,
+        "char_padding": """
+            SELECT n_nationkey, rpad(n_name, 20, ' ') AS n_name_char20 FROM nation
+        """,
+        "metrics_rollup": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "window_user_sessions": """
+            SELECT event_id, user_id,
+                   row_number() OVER w AS rn,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                       AS running_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "top_k_per_group": """
+            WITH ranked AS (
+                SELECT c_mktsegment, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                FROM orders JOIN customer ON o_custkey = c_custkey
+            )
+            SELECT c_mktsegment, rk, o_orderkey, o_totalprice
+            FROM ranked WHERE rk <= 3
+        """,
+        "broadcast_join_enrich": """
+            SELECT r_name, count(*) AS n_customers,
+                   round(avg(c_acctbal), 4) AS avg_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   {_TOKCOUNT} AS n_tokens,
+                   round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                         / greatest(length(text), 1), 4) AS punct_ratio,
+                   length(text) AS n_chars_actual
+            FROM documents
+        """,
+        "lang_id_heuristic": f"""
+            SELECT doc_id, lang AS lang_true, {_lang_id_sql()} AS lang_pred
+            FROM documents
+        """,
+        "doc_fingerprints": f"""
+            SELECT doc_id, {_FINGERPRINT} AS fp FROM documents
+        """,
+        "exact_dedup": f"""
+            SELECT {_FINGERPRINT} AS fp, min(doc_id) AS keep_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "cosine_topk": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding, q.embedding), 4)
+                       AS cos_sim
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+            ORDER BY cos_sim DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+    }

@@ -94,19 +94,22 @@ def gather_bytes(
     uniq_offs = np.zeros(len(uniq_lengths) + 1, dtype=np.int64)
     np.cumsum(uniq_lengths, out=uniq_offs[1:])
     lengths = uniq_lengths[codes].astype(np.int64)
+    total_all = int(lengths.sum())
+    # int32 indices when the chunk fits (it always should) — half the memory
+    # traffic of int64 on multi-MB chunks
+    dt = np.int32 if total_all < 2**31 - 1 else np.int64
     # cumsum trick: src index advances by 1 inside a value and jumps to the
     # next value's start at each value boundary — 3 O(total) passes, no repeat
-    starts = uniq_offs[codes]
+    starts = uniq_offs[codes].astype(dt)
     nz = lengths > 0
-    s, l = starts[nz], lengths[nz]
-    total = int(l.sum())
-    if total == 0:
+    s, l = starts[nz], lengths[nz].astype(dt)
+    if total_all == 0:
         return lengths, np.empty(0, dtype=np.uint8)
-    ends = np.cumsum(l)
-    adj = np.ones(total, dtype=np.int64)
+    ends = np.cumsum(l, dtype=dt)
+    adj = np.ones(total_all, dtype=dt)
     adj[0] = s[0]
     adj[ends[:-1]] = s[1:] - (s[:-1] + l[:-1]) + 1
-    src = np.cumsum(adj)
+    src = np.cumsum(adj, dtype=dt)
     return lengths, uniq_data[src]
 
 

@@ -95,7 +95,7 @@ def expansions(merges: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lengths, data
 
 
-TRAIN_SAMPLE_BYTES = 1 << 17  # train symbol table on a 128 KiB sample
+TRAIN_SAMPLE_BYTES = 1 << 16  # train symbol table on a 64 KiB sample
 BLOCK = 128  # lockstep tokenizer block size (symbols never cross blocks)
 
 
@@ -110,23 +110,14 @@ def _window_ints(data: np.ndarray) -> np.ndarray:
     return w
 
 
-def apply_table(data: np.ndarray, merges: np.ndarray) -> np.ndarray:
-    """Tokenize ``data`` (uint8) against the symbol table, vectorized.
-
-    Greedy longest-match within lockstep blocks of BLOCK bytes: every block
-    advances one token per round, so total gather work is O(n_tokens) and no
-    Python touches individual bytes. Symbols never span a block boundary
-    (falls back to shorter match / literal there) — a valid tokenization is
-    all decode needs; the ratio cost is ~max_symbol_len/BLOCK.
-    """
-    n = len(data)
-    if n == 0:
-        return np.empty(0, dtype=np.int32)
+def _prep_tables(merges: np.ndarray):
+    """Symbol lookup structures shared across segments: per-length sorted
+    packed symbol ints + codes, and the 65536-entry 2-byte-prefix bitmask."""
     exp_lengths, exp_data = expansions(merges)
     exp_offs = np.concatenate(([0], np.cumsum(exp_lengths)))
-    # per symbol length L: sorted packed symbol ints + their token codes
+    pref_mask = np.zeros(1 << 16, dtype=np.uint8)
     by_len: list[tuple[int, np.ndarray, np.ndarray]] = []
-    for L in range(MAX_SYMBOL_LEN, 1, -1):
+    for L in range(2, MAX_SYMBOL_LEN + 1):
         sym_ids = np.flatnonzero(exp_lengths == L)
         sym_ids = sym_ids[sym_ids >= 256]
         if len(sym_ids) == 0:
@@ -134,47 +125,152 @@ def apply_table(data: np.ndarray, merges: np.ndarray) -> np.ndarray:
         sym_ints = np.zeros(len(sym_ids), dtype=np.uint64)
         for k in range(L):
             sym_ints |= exp_data[exp_offs[sym_ids] + k].astype(np.uint64) << np.uint64(
-                8 * (8 - 1 - k)
+                8 * (L - 1 - k)
             )
         order = np.argsort(sym_ints)
-        by_len.append((L, sym_ints[order], sym_ids[order].astype(np.int32)))
+        sym_ints, sym_ids = sym_ints[order], sym_ids[order]
+        by_len.append((L, sym_ints, sym_ids.astype(np.int32)))
+        prefixes = (sym_ints >> np.uint64(8 * (L - 2))).astype(np.uint16)
+        pref_mask[prefixes] |= np.uint8(1 << (L - 2))
+    return by_len, pref_mask
 
-    w8 = _window_ints(data)
+
+def _match_tables(data: np.ndarray, prep) -> tuple[np.ndarray, np.ndarray]:
+    """Per-position longest-match tables: (mlen int8, mcode int32).
+
+    The 2-byte-prefix bitmask prunes the search: only positions whose next
+    two bytes prefix *some* symbol do any per-length probing, so
+    literal-heavy data costs one gather, not seven searchsorteds.
+    """
+    n = len(data)
+    by_len, pref_mask = prep
+    mlen = np.ones(n, dtype=np.int8)
+    mcode = data.astype(np.int32)
+
+    # 2-byte prefixes of all positions
+    d16 = data.astype(np.uint16)
+    p16 = np.zeros(n, dtype=np.uint16)
+    if n >= 2:
+        p16[: n - 1] = (d16[:-1] << np.uint16(8)) | d16[1:]
+
+    has_any = pref_mask[p16] != 0
+    if n >= 1:
+        has_any[n - 1] = False
+    cand_pos = np.flatnonzero(has_any)
+    if len(cand_pos) == 0:
+        return mlen, mcode
+    cand_mask = pref_mask[p16[cand_pos]]
+    # longest length first so the first hit wins
+    for L, sym_ints, sym_codes in reversed(by_len):
+        sel = np.flatnonzero(
+            ((cand_mask >> np.uint8(L - 2)) & np.uint8(1)).astype(bool)
+            & (mlen[cand_pos] == 1)
+            & (cand_pos <= n - L)
+        )
+        if len(sel) == 0:
+            continue
+        pos = cand_pos[sel]
+        w = np.zeros(len(pos), dtype=np.uint64)
+        for k in range(L):
+            w |= data[pos + k].astype(np.uint64) << np.uint64(8 * (L - 1 - k))
+        idx = np.searchsorted(sym_ints, w)
+        idx[idx == len(sym_ints)] = 0
+        hit = sym_ints[idx] == w
+        if hit.any():
+            h = pos[hit]
+            mlen[h] = L
+            mcode[h] = sym_codes[idx[hit]]
+    return mlen, mcode
+
+
+SEGMENT = 1 << 19  # tokenizer segment: temporaries stay cache-resident
+
+
+def apply_table(data: np.ndarray, merges: np.ndarray) -> np.ndarray:
+    """Tokenize ``data`` (uint8) against the symbol table, vectorized.
+
+    The chunk is processed in SEGMENT-byte slices so every per-position
+    temporary (match tables, cursors, out buffer) stays in cache — the walk
+    is gather-heavy and random gathers over multi-MB arrays amplify to a
+    cacheline of DRAM traffic per token, which saturates shared memory
+    bandwidth under 32-way concurrency. Segment-local gathers don't.
+    """
+    n = len(data)
+    prep = _prep_tables(merges)
+    if n <= SEGMENT:
+        return _apply_segment(data, prep)
+    parts = [
+        _apply_segment(np.ascontiguousarray(data[s : s + SEGMENT]), prep)
+        for s in range(0, n, SEGMENT)
+    ]
+    return np.concatenate(parts)
+
+
+def _apply_segment(data: np.ndarray, prep) -> np.ndarray:
+    """Greedy longest-match within lockstep blocks of BLOCK bytes. Two phases:
+    (1) per-position longest-match tables, prefix-mask pruned; (2) a lockstep
+    walk where every active block emits per round either one symbol token or
+    its whole pending literal *run* (bulk scatter), so literal-heavy data
+    doesn't pay a round per byte. Symbols never span a block boundary — a
+    valid tokenization is all decode needs; ratio cost ~max_symbol_len/BLOCK.
+    No per-byte Python anywhere.
+    """
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    mlen, mcode = _match_tables(data, prep)
+    mlen64 = mlen.astype(np.int64)
+    # next-match-position table (for literal-run skipping): one backward
+    # cummin pass replaces a binary search per walk round
+    nxt = np.full(n + 1, n, dtype=np.int64)
+    idx = np.flatnonzero(mlen > 1)
+    nxt[idx] = idx
+    nxt[:n] = np.minimum.accumulate(nxt[n - 1 :: -1])[::-1]
+
     n_blocks = (n + BLOCK - 1) // BLOCK
+    out = np.full(n_blocks * BLOCK, -1, dtype=np.int32)
+    counts = np.zeros(n_blocks, dtype=np.int64)  # tokens emitted per block
     cursors = np.arange(0, n_blocks * BLOCK, BLOCK, dtype=np.int64)
     block_end = np.minimum(cursors + BLOCK, n)
-    out = np.full((n_blocks, BLOCK), -1, dtype=np.int32)
     active = np.flatnonzero(cursors < block_end)
-    rnd = 0
-    # lockstep walk: one token per active block per round; longest-match is
-    # resolved lazily at the current cursors only (O(total tokens) work)
     while len(active):
         c = cursors[active]
         rem = block_end[active] - c
-        codes = data[c].astype(np.int32)  # default: literal byte token
-        step = np.ones(len(c), dtype=np.int64)
-        undecided = step == 1  # still literal, try symbols longest-first
-        wc = w8[c]
-        for L, sym_ints, sym_codes in by_len:
-            cand = np.flatnonzero(undecided & (rem >= L))
-            if len(cand) == 0:
-                continue
-            wL = wc[cand] >> np.uint64(8 * (8 - L))
-            sL = sym_ints >> np.uint64(8 * (8 - L))
-            idx = np.searchsorted(sL, wL)
-            idx[idx == len(sL)] = 0
-            hit = sL[idx] == wL
-            if hit.any():
-                h = cand[hit]
-                codes[h] = sym_codes[idx[hit]]
-                step[h] = L
-                undecided[h] = False
-        out[active, rnd] = codes
-        cursors[active] = c + step
+        is_sym = (mlen64[c] > 1) & (mlen64[c] <= rem)
+        # symbol cursors: one token each
+        sym_blocks = active[is_sym]
+        if len(sym_blocks):
+            sc = cursors[sym_blocks]
+            out[sym_blocks * BLOCK + counts[sym_blocks]] = mcode[sc]
+            counts[sym_blocks] += 1
+            cursors[sym_blocks] = sc + mlen64[sc]
+        # literal cursors: emit the whole run up to the next match / block end
+        lit_blocks = active[~is_sym]
+        if len(lit_blocks):
+            lc = cursors[lit_blocks]
+            next_mp = nxt[np.minimum(lc + 1, n)]
+            # a match at lc itself that didn't fit rem counts as literal start
+            run = np.minimum(next_mp - lc, block_end[lit_blocks] - lc)
+            run = np.maximum(run, 1)
+            total = int(run.sum())
+            # grouped-arange scatter: out positions and source positions
+            ends = np.cumsum(run)
+            starts_out = lit_blocks * BLOCK + counts[lit_blocks]
+            adj_out = np.ones(total, dtype=np.int64)
+            adj_out[0] = starts_out[0]
+            if len(run) > 1:
+                adj_out[ends[:-1]] = starts_out[1:] - (starts_out[:-1] + run[:-1]) + 1
+            dst = np.cumsum(adj_out)
+            adj_src = np.ones(total, dtype=np.int64)
+            adj_src[0] = lc[0]
+            if len(run) > 1:
+                adj_src[ends[:-1]] = lc[1:] - (lc[:-1] + run[:-1]) + 1
+            src = np.cumsum(adj_src)
+            out[dst] = data[src]
+            counts[lit_blocks] += run
+            cursors[lit_blocks] = lc + run
         active = active[cursors[active] < block_end[active]]
-        rnd += 1
-    flat = out.reshape(-1)
-    return flat[flat >= 0]
+    return out[out >= 0]
 
 
 def encode_bytes(
@@ -183,7 +279,11 @@ def encode_bytes(
     merges, _ = train_and_encode(data[:TRAIN_SAMPLE_BYTES], max_merges=max_merges)
     tokens = apply_table(data, merges)
     # dense-remap the used token values so the packed width is minimal
-    used, dense = np.unique(tokens, return_inverse=True)
+    # (bincount-based: O(n), not a sort)
+    used = np.flatnonzero(np.bincount(tokens, minlength=TOKEN_BASE))
+    inv = np.zeros(TOKEN_BASE, dtype=np.int64)
+    inv[used] = np.arange(len(used))
+    dense = inv[tokens]
     width = bits_needed(len(used) - 1)
     len_sections, len_meta = forbp.encode_int(lengths.astype(np.int64))
     return {

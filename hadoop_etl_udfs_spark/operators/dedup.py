@@ -1,0 +1,165 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard. All single-pass DataFrame compositions (map-side
+combinable aggregates; no per-row Python).
+
+No reference counterpart (the reference moves data, it never dedups) — these
+are the "beyond the reference" training-data operators the engine needs at
+10^12-doc scale, where exact dedup is a hash shuffle and near-dup must be
+candidate-generated (LSH bands) rather than all-pairs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: keep the smallest doc_id
+    per fingerprint. At scale: one hash shuffle on the fingerprint (map-side
+    partial min), no sort."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) word k-grams via array ops (no Python)."""
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    sh = F.expr(
+        f"transform(sequence(0, greatest(size({'w'}), {k}) - {k}), "
+        f"i -> concat_ws(' ', slice(w, i + 1, {k})))"
+    )
+    return (
+        docs.select("doc_id", w.alias("w"))
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+
+
+N_PERM = 32
+BAND_ROWS = 4  # 8 bands x 4 rows
+
+
+def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """One row per doc with n_perm minhash values: single explode + one
+    groupBy with n_perm min() aggregates (map-side combine keeps the shuffle
+    at n_perm longs per doc)."""
+    sh = _shingles(docs)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"mh{p}")
+        for p in range(n_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, n_perm: int = N_PERM, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs.
+
+    shingle -> minhash -> band signatures -> self-join on (band, signature).
+    The join key is the band signature, so candidate generation is a hash
+    join on a small projected table — never an all-pairs comparison."""
+    sig = minhash_signatures(_docs(spark, sf_dir), n_perm)
+    n_bands = n_perm // band_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: token hash bit-votes, one pass.
+
+    64 conditional-sum aggregates (all map-side combinable) then bit
+    reassembly — stays in whole-stage codegen, no explode-per-bit."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(0)
+        term = F.shiftleft(bit, b)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return agg.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.1
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs blocked by (lang, source).
+
+    Blocking bounds the pair count; the shingle sets stay distributed
+    (explode + join + count) — no collect, no per-row Python."""
+    docs = _docs(spark, sf_dir)
+    sh = _shingles(docs).join(docs.select("doc_id", "lang", "source"), "doc_id")
+    sh = sh.dropDuplicates(["doc_id", "shingle"])
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -66,16 +66,27 @@ def _chunk_id(url_col: pa.Array) -> int:
     return int.from_bytes(h.digest(), "big", signed=True)
 
 
-def salted_partitioning(df: DataFrame, salt_buckets: int) -> DataFrame:
+def salted_partitioning(
+    df: DataFrame, salt_buckets: int, num_partitions: int | None = None
+) -> DataFrame:
     """Shuffle by (url host, salt) then sort within partitions for run length.
 
     The host key co-locates pages that share dictionaries; the salt bounds
     the size of any one host's partition (Zipf head). The sort (lang, url)
     maximizes RLE runs without a global shuffle.
+
+    The partition count is EXPLICIT: with a bare ``repartition(cols)`` AQE
+    coalesces toward 64 MB partitions, which serializes the (CPU-heavy)
+    encode stage onto a handful of tasks — encode wants
+    cores << partitions << chunks, independent of shuffle-size heuristics.
     """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
     host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
     salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
-    return df.repartition(host, salt).sortWithinPartitions("lang", "url")
+    return df.repartition(num_partitions, host, salt).sortWithinPartitions(
+        "lang", "url"
+    )
 
 
 def encode_pages(

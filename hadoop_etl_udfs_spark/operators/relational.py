@@ -1,0 +1,212 @@
+"""Reference-parity relational operators (SURVEY.md §2.2/§2.6) expressed
+Spark-first over the driver's TPC-H-ish tables.
+
+Each function takes (spark, sf_dir) and returns a DataFrame; the matching
+DuckDB oracle SQL lives in __spark_entry__.py. Column aliases match the
+oracle exactly (the driver hashes values under sorted column names).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style pricing summary — the §2.4 metrics-rollup
+    pattern (hash aggregate with map-side partial combine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def projection_reorder_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: OUTPUT_COLUMNS-style projection with reorder and duplication
+    (reference test HdfsSerDeImportServiceTest.java:54-68 reorders and
+    repeats 'salary')."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_quantity").alias("qty"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_returnflag").alias("rflag"),
+        F.col("l_quantity").alias("qty_again"),
+    ).orderBy("okey", "qty", "rflag")
+
+
+def partition_filter_or_of_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: PARTITIONS='p1=a/p2=b, p1=c/p2=d' = OR of AND-equality conjunctions
+    (MultiPartitionFilter.java:31-51) as a Catalyst filter (partition-prunable
+    when the columns are partition columns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            ((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"))
+            | ((F.col("l_returnflag") == "A") & (F.col("l_linestatus") == "F"))
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def pushdown_eq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: the only predicates the reference can push (= and IN const-list,
+    HiveProperties.java:43-45); Catalyst pushes them to the parquet scan."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & F.col("c_nationkey").isin(1, 2, 3, 7)
+        )
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+def json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/F8: JsonPath-subset extraction (JsonPathParser.java:10-30) over the
+    events.props JSON strings; missing path -> null (P8 null normalization,
+    reference emits NULL at HdfsSerDeImportService.java:190-194)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+    ).orderBy("event_id")
+
+
+def partition_value_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: parse /name=value/ path segments into typed columns
+    (HdfsSerDeImportService.java:498-566). The hive-style path is built from
+    the row, then parsed back with regex + cast — both directions visible."""
+    ev = _t(spark, sf_dir, "events")
+    path = F.concat(
+        F.lit("/warehouse/events/dt="),
+        F.date_format("ts", "yyyy-MM-dd"),
+        F.lit("/etype="),
+        F.col("event_type"),
+        F.lit("/part-0.parquet"),
+    )
+    with_path = ev.select("event_id", path.alias("path"))
+    return with_path.select(
+        "event_id",
+        F.regexp_extract("path", r"dt=([^/]+)", 1).cast("date").alias("dt"),
+        F.regexp_extract("path", r"etype=([^/]+)", 1).alias("etype"),
+    ).orderBy("event_id")
+
+
+def hex_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: binary -> hex string (HdfsSerDeImportService.java:330-331 — the
+    reference *degrades* binary to hex; we expose it as an explicit op and
+    keep real bytes elsewhere)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.hex(F.substring("text", 1, 8).cast("binary")).alias("hex8")
+    ).orderBy("doc_id")
+
+
+def float_downcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: double -> float downcast (Tuple.java:100-106)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("lineno"),
+        F.col("l_quantity").cast("float").alias("qty_f"),
+    ).orderBy("l_orderkey", "lineno")
+
+
+def char_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: char(n) space-padding semantics (reference round-trip expects
+    'aaaaaaaaaa  ' — HdfsSerDeExportServiceTest.java:264-273)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey", F.rpad("n_name", 20, " ").alias("n_name_char20")
+    ).orderBy("n_nationkey")
+
+
+def metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4: group-by metrics aggregate (the distribution GROUP BY of
+    ImportHCatTable.java:104-109 reinterpreted as a real aggregate)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def window_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (absent from the reference — SqlGenerator.java:190-197
+    throws on ORDER BY/LIMIT; built-in in Spark): per-user event ordering and
+    running value."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 4
+        ).alias("running_value"),
+    ).orderBy("event_id")
+
+
+def top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort/limit/top-k (absent from the reference, delegated to the host DB):
+    top-3 orders by price per customer segment via window rank."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+def broadcast_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join (absent from reference — delegated to host, HiveProperties.java:27-46):
+    fact-dim enrichment with an explicit broadcast of the small side."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("r_name")
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: `F.zip_with` dot product + `F.aggregate` norms —
+  pure JVM expressions, DuckDB-checkable.
+- LSH-bucketed variant: deterministic random-hyperplane sign buckets; at
+  scale only same-bucket candidates are scored (the scan prunes to the
+  query's bucket), turning O(N) per query into O(N / 2^planes) expected.
+
+No reference counterpart — "beyond the reference" training-data operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 8
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_sim(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Brute-force cosine top-k against one query vector (the exact baseline).
+
+    The query vector rides along via a broadcast crossJoin (1 row), the dot
+    product runs as JVM array expressions inside codegen."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("q_embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+
+
+def _planes(n_planes: int = N_PLANES, dim: int = DIM, seed: int = 1234) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
+def lsh_bucket_expr(col, planes: np.ndarray):
+    """Sign-bit bucket id from deterministic hyperplanes (JVM expressions —
+    plane vectors are literals, folded by Catalyst)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(v)) for v in p])
+        bit = F.when(_dot(col, plane) >= 0, F.lit(1).cast("long")).otherwise(0)
+        bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str, n_planes: int = N_PLANES) -> DataFrame:
+    """Bucket assignment for every vector (the index-build pass)."""
+    emb = _emb(spark, sf_dir)
+    planes = _planes(n_planes)
+    return emb.select(
+        "vec_id", lsh_bucket_expr(F.col("embedding"), planes).alias("bucket")
+    ).orderBy("vec_id")
+
+
+def cosine_topk_lsh(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing the query's hyperplane
+    bucket (at scale the bucket filter prunes the scan; here it demonstrates
+    the candidate-generation plan)."""
+    emb = _emb(spark, sf_dir)
+    planes = _planes()
+    with_bucket = emb.withColumn(
+        "bucket", lsh_bucket_expr(F.col("embedding"), planes)
+    )
+    q = with_bucket.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
+    )
+    return (
+        with_bucket.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("q_embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked: pairs only form
+    inside a bucket (never all-pairs)."""
+    emb = _emb(spark, sf_dir)
+    planes = _planes()
+    b = emb.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")))
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.round(
+                cosine_sim(F.col("l.embedding"), F.col("r.embedding")), 4
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )

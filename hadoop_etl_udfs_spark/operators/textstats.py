@@ -1,0 +1,64 @@
+"""Text-analysis queries over the documents table (driver contract) plus the
+encode engine applied to a driver table (lineage rows-only check).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.round(T.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    ).orderBy("doc_id")
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+def encode_documents_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk encoder applied to a driver table (documents): returns the
+    per-column-chunk lineage aggregated by column+codec. Non-SQL-expressible
+    (rows-only check) — the values depend on the codec kernels."""
+    from .encode import codec_metrics, encode_pages
+
+    docs = _docs(spark, sf_dir).repartition(4, "lang", "source").sortWithinPartitions(
+        "lang", "source", "doc_id"
+    )
+    enc = encode_pages(docs, shuffle=False, key_column="text")
+    return codec_metrics(enc).select(
+        "column", "codec", "n_chunks", "n_rows", "bytes_in", "bytes_out"
+    )
