@@ -197,6 +197,26 @@ def oracle_sql() -> dict[str, str]:
                    length(text) AS n_chars_actual
             FROM documents
         """,
+        "quality_scores": f"""
+            WITH q AS (
+                SELECT doc_id,
+                       {_TOKCOUNT} AS n_tok,
+                       length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                           / greatest(length(text), 1) AS punct_ratio,
+                       length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                           / greatest(length(text), 1) AS upper_ratio,
+                       {_hits_sql(_LANG_MARKERS["en"])} AS en_hits
+                FROM documents
+            )
+            SELECT doc_id,
+                   round((
+                       (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.3 END)
+                     + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END)
+                     + (CASE WHEN upper_ratio <= 0.3 THEN 1.0 ELSE 0.5 END)
+                     + (CASE WHEN en_hits / greatest(n_tok, 1) > 0.01 THEN 1.0 ELSE 0.6 END)
+                   ) / 4.0, 4) AS quality
+            FROM q
+        """,
         "lang_id_heuristic": f"""
             SELECT doc_id, lang AS lang_true, {_lang_id_sql()} AS lang_pred
             FROM documents
