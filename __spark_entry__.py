@@ -43,6 +43,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_user_sessions": relational.window_user_sessions,
         "top_k_per_group": relational.top_k_per_group,
         "broadcast_join_enrich": relational.broadcast_join_enrich,
+        "set_ops_customers": relational.set_ops_customers,
+        "rollup_order_stats": relational.rollup_order_stats,
+        "global_top_k": relational.global_top_k,
+        "semi_anti_join": relational.semi_anti_join,
+        "string_functions": relational.string_functions,
+        "date_functions": relational.date_functions,
+        "to_json_render": relational.to_json_render,
+        "null_normalization": relational.null_normalization,
+        "scalar_subquery_filter": relational.scalar_subquery_filter,
         # --- text analysis (training-data ops) ---
         "text_stats": textstats.text_stats,
         "quality_scores": textstats.quality_scores,
@@ -196,6 +205,77 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(length(text), 1), 4) AS punct_ratio,
                    length(text) AS n_chars_actual
             FROM documents
+        """,
+        "set_ops_customers": """
+            SELECT nk, 'cust_only' AS side FROM (
+                SELECT DISTINCT c_nationkey AS nk FROM customer
+                EXCEPT
+                SELECT DISTINCT s_nationkey AS nk FROM supplier
+            )
+            UNION ALL
+            SELECT nk, 'both' AS side FROM (
+                SELECT DISTINCT c_nationkey AS nk FROM customer
+                INTERSECT
+                SELECT DISTINCT s_nationkey AS nk FROM supplier
+            )
+        """,
+        "rollup_order_stats": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "global_top_k": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "semi_anti_join": """
+            SELECT 'with_orders' AS side, c_custkey FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            UNION ALL
+            SELECT 'no_orders' AS side, c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "string_functions": """
+            SELECT n_nationkey,
+                   lower(n_name) AS lower_name,
+                   upper(substring(n_name, 1, 3)) AS prefix3,
+                   length(n_name) AS name_len,
+                   concat_ws('-', n_name, CAST(n_nationkey AS VARCHAR)) AS tagged,
+                   reverse(n_name) AS reversed,
+                   levenshtein(n_name, 'FRANCE') AS lev_to_france,
+                   translate(n_name, 'AEIOU', 'aeiou') AS folded
+            FROM nation
+        """,
+        "date_functions": """
+            SELECT event_id,
+                   CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+                   CAST(extract(year FROM ts) AS INT) AS yr,
+                   CAST(extract(month FROM ts) AS INT) AS mo,
+                   CAST(extract(day FROM ts) AS INT) AS dom,
+                   CAST(extract(dow FROM ts) AS INT) AS dow_sun0,
+                   CAST(ts AS DATE) AS d,
+                   CAST(CAST(ts AS DATE) + INTERVAL 30 DAY AS DATE) AS d_plus30
+            FROM events
+        """,
+        "to_json_render": """
+            SELECT n_nationkey,
+                   to_json({'key': n_nationkey, 'name': n_name}) AS as_json
+            FROM nation
+        """,
+        "null_normalization": """
+            SELECT event_id,
+                   coalesce(json_extract_string(props, '$.absent_key'), '<missing>')
+                       AS filled,
+                   nullif(event_type, 'error') AS type_or_null,
+                   CAST(json_extract_string(props, '$.absent_key') IS NULL AS INT)
+                       AS was_null
+            FROM events
+        """,
+        "scalar_subquery_filter": """
+            SELECT o_orderstatus, count(*) AS n_above_avg
+            FROM orders
+            WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+            GROUP BY o_orderstatus
         """,
         "quality_scores": f"""
             WITH q AS (

@@ -207,12 +207,16 @@ def main() -> None:
         # decode timing on the high-core sink
         spark = _session(CPUS, shuffle_partitions=max(32, CPUS))
         try:
-            from hadoop_etl_udfs_spark.operators.encode import decode_chunks
-            from hadoop_etl_udfs_spark.plans.lineage import read_encoded
+            from hadoop_etl_udfs_spark.operators.encode import (
+                decode_chunks_colocated,
+            )
+            from hadoop_etl_udfs_spark.plans.lineage import read_encoded_colocated
 
-            enc = read_encoded(spark, os.path.join(workdir, f"enc_{CPUS}"))
+            enc = read_encoded_colocated(spark, os.path.join(workdir, f"enc_{CPUS}"))
             t0 = time.time()
-            decode_chunks(enc).write.format("noop").mode("overwrite").save()
+            decode_chunks_colocated(enc).write.format("noop").mode(
+                "overwrite"
+            ).save()
             result["queries"]["decode_check"] = round(time.time() - t0, 3)
         finally:
             spark.stop()

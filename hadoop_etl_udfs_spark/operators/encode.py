@@ -107,7 +107,12 @@ def encode_pages(
     size.
     """
     if shuffle:
-        df = salted_partitioning(df, salt_buckets)
+        if salt_buckets == "adaptive":
+            from ..plans.salting import salted_partitioning_adaptive
+
+            df = salted_partitioning_adaptive(df)
+        else:
+            df = salted_partitioning(df, salt_buckets)
     skip = frozenset(skip_chunk_ids or ())
     sc = df.sparkSession.sparkContext
     skip_bc = sc.broadcast(skip)
@@ -176,6 +181,59 @@ def decode_chunks(
         return pa.table(dict(zip(names, arrays)))
 
     return enc.groupBy("chunk_id").applyInArrow(decode, out_schema)
+
+
+def decode_chunks_colocated(
+    enc: DataFrame, schema: str | None = None, n_columns: int = 5
+) -> DataFrame:
+    """Shuffle-free decode for data laid out by our own sink.
+
+    The encode task writes a chunk's column rows consecutively, so as long as
+    no parquet file is split mid-chunk (read the sink with
+    ``spark.sql.files.maxPartitionBytes`` large enough — see
+    plans.lineage.read_encoded_colocated), every chunk reunites inside one
+    partition iterator; rows are carried across Arrow batch boundaries.
+    Raises if a chunk arrives incomplete (wrong read settings) — fall back to
+    :func:`decode_chunks` then.
+    """
+    from ..sources.pages import PAGES_SCHEMA
+
+    out_schema = schema or PAGES_SCHEMA
+
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        pending: dict[int, list] = {}
+        for batch in batches:
+            cid_col = batch.column(batch.schema.get_field_index("chunk_id"))
+            idx_col = batch.column(batch.schema.get_field_index("col_idx"))
+            name_col = batch.column(batch.schema.get_field_index("column"))
+            meta_col = batch.column(batch.schema.get_field_index("meta"))
+            payload_col = batch.column(batch.schema.get_field_index("payload"))
+            for row in range(batch.num_rows):
+                cid = cid_col[row].as_py()
+                group = pending.setdefault(cid, [])
+                group.append(
+                    (
+                        idx_col[row].as_py(),
+                        name_col[row].as_py(),
+                        meta_col[row].as_py(),
+                        payload_col[row].as_py(),
+                    )
+                )
+                if len(group) == n_columns:
+                    group.sort()
+                    yield pa.RecordBatch.from_arrays(
+                        [decode_array(p, m) for (_, _, m, p) in group],
+                        names=[nm for (_, nm, _, _) in group],
+                    )
+                    del pending[cid]
+        if pending:
+            raise ValueError(
+                f"{len(pending)} chunk(s) arrived incomplete — the sink was "
+                "read with file splitting; use decode_chunks() or read via "
+                "plans.lineage.read_encoded_colocated()"
+            )
+
+    return enc.mapInArrow(decode, out_schema)
 
 
 def lineage_rows(enc: DataFrame) -> DataFrame:

@@ -210,3 +210,123 @@ def broadcast_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (absent from the reference — delegated to the host DB;
+    SqlGenerator.java:145-255 throws): nations present in customers but not
+    suppliers, plus intersection counts."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    only_c = c.distinct().exceptAll(s.distinct()).withColumn("side", F.lit("cust_only"))
+    both = c.distinct().intersect(s.distinct()).withColumn("side", F.lit("both"))
+    return only_c.union(both).orderBy("side", "nk")
+
+
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (grouping-set family, absent from the reference)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def global_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (the reference explicitly cannot push these —
+    SqlGenerator.java:190-197 throws on SqlLimit/SqlOrderBy; Spark executes
+    them as TakeOrderedAndProject, no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as left_semi / left_anti joins."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("with_orders").alias("side"), "c_custkey"
+    )
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("no_orders").alias("side"), "c_custkey"
+    )
+    return with_orders.union(without).orderBy("side", "c_custkey")
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string function battery (SURVEY §2.6 — the reference has
+    conversions only; these are the library a query engine needs)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.lower("n_name").alias("lower_name"),
+        F.upper(F.substring("n_name", 1, 3)).alias("prefix3"),
+        F.length("n_name").alias("name_len"),
+        F.concat_ws("-", "n_name", F.col("n_nationkey").cast("string")).alias("tagged"),
+        F.reverse(F.col("n_name")).alias("reversed"),
+        F.levenshtein(F.col("n_name"), F.lit("FRANCE")).alias("lev_to_france"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("folded"),
+    ).orderBy("n_nationkey")
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery over event timestamps (UTC session)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("month", "ts").alias("month_start"),
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("dom"),
+        (F.dayofweek("ts") - 1).alias("dow_sun0"),
+        F.to_date("ts").alias("d"),
+        F.date_add(F.to_date("ts"), 30).alias("d_plus30"),
+    ).orderBy("event_id")
+
+
+def to_json_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: complex value -> JSON text (the reference renders array/map/struct
+    leaves to JSON strings, HdfsSerDeImportService.java:391-496)."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.to_json(
+            F.struct(F.col("n_nationkey").alias("key"), F.col("n_name").alias("name"))
+        ).alias("as_json"),
+    ).orderBy("n_nationkey")
+
+
+def null_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: missing fields -> NULL -> normalized defaults (the reference emits
+    NULL for absent struct fields, HdfsSerDeImportService.java:190-194, and
+    nullifies stale slots per row, :176-180)."""
+    ev = _t(spark, sf_dir, "events")
+    missing = F.get_json_object("props", "$.absent_key")
+    return ev.select(
+        "event_id",
+        F.coalesce(missing, F.lit("<missing>")).alias("filled"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+        missing.isNull().cast("int").alias("was_null"),
+    ).orderBy("event_id")
+
+
+def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global average price (broadcast
+    crossJoin of the 1-row aggregate — no driver-side collect)."""
+    o = _t(spark, sf_dir, "orders")
+    avg_df = o.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_above_avg"))
+        .orderBy("o_orderstatus")
+    )

@@ -49,6 +49,16 @@ def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(chunks_path(out_dir))
 
 
+def read_encoded_colocated(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the sink without splitting any file, so each chunk's column rows
+    stay inside one partition — enables the shuffle-free
+    operators.encode.decode_chunks_colocated fast path."""
+    return (
+        spark.read.option("maxPartitionBytes", str(8 << 30))
+        .parquet(chunks_path(out_dir))
+    )
+
+
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     """Lineage view: payload column pruned at the parquet scan (check
     ReadSchema in .explain — payload must be absent)."""

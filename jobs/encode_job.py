@@ -32,7 +32,10 @@ def main() -> None:
                    help="generate N deterministic docs instead of reading --input")
     p.add_argument("--output", required=True, help="encoded-chunk sink directory")
     p.add_argument("--codec", default="auto")
-    p.add_argument("--salt-buckets", type=int, default=8)
+    p.add_argument(
+        "--salt-buckets", default="8",
+        help="int fan-out, or 'adaptive' (per-host salt from a histogram)",
+    )
     p.add_argument("--global-dict", action="append", default=[],
                    help="column(s) to encode with a broadcast global dictionary")
     p.add_argument("--resume", action="store_true",
@@ -69,10 +72,11 @@ def main() -> None:
         )
 
     t0 = time.time()
+    salt = args.salt_buckets if args.salt_buckets == "adaptive" else int(args.salt_buckets)
     enc = encode_pages(
         pages,
         codec=args.codec,
-        salt_buckets=args.salt_buckets,
+        salt_buckets=salt,
         skip_chunk_ids=done,
         global_dicts=gds or None,
     )

@@ -1,0 +1,69 @@
+"""Multi-format source/sink parity (reference S1: Parquet, ORC, RC, Avro,
+JSON, text — doc/import.md:15; RC covered by ORC, Avro detected at runtime)."""
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hadoop_etl_udfs_spark.sources.formats import (
+    read_pages,
+    supported_formats,
+    write_table,
+)
+from hadoop_etl_udfs_spark.sources.pages import synthesize_pages
+
+
+def test_supported_formats(spark):
+    fmts = supported_formats(spark)
+    assert {"parquet", "orc", "json", "csv"} <= set(fmts)
+
+
+def test_roundtrip_all_formats(spark):
+    base = tempfile.mkdtemp(prefix="fmt_")
+    # text columns only (binary doesn't survive csv/json textual formats)
+    pages = (
+        synthesize_pages(spark, 300, seed=9)
+        .select("url", "text", "lang")
+        .cache()
+    )
+    fp = lambda df: df.select(
+        F.bit_xor(F.xxhash64("url", "text", "lang")).alias("h")
+    ).collect()[0]["h"]
+    want = fp(pages)
+    try:
+        for fmt in ["parquet", "orc", "json"]:
+            p = os.path.join(base, fmt)
+            write_table(pages, p, fmt=fmt)
+            got = read_pages(spark, p, fmt=fmt, schema="url string, text string, lang string")
+            assert fp(got) == want, fmt
+        # binary columns survive the columnar formats
+        full = synthesize_pages(spark, 200, seed=9).cache()
+        for fmt in ["parquet", "orc"]:
+            p = os.path.join(base, f"full_{fmt}")
+            write_table(full, p, fmt=fmt, compression="snappy" if fmt == "parquet" else None)
+            got = read_pages(spark, p, fmt=fmt)
+            assert got.count() == 200
+            h1 = full.select(F.bit_xor(F.xxhash64(*full.columns)).alias("h")).collect()[0]["h"]
+            h2 = got.select(F.bit_xor(F.xxhash64(*got.columns)).alias("h")).collect()[0]["h"]
+            assert h1 == h2, fmt
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        pages.unpersist()
+
+
+def test_partitioned_write_prunes(spark):
+    """Hive-style directory partitioning + partition pruning (reference P5/P7:
+    MultiPartitionFilter + path-derived values)."""
+    base = tempfile.mkdtemp(prefix="part_")
+    try:
+        pages = synthesize_pages(spark, 1000, seed=4)
+        write_table(pages, base + "/t", fmt="parquet", partition_by=["lang"])
+        got = spark.read.parquet(base + "/t")
+        one = got.filter(F.col("lang") == "en")
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:120]
+        assert one.count() == pages.filter(F.col("lang") == "en").count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -141,3 +141,21 @@ def test_global_dict_save_load_roundtrip(spark, pages):
         assert (gd2[0] == gd[0]).all() and (gd2[1] == gd[1]).all()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_colocated_decode_matches_grouped(spark, pages):
+    import tempfile as _tf
+
+    from hadoop_etl_udfs_spark.operators.encode import decode_chunks_colocated
+
+    out = _tf.mkdtemp(prefix="coloc_")
+    try:
+        lineage.write_encoded(encode_pages(pages), out)
+        enc = lineage.read_encoded_colocated(spark, out)
+        dec = decode_chunks_colocated(enc)
+        fp = lambda df: df.select(
+            F.bit_xor(F.xxhash64(*df.columns)).alias("h")
+        ).collect()[0]["h"]
+        assert fp(dec) == fp(pages)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
