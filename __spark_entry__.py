@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_json_render": relational.to_json_render,
         "null_normalization": relational.null_normalization,
         "scalar_subquery_filter": relational.scalar_subquery_filter,
+        "url_decode_paths": relational.url_decode_paths,  # rows-only (F10)
         # --- text analysis (training-data ops) ---
         "text_stats": textstats.text_stats,
         "quality_scores": textstats.quality_scores,

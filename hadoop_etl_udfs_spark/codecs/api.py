@@ -145,6 +145,7 @@ def encode_array(
     arr: pa.Array,
     codec: str = "auto",
     global_dict=None,
+    cache_key: str | None = None,
 ) -> Encoded:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -160,13 +161,16 @@ def encode_array(
         if codec == "auto":
             from .selector import choose_bytes_codec
 
-            codec = choose_bytes_codec(lengths, data, global_dict=global_dict)
+            codec = choose_bytes_codec(
+                lengths, data, global_dict=global_dict, cache_key=cache_key
+            )
         enc, dec = _BYTES_CODECS[codec]
-        sections, cmeta = (
-            enc(lengths, data, global_dict=global_dict)
-            if codec == "dict" and global_dict is not None
-            else enc(lengths, data)
-        )
+        if codec == "dict" and global_dict is not None:
+            sections, cmeta = enc(lengths, data, global_dict=global_dict)
+        elif codec == "fsst":
+            sections, cmeta = enc(lengths, data, cache_key=cache_key)
+        else:
+            sections, cmeta = enc(lengths, data)
         crc = zlib.crc32(data.tobytes(), zlib.crc32(lengths.astype("<i8").tobytes()))
     else:
         values = _to_int64(dense)

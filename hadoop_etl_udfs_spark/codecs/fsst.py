@@ -96,6 +96,27 @@ def expansions(merges: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 TRAIN_SAMPLE_BYTES = 1 << 16  # train symbol table on a 64 KiB sample
+
+# worker-global trained-table cache: chunks of the same column within a
+# (reused) Python worker share a symbol table, retrained periodically to
+# track drift. The merges still ship in every chunk payload, so decode
+# never depends on this cache.
+_TABLE_CACHE: dict[str, tuple[int, np.ndarray]] = {}
+RETRAIN_EVERY = 16
+
+
+def trained_table(
+    data: np.ndarray, cache_key: str | None = None, max_merges: int = MAX_SYMBOLS
+) -> np.ndarray:
+    if cache_key is not None:
+        entry = _TABLE_CACHE.get(cache_key)
+        if entry is not None and entry[0] < RETRAIN_EVERY:
+            _TABLE_CACHE[cache_key] = (entry[0] + 1, entry[1])
+            return entry[1]
+    merges, _ = train_and_encode(data[:TRAIN_SAMPLE_BYTES], max_merges=max_merges)
+    if cache_key is not None:
+        _TABLE_CACHE[cache_key] = (1, merges)
+    return merges
 BLOCK = 128  # lockstep tokenizer block size (symbols never cross blocks)
 
 
@@ -274,9 +295,12 @@ def _apply_segment(data: np.ndarray, prep) -> np.ndarray:
 
 
 def encode_bytes(
-    lengths: np.ndarray, data: np.ndarray, max_merges: int = MAX_SYMBOLS
+    lengths: np.ndarray,
+    data: np.ndarray,
+    max_merges: int = MAX_SYMBOLS,
+    cache_key: str | None = None,
 ) -> tuple[dict[str, bytes], dict]:
-    merges, _ = train_and_encode(data[:TRAIN_SAMPLE_BYTES], max_merges=max_merges)
+    merges = trained_table(data, cache_key=cache_key, max_merges=max_merges)
     tokens = apply_table(data, merges)
     # dense-remap the used token values so the packed width is minimal
     # (bincount-based: O(n), not a sort)

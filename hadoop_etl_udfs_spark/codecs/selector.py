@@ -70,7 +70,11 @@ def choose_float_codec(bit_values: np.ndarray) -> str:
 
 
 def choose_bytes_codec(
-    lengths: np.ndarray, data: np.ndarray, global_dict=None, enable_fsst: bool = True
+    lengths: np.ndarray,
+    data: np.ndarray,
+    global_dict=None,
+    enable_fsst: bool = True,
+    cache_key: str | None = None,
 ) -> str:
     n = len(lengths)
     if n == 0:
@@ -107,9 +111,14 @@ def choose_bytes_codec(
 
     if enable_fsst and total >= 1024 and u_frac > 0.05:
         window = data[: min(data.nbytes, _FSST_SAMPLE_BYTES)]
-        merges, tokens = fsst.train_and_encode(window, max_merges=64)
+        cached = fsst._TABLE_CACHE.get(cache_key) if cache_key else None
+        if cached is not None:
+            # estimate with the worker's cached table: one apply, no training
+            tokens = fsst.apply_table(window, cached[1])
+        else:
+            _, tokens = fsst.train_and_encode(window, max_merges=64)
         used = np.unique(tokens)
         w_tok = bits_needed(len(used) - 1)
         ratio = (len(tokens) * w_tok / 8.0) / max(1.0, float(window.nbytes))
-        estimates["fsst"] = total * ratio + merges.nbytes + 1024 + n * w_len / 8.0
+        estimates["fsst"] = total * ratio + 2048 + 1024 + n * w_len / 8.0
     return _pick(estimates)

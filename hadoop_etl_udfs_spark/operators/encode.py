@@ -134,7 +134,9 @@ def encode_pages(
             for i, name in enumerate(batch.schema.names):
                 gd = gds.get(name)
                 try:
-                    enc = encode_array(batch.column(i), codec=codec, global_dict=gd)
+                    enc = encode_array(
+                        batch.column(i), codec=codec, global_dict=gd, cache_key=name
+                    )
                 except KeyError:
                     # value missing from the global dictionary (e.g. resumed
                     # job over drifted input): fall back to chunk-local codecs

@@ -330,3 +330,17 @@ def scalar_subquery_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_above_avg"))
         .orderBy("o_orderstatus")
     )
+
+
+def url_decode_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: URL-decode of percent-encoded path segments
+    (HdfsSerDeImportService.java:167, PartitionPathFilter.java:42-47).
+    Rows-only: DuckDB 1.0 has no url_decode."""
+    ev = _t(spark, sf_dir, "events")
+    encoded = F.concat(
+        F.lit("/data/type%3D"), F.col("event_type"), F.lit("/v%201")
+    )
+    return ev.select(
+        "event_id",
+        F.url_decode(encoded).alias("decoded_path"),
+    ).orderBy("event_id").limit(100)
