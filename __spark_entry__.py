@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_normalization": relational.null_normalization,
         "scalar_subquery_filter": relational.scalar_subquery_filter,
         "url_decode_paths": relational.url_decode_paths,  # rows-only (F10)
+        "decimal_aggregation": relational.decimal_aggregation,
         # --- text analysis (training-data ops) ---
         "text_stats": textstats.text_stats,
         "quality_scores": textstats.quality_scores,
@@ -277,6 +278,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
             GROUP BY o_orderstatus
+        """,
+        "decimal_aggregation": """
+            SELECT l_returnflag,
+                   sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_price_exact,
+                   min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price,
+                   max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         "quality_scores": f"""
             WITH q AS (

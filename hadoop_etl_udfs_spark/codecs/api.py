@@ -43,6 +43,9 @@ def type_to_str(typ: pa.DataType) -> str:
 def str_to_type(s: str) -> pa.DataType:
     if s in _SIMPLE_TYPES:
         return _SIMPLE_TYPES[s]
+    if s.startswith("decimal128("):
+        p, sc = s[len("decimal128(") : -1].split(",")
+        return pa.decimal128(int(p), int(sc))
     if s.startswith("timestamp["):
         inner = s[len("timestamp[") : -1]
         parts = [p.strip() for p in inner.split(",")]
@@ -63,7 +66,23 @@ def _kind(typ: pa.DataType) -> str:
         return "int"
     if pa.types.is_floating(typ):
         return "float"
+    if pa.types.is_decimal(typ):
+        return "dec128"
     raise ValueError(f"unsupported chunk type: {typ}")
+
+
+def _decimal_words(dense: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """decimal128 array (no nulls) -> (low int64, high int64) word streams.
+
+    The reference stores decimals as unscaled big-endian bytes with
+    sign-extension padding (Tuple.java:110-126, the 30-case padding matrix at
+    HdfsSerDeExportServiceTest.java:277-391); Arrow gives us little-endian
+    two's-complement int128 — two FoR+bit-pack streams, and the high word of
+    real-world decimals is constant sign extension (packs to ~0 bits)."""
+    arr = dense.combine_chunks() if isinstance(dense, pa.ChunkedArray) else dense
+    buf = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    words = buf[arr.offset * 2 : (arr.offset + len(arr)) * 2]
+    return np.ascontiguousarray(words[0::2]), np.ascontiguousarray(words[1::2])
 
 
 def _to_int64(arr: pa.Array) -> np.ndarray:
@@ -156,7 +175,24 @@ def encode_array(
     valid, null_bm = _validity(arr)
     dense = arr.drop_null() if valid is not None else arr
 
-    if kind == "varbytes":
+    if kind == "dec128":
+        lo, hi = _decimal_words(dense)
+        if codec == "auto":
+            codec = "forbp"
+        if codec != "forbp" and codec != "raw":
+            raise ValueError(f"codec {codec} unsupported for decimal chunks")
+        if codec == "forbp":
+            lo_s, lo_m = forbp.encode_int(lo)
+            hi_s, hi_m = forbp.encode_int(hi)
+            sections = {"lo": lo_s["bp"], "hi": hi_s["bp"]}
+            cmeta = {"lo": lo_m, "hi": hi_m}
+        else:
+            sections = {"lo": lo.tobytes(), "hi": hi.tobytes()}
+            cmeta = {"n": len(lo)}
+        crc = zlib.crc32(
+            hi.astype("<i8").tobytes(), zlib.crc32(lo.astype("<i8").tobytes())
+        )
+    elif kind == "varbytes":
         lengths, data = arrow_to_varbytes(dense)
         if codec == "auto":
             from .selector import choose_bytes_codec
@@ -217,6 +253,29 @@ def decode_array(payload: bytes, meta: str, global_dict=None) -> pa.Array:
         else None
     )
 
+    if kind == "dec128":
+        if codec == "forbp":
+            lo = forbp.decode_int({"bp": sections["lo"]}, m["m"]["lo"])
+            hi = forbp.decode_int({"bp": sections["hi"]}, m["m"]["hi"])
+        else:
+            lo = np.frombuffer(sections["lo"], dtype=np.int64)
+            hi = np.frombuffer(sections["hi"], dtype=np.int64)
+        words = np.empty(len(lo) * 2, dtype=np.int64)
+        words[0::2] = lo
+        words[1::2] = hi
+        if valid is None:
+            return pa.Array.from_buffers(
+                typ, n, [None, pa.py_buffer(words.tobytes())]
+            )
+        full = np.zeros(n * 2, dtype=np.int64)
+        vi = np.flatnonzero(valid)
+        full[vi * 2] = lo
+        full[vi * 2 + 1] = hi
+        validity_buf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+        return pa.Array.from_buffers(
+            typ, n, [validity_buf, pa.py_buffer(full.tobytes())]
+        )
+
     if kind == "varbytes":
         dec = _BYTES_CODECS[codec][1]
         lengths, data = (
@@ -253,6 +312,11 @@ def verify_crc(arr: pa.Array, expected_crc: int) -> bool:
     if is_varbytes(arr.type):
         lengths, data = arrow_to_varbytes(dense)
         crc = zlib.crc32(data.tobytes(), zlib.crc32(lengths.astype("<i8").tobytes()))
+    elif pa.types.is_decimal(arr.type):
+        lo, hi = _decimal_words(dense)
+        crc = zlib.crc32(
+            hi.astype("<i8").tobytes(), zlib.crc32(lo.astype("<i8").tobytes())
+        )
     else:
         crc = zlib.crc32(_to_int64(dense).astype("<i8").tobytes())
     return zlib.crc32(null_bm, crc) == expected_crc

@@ -344,3 +344,21 @@ def url_decode_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.url_decode(encoded).alias("decoded_path"),
     ).orderBy("event_id").limit(100)
+
+
+def decimal_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-adjacent: exact decimal arithmetic (the reference's most-tested
+    type — 36-digit decimals with sign-extension padding,
+    HdfsSerDeExportServiceTest.java:277-391). Spark decimal sums are exact,
+    unlike the double sums everywhere else."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(p).alias("sum_price_exact"),
+            F.min(p).alias("min_price"),
+            F.max(p).alias("max_price"),
+        )
+        .orderBy("l_returnflag")
+    )

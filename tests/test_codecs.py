@@ -174,3 +174,32 @@ def test_auto_picks_sensible_codecs():
     unique_strs = pa.array([f"{i}-{rng.integers(0, 2**60)}" for i in range(3000)])
     enc = encode_array(unique_strs, codec="auto")
     assert decode_array(enc.payload, enc.meta).equals(unique_strs)
+
+
+def test_decimal_roundtrip_matrix():
+    """Reference parity: the 30-case decimal sign-extension padding matrix
+    (HdfsSerDeExportServiceTest.java:277-391) — extremes, signs, nulls,
+    36-digit precision, bit-identical."""
+    from decimal import Decimal
+
+    vals = [
+        Decimal("0.00001"), Decimal("-0.00001"), None, Decimal("0.00000"),
+        Decimal("999999999999999999999999999999.99999"),
+        Decimal("-999999999999999999999999999999.99999"),
+        Decimal("1.00000"), Decimal("-1.00000"),
+    ] * 50
+    arr = pa.array(vals, type=pa.decimal128(36, 5))
+    for codec in ["forbp", "raw", "auto"]:
+        enc = encode_array(arr, codec=codec)
+        out = decode_array(enc.payload, enc.meta)
+        assert out.equals(arr), codec
+        assert verify_crc(out, enc.crc32)
+
+
+def test_decimal_narrow_range_compresses():
+    from decimal import Decimal
+
+    arr = pa.array([Decimal(f"{i}.25") for i in range(5000)], type=pa.decimal128(18, 2))
+    enc = encode_array(arr, codec="auto")
+    assert enc.bytes_in / enc.bytes_out > 5  # high words pack to ~0 bits
+    assert decode_array(enc.payload, enc.meta).equals(arr)

@@ -1,0 +1,90 @@
+"""Property-based round-trip invariants (hypothesis): for ANY input chunk,
+every applicable codec must decode bit-identically and auto-selection must
+never break correctness. Goes beyond the reference's fixed-fixture tests
+(SURVEY.md §5 — it has no property tests)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from hadoop_etl_udfs_spark.codecs import decode_array, encode_array, verify_crc
+
+_SETTINGS = dict(max_examples=40, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=80)),
+        min_size=0,
+        max_size=200,
+    ),
+    st.sampled_from(["raw", "dict", "rle", "fsst", "auto"]),
+)
+def test_any_string_chunk_roundtrips(values, codec):
+    arr = pa.array(values, type=pa.string())
+    enc = encode_array(arr, codec=codec)
+    out = decode_array(enc.payload, enc.meta)
+    assert out.equals(arr)
+    assert verify_crc(out, enc.crc32)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        ),
+        min_size=0,
+        max_size=300,
+    ),
+    st.sampled_from(["raw", "forbp", "rle", "dict", "auto"]),
+)
+def test_any_int64_chunk_roundtrips(values, codec):
+    arr = pa.array(values, type=pa.int64())
+    enc = encode_array(arr, codec=codec)
+    out = decode_array(enc.payload, enc.meta)
+    assert out.equals(arr)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.one_of(st.none(), st.binary(max_size=120)), min_size=0, max_size=150),
+)
+def test_any_binary_chunk_roundtrips_auto(values):
+    arr = pa.array(values, type=pa.binary())
+    enc = encode_array(arr, codec="auto")
+    out = decode_array(enc.payload, enc.meta)
+    assert out.equals(arr)
+
+
+@settings(**_SETTINGS)
+@given(st.data())
+def test_bitpack_any_width(data):
+    width = data.draw(st.integers(min_value=0, max_value=64))
+    n = data.draw(st.integers(min_value=0, max_value=500))
+    from hadoop_etl_udfs_spark.codecs.bitpack import pack_bits, unpack_bits
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    if width == 64:
+        v = rng.integers(0, 2**63, size=n, dtype=np.uint64)
+    elif width == 0:
+        v = np.zeros(n, dtype=np.uint64)
+    else:
+        v = rng.integers(0, 2**width, size=n, dtype=np.uint64)
+    assert (unpack_bits(pack_bits(v, width), n, width) == v).all()
+
+
+@settings(**_SETTINGS)
+@given(st.binary(min_size=0, max_size=4000))
+def test_fsst_any_bytes_roundtrip(payload):
+    from hadoop_etl_udfs_spark.codecs import fsst
+    from hadoop_etl_udfs_spark.codecs.dictenc import gather_bytes
+
+    data = np.frombuffer(payload, dtype=np.uint8)
+    merges, _ = fsst.train_and_encode(data)
+    tokens = fsst.apply_table(data, merges)
+    exp_lengths, exp_data = fsst.expansions(merges)
+    _, out = gather_bytes(tokens.astype(np.int64), exp_lengths, exp_data)
+    assert out.tobytes() == payload
