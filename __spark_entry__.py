@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh": similarity.cosine_topk_lsh,       # rows-only
         "lsh_buckets": similarity.lsh_buckets,               # rows-only
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs,  # rows-only
+        "ivf_assignments": similarity.ivf_assignments,       # rows-only
+        "cosine_topk_ivf": similarity.cosine_topk_ivf,       # rows-only
         # --- multimodal plumbing (decode stubbed; rows-only) ---
         "multimodal_features": multimodal.multimodal_features_demo,
         # --- the encode engine itself over a driver table (rows-only) ---

@@ -141,3 +141,117 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --------------------------------------------------------------------- IVF
+
+N_CELLS = 16
+_KMEANS_ITERS = 5
+
+
+def _ivf_centroids(
+    emb: DataFrame, n_cells: int = N_CELLS, dim: int = DIM, seed: int = 99
+) -> np.ndarray:
+    """Coarse quantizer trained with a few distributed k-means iterations.
+
+    Each iteration is one Spark aggregate: assign every vector to its nearest
+    centroid (JVM array expressions against broadcast centroid literals),
+    then groupBy(cell).avg per dimension — map-side combinable, scales to any
+    N. Deterministic: seeded init from a sample."""
+    import pyspark.sql.functions as F
+
+    sample = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").limit(256).collect()],
+        dtype=np.float32,
+    )
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(_KMEANS_ITERS):
+        assigned = _with_cell(emb, "embedding", centroids).select("cell", "embedding")
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.element_at("embedding", i + 1)).alias(f"d{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        for r in means:
+            centroids[r["cell"]] = np.array(
+                [r[f"d{i}"] for i in range(dim)], dtype=np.float32
+            )
+    return centroids
+
+
+def _cell_distances_expr(col, centroids: np.ndarray):
+    """Array of squared L2 distances to each centroid. Kept linear in
+    n_cells: a nested when-chain argmin would duplicate the whole prior
+    expression tree at every step (exponential analysis blowup)."""
+    dists = []
+    for c in centroids:
+        plane = F.array(*[F.lit(float(v)) for v in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with(col, plane, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    return F.array(*dists)
+
+
+def _with_cell(df: DataFrame, emb_col: str, centroids: np.ndarray) -> DataFrame:
+    """Adds a 'cell' column = argmin centroid, via a materialized distance
+    array (each distance computed once)."""
+    return df.withColumn(
+        "_dists", _cell_distances_expr(F.col(emb_col), centroids)
+    ).withColumn(
+        "cell",
+        (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1).cast("int"),
+    ).drop("_dists")
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build: every vector assigned to its coarse cell."""
+    emb = _emb(spark, sf_dir)
+    centroids = _ivf_centroids(emb)
+    return _with_cell(emb, "embedding", centroids).select("vec_id", "cell").orderBy(
+        "vec_id"
+    )
+
+
+def cosine_topk_ivf(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF search: score only vectors in the query's n_probe nearest cells.
+
+    At scale the cell column is a partition key, so the scan prunes to
+    n_probe/N_CELLS of the data; here the filter shows the plan shape."""
+    emb = _emb(spark, sf_dir)
+    centroids = _ivf_centroids(emb)
+    q_vec = np.array(
+        emb.filter(F.col("vec_id") == query_vec_id).collect()[0]["embedding"],
+        dtype=np.float32,
+    )
+    d2 = ((centroids - q_vec) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(d2)[:n_probe]]
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return (
+        _with_cell(emb, "embedding", centroids)
+        .filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("q_embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

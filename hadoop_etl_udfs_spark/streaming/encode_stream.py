@@ -71,3 +71,32 @@ def streaming_lineage_metrics(
         )
         .withColumn("ratio", F.round(F.col("bytes_in") / F.col("bytes_out"), 3))
     )
+
+
+def windowed_event_metrics(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked windowed aggregation over an event stream (the Structured
+    Streaming pattern the reference lacks entirely — SURVEY.md §2.7): late
+    rows beyond the watermark drop, windows finalize exactly once."""
+    from pyspark.sql import functions as F
+
+    # watermarks require TIMESTAMP (tz) event time; parquet may carry NTZ
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -129,3 +129,12 @@ def test_multimodal_real_decoder_is_stubbed(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_ivf_deterministic_and_partitions_all_vectors(spark):
+    a = similarity.ivf_assignments(spark, SF).collect()
+    b = similarity.ivf_assignments(spark, SF).collect()
+    assert a == b
+    assert len(a) == 500 and all(0 <= r["cell"] < similarity.N_CELLS for r in a)
+    topk = similarity.cosine_topk_ivf(spark, SF).collect()
+    assert len(topk) == 10

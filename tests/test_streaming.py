@@ -54,3 +54,53 @@ def test_streaming_incremental_encode(spark):
         assert metrics.count() >= 5
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_windowed_event_metrics_with_watermark(spark, sf_dir):
+    import os as _os
+    from pyspark.sql.types import StructType
+
+    from hadoop_etl_udfs_spark.streaming.encode_stream import windowed_event_metrics
+
+    base = tempfile.mkdtemp(prefix="winstream_")
+    try:
+        # file stream sources want a directory
+        src_dir = _os.path.join(base, "in")
+        _os.makedirs(src_dir)
+        shutil.copy(
+            _os.path.join(sf_dir, "events.parquet"),
+            _os.path.join(src_dir, "events.parquet"),
+        )
+        schema = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        agg = windowed_event_metrics(spark, stream)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_metrics")
+            .outputMode("append")
+            .option("checkpointLocation", _os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.sql("SELECT * FROM win_metrics")
+        # append mode emits only watermark-finalized windows; batch equivalent
+        # computed over the same data must agree on those windows
+        from pyspark.sql import functions as F
+
+        batch = spark.read.parquet(_os.path.join(sf_dir, "events.parquet")).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+        expect = (
+            batch.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        )
+        got = {tuple(r) for r in out.collect()}
+        want = {tuple(r) for r in expect.collect()}
+        assert got <= want  # finalized windows match the batch computation
+        assert len(got) > 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
