@@ -89,12 +89,9 @@ def _hits_sql(words: list[str]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-_LANG_MARKERS = {
-    "en": ["the", "and", "of"],
-    "de": ["der", "und", "nicht"],
-    "fr": ["le", "les", "et"],
-    "es": ["el", "los", "que"],
-}
+# the oracle SQL must be generated from the SAME marker table the Spark
+# implementation uses — a drifted copy would make the gate lie
+from hadoop_etl_udfs_spark.functions.text import LANG_MARKERS as _LANG_MARKERS
 
 _TOKCOUNT = "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
 _FINGERPRINT = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"

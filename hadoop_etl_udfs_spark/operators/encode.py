@@ -57,12 +57,20 @@ _ENCODED_ARROW = pa.schema(
 
 
 def _chunk_id(url_col: pa.Array) -> int:
-    """Content-addressed chunk id: 8-byte blake2b of the chunk's url bytes."""
+    """Content-addressed chunk id: 8-byte blake2b of the chunk's url values.
+
+    Hashes the LOGICAL values (lengths + data of the array's window), not raw
+    buffers — sliced/offset arrays that are equal must get equal ids or the
+    resume/skip contract breaks."""
+    from ..codecs.varbytes import arrow_to_varbytes
+
     arr = url_col.combine_chunks() if isinstance(url_col, pa.ChunkedArray) else url_col
+    if arr.null_count:
+        arr = arr.fill_null("")
+    lengths, data = arrow_to_varbytes(arr)
     h = hashlib.blake2b(digest_size=8)
-    for buf in arr.buffers():
-        if buf is not None:
-            h.update(buf)
+    h.update(lengths.astype("<i8").tobytes())
+    h.update(data.tobytes())
     return int.from_bytes(h.digest(), "big", signed=True)
 
 
@@ -80,9 +88,11 @@ def salted_partitioning(
     encode stage onto a handful of tasks — encode wants
     cores << partitions << chunks, independent of shuffle-size heuristics.
     """
+    from ..plans.salting import HOST_RE
+
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
-    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1)
+    host = F.regexp_extract("url", HOST_RE, 1)
     salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
     return df.repartition(num_partitions, host, salt).sortWithinPartitions(
         "lang", "url"
@@ -186,7 +196,10 @@ def decode_chunks(
 
 
 def decode_chunks_colocated(
-    enc: DataFrame, schema: str | None = None, n_columns: int = 5
+    enc: DataFrame,
+    schema: str | None = None,
+    n_columns: int = 5,
+    global_dicts: dict | None = None,
 ) -> DataFrame:
     """Shuffle-free decode for data laid out by our own sink.
 
@@ -201,8 +214,10 @@ def decode_chunks_colocated(
     from ..sources.pages import PAGES_SCHEMA
 
     out_schema = schema or PAGES_SCHEMA
+    gd_bc = enc.sparkSession.sparkContext.broadcast(global_dicts or {})
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        gds = gd_bc.value
         pending: dict[int, list] = {}
         for batch in batches:
             cid_col = batch.column(batch.schema.get_field_index("chunk_id"))
@@ -224,7 +239,10 @@ def decode_chunks_colocated(
                 if len(group) == n_columns:
                     group.sort()
                     yield pa.RecordBatch.from_arrays(
-                        [decode_array(p, m) for (_, _, m, p) in group],
+                        [
+                            decode_array(p, m, global_dict=gds.get(nm))
+                            for (_, nm, m, p) in group
+                        ],
                         names=[nm for (_, nm, _, _) in group],
                     )
                     del pending[cid]

@@ -52,11 +52,14 @@ def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
 def read_encoded_colocated(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read the sink without splitting any file, so each chunk's column rows
     stay inside one partition — enables the shuffle-free
-    operators.encode.decode_chunks_colocated fast path."""
-    return (
-        spark.read.option("maxPartitionBytes", str(8 << 30))
-        .parquet(chunks_path(out_dir))
-    )
+    operators.encode.decode_chunks_colocated fast path.
+
+    ``spark.sql.files.maxPartitionBytes`` is a SESSION conf (a reader option
+    of that name is silently ignored), and file-split planning happens at
+    execution time — so this raises it for the session and leaves it raised.
+    decode_chunks_colocated still fails loudly if a chunk arrives torn."""
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 30))
+    return spark.read.parquet(chunks_path(out_dir))
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:

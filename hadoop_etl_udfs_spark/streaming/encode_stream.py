@@ -58,19 +58,11 @@ def streaming_lineage_metrics(
     spark: SparkSession, out_dir: str
 ) -> DataFrame:
     """Batch view over the continuously-appended manifest: per-column codec
-    mix and compression ratio (what a dashboard would poll)."""
-    from pyspark.sql import functions as F
+    mix and compression ratio (what a dashboard would poll) — the same
+    rollup as operators.encode.codec_metrics, over the sink manifest."""
+    from ..operators.encode import codec_metrics
 
-    return (
-        lineage.read_manifest(spark, out_dir)
-        .groupBy("column", "codec")
-        .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum("bytes_in").alias("bytes_in"),
-            F.sum("bytes_out").alias("bytes_out"),
-        )
-        .withColumn("ratio", F.round(F.col("bytes_in") / F.col("bytes_out"), 3))
-    )
+    return codec_metrics(lineage.read_manifest(spark, out_dir))
 
 
 def windowed_event_metrics(

@@ -62,8 +62,13 @@ def main() -> None:
 
     gds = {}
     for col in args.global_dict:
-        gds[col] = globaldict.build_global_dict(pages, col)
-        globaldict.save_global_dict(gds[col], args.output, col)
+        try:
+            # a resumed job MUST reuse the committed dictionary — rebuilding
+            # reassigns codes and silently corrupts already-written chunks
+            gds[col] = globaldict.load_global_dict(args.output, col)
+        except (FileNotFoundError, OSError):
+            gds[col] = globaldict.build_global_dict(pages, col)
+            globaldict.save_global_dict(gds[col], args.output, col)
 
     done: set[int] = set()
     if args.resume:
