@@ -15,6 +15,10 @@ import struct
 MAGIC = b"SGC1"
 
 
+class CorruptChunkError(ValueError):
+    """Chunk payload failed structural validation (bad magic / truncation)."""
+
+
 def pack_sections(sections: dict[str, bytes]) -> bytes:
     parts = [MAGIC, struct.pack("<H", len(sections))]
     for name, payload in sections.items():
@@ -30,17 +34,25 @@ def pack_sections(sections: dict[str, bytes]) -> bytes:
 
 def unpack_sections(buf: bytes) -> dict[str, bytes]:
     if buf[:4] != MAGIC:
-        raise ValueError("bad chunk frame magic")
-    (n,) = struct.unpack_from("<H", buf, 4)
-    pos = 6
-    out: dict[str, bytes] = {}
-    for _ in range(n):
-        (name_len,) = struct.unpack_from("<B", buf, pos)
-        pos += 1
-        name = buf[pos : pos + name_len].decode("utf-8")
-        pos += name_len
-        (plen,) = struct.unpack_from("<Q", buf, pos)
-        pos += 8
-        out[name] = bytes(buf[pos : pos + plen])
-        pos += plen
-    return out
+        raise CorruptChunkError("bad chunk frame magic")
+    try:
+        (n,) = struct.unpack_from("<H", buf, 4)
+        pos = 6
+        out: dict[str, bytes] = {}
+        for _ in range(n):
+            (name_len,) = struct.unpack_from("<B", buf, pos)
+            pos += 1
+            name = buf[pos : pos + name_len].decode("utf-8")
+            pos += name_len
+            (plen,) = struct.unpack_from("<Q", buf, pos)
+            pos += 8
+            if pos + plen > len(buf):
+                raise CorruptChunkError(
+                    f"section {name!r} truncated: needs {plen} bytes, "
+                    f"{len(buf) - pos} remain"
+                )
+            out[name] = bytes(buf[pos : pos + plen])
+            pos += plen
+        return out
+    except struct.error as e:
+        raise CorruptChunkError(f"chunk frame truncated: {e}") from e

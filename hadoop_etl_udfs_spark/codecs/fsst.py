@@ -191,9 +191,12 @@ def _match_tables(data: np.ndarray, prep) -> tuple[np.ndarray, np.ndarray]:
         if len(sel) == 0:
             continue
         pos = cand_pos[sel]
+        # build window ints in place: shift-accumulate avoids an astype+
+        # temporary per (L, k) byte gather
         w = np.zeros(len(pos), dtype=np.uint64)
         for k in range(L):
-            w |= data[pos + k].astype(np.uint64) << np.uint64(8 * (L - 1 - k))
+            w <<= np.uint64(8)
+            w |= data[pos + k]
         idx = np.searchsorted(sym_ints, w)
         idx[idx == len(sym_ints)] = 0
         hit = sym_ints[idx] == w
@@ -240,7 +243,6 @@ def _apply_segment(data: np.ndarray, prep) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.int32)
     mlen, mcode = _match_tables(data, prep)
-    mlen64 = mlen.astype(np.int64)
     # next-match-position table (for literal-run skipping): one backward
     # cummin pass replaces a binary search per walk round
     nxt = np.full(n + 1, n, dtype=np.int64)
@@ -257,14 +259,15 @@ def _apply_segment(data: np.ndarray, prep) -> np.ndarray:
     while len(active):
         c = cursors[active]
         rem = block_end[active] - c
-        is_sym = (mlen64[c] > 1) & (mlen64[c] <= rem)
+        mc = mlen[c].astype(np.int64)  # small per-round cursor arrays
+        is_sym = (mc > 1) & (mc <= rem)
         # symbol cursors: one token each
         sym_blocks = active[is_sym]
         if len(sym_blocks):
             sc = cursors[sym_blocks]
             out[sym_blocks * BLOCK + counts[sym_blocks]] = mcode[sc]
             counts[sym_blocks] += 1
-            cursors[sym_blocks] = sc + mlen64[sc]
+            cursors[sym_blocks] = sc + mc[is_sym]
         # literal cursors: emit the whole run up to the next match / block end
         lit_blocks = active[~is_sym]
         if len(lit_blocks):
