@@ -104,3 +104,62 @@ def test_windowed_event_metrics_with_watermark(spark, sf_dir):
         assert len(got) > 0
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_sessionize_events_stateful(spark):
+    """applyInPandasWithState sessionization: user A's session emits once the
+    event-time watermark (driven by later events) passes the session gap."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hadoop_etl_udfs_spark.streaming.encode_stream import sessionize_events
+
+    base = tempfile.mkdtemp(prefix="sess_")
+    src = _os.path.join(base, "in")
+    _os.makedirs(src)
+    try:
+        def write_wave(name, rows):
+            (
+                spark.createDataFrame(
+                    rows, "event_id long, ts string, user_id long, value double"
+                )
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .coalesce(1)
+                .write.parquet(_os.path.join(src, name))
+            )
+
+        def run_wave(qname):
+            schema = "event_id long, ts timestamp, user_id long, value double"
+            stream = spark.readStream.schema(schema).parquet(src + "/*")
+            q = (
+                sessionize_events(stream, gap_seconds=300, watermark="1 minute")
+                .writeStream.format("parquet")
+                .option("path", _os.path.join(base, "out"))
+                .option("checkpointLocation", _os.path.join(base, "ck"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        # wave 1: user 1 has a 3-event burst
+        write_wave("w1", [
+            (1, "2024-01-01 10:00:00", 1, 1.0),
+            (2, "2024-01-01 10:01:00", 1, 2.0),
+            (3, "2024-01-01 10:02:00", 1, 3.0),
+        ])
+        run_wave("s1")
+        # wave 2: user 2 events an hour later -> watermark passes user 1's
+        # session timeout -> session finalizes
+        write_wave("w2", [(4, "2024-01-01 11:30:00", 2, 9.0)])
+        run_wave("s2")
+        out = spark.read.parquet(_os.path.join(base, "out"))
+        sessions = {r["user_id"]: r for r in out.collect()}
+        assert 1 in sessions, sessions
+        s = sessions[1]
+        assert s["n_events"] == 3 and abs(s["total_value"] - 6.0) < 1e-9
+        assert str(s["session_start"]).startswith("2024-01-01 10:00:00")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
