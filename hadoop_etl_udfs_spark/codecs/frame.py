@@ -2,39 +2,144 @@
 
 Replaces the reference's implicit parquet page framing
 (parquet/src/main/java/com/exasol/hadoop/parquet/ExaParquetWriterImpl.java:39-44
-— block/page sizes chosen by parquet-mr). Layout (all little-endian):
+— block/page sizes chosen by parquet-mr). Two layouts (little-endian):
 
-    MAGIC "SGC1" | u16 n_sections | per section:
-        u8 name_len | name utf-8 | u64 payload_len | payload
+    SGC1 (legacy, read-only):
+        MAGIC "SGC1" | u16 n_sections | per section:
+            u8 name_len | name utf-8 | u64 payload_len | payload
+    SGC2 (current — per-section block compression):
+        MAGIC "SGC2" | u16 n_sections | per section:
+            u8 name_len | name utf-8 | u8 enc | u64 raw_len | u64 stored_len
+            | stored bytes
+
+``enc`` is 0 (stored raw), 1 (zstd) or 2 (zlib). Each section is block-
+compressed independently and only when it actually shrinks — already-dense
+streams (bit-packed residuals, FSST tokens) stay raw, while plain byte
+sections (raw codec data, dictionary values) get a C-speed entropy stage.
+This is the same layering as parquet-mr's page codec over its encodings
+(the reference's COMPRESSION_TYPE, ExaParquetWriterImpl.java:38), applied
+per section instead of per page.
 """
 
 from __future__ import annotations
 
+import os
 import struct
+import zlib
 
 MAGIC = b"SGC1"
+MAGIC2 = b"SGC2"
+
+BLOCK_LEVEL = int(os.environ.get("SPARK_GRAFT_ZSTD_LEVEL", "3"))
+_MIN_COMPRESS = 128  # sections smaller than this are never worth a header
+
+_ENC_RAW, _ENC_ZSTD, _ENC_ZLIB = 0, 1, 2
 
 
 class CorruptChunkError(ValueError):
     """Chunk payload failed structural validation (bad magic / truncation)."""
 
 
+def _zstd_codec():
+    """pyarrow's bundled zstd (C speed); None if this build lacks it."""
+    try:
+        import pyarrow as pa
+
+        if pa.Codec.is_available("zstd"):
+            return pa.Codec("zstd", compression_level=BLOCK_LEVEL)
+    except Exception:
+        pass
+    return None
+
+
+_ZSTD = _zstd_codec()
+
+
+def block_compress(raw: bytes) -> tuple[int, bytes]:
+    """(enc_id, stored) — compressed only if it shrinks."""
+    if len(raw) < _MIN_COMPRESS:
+        return _ENC_RAW, raw
+    if _ZSTD is not None:
+        comp = _ZSTD.compress(raw, asbytes=True)
+        enc = _ENC_ZSTD
+    else:
+        comp = zlib.compress(raw, 6)
+        enc = _ENC_ZLIB
+    if len(comp) < len(raw) * 0.98:
+        return enc, comp
+    return _ENC_RAW, raw
+
+
+def block_decompress(enc: int, stored: bytes, raw_len: int) -> bytes:
+    if enc == _ENC_RAW:
+        return stored
+    if enc == _ENC_ZSTD:
+        if _ZSTD is None:
+            raise CorruptChunkError("chunk uses zstd but this build lacks it")
+        return _ZSTD.decompress(stored, decompressed_size=raw_len, asbytes=True)
+    if enc == _ENC_ZLIB:
+        return zlib.decompress(stored)
+    raise CorruptChunkError(f"unknown section encoding id {enc}")
+
+
+def block_trial_ratio(data, max_bytes: int = 1 << 16) -> float:
+    """Sampled compressed/raw ratio of ``data`` under the block codec —
+    the selector's cost-model input for 'raw + block stage'."""
+    window = bytes(data[:max_bytes]) if len(data) else b""
+    if len(window) < _MIN_COMPRESS:
+        return 1.0
+    _, stored = block_compress(window)
+    return len(stored) / len(window)
+
+
 def pack_sections(sections: dict[str, bytes]) -> bytes:
-    parts = [MAGIC, struct.pack("<H", len(sections))]
+    parts = [MAGIC2, struct.pack("<H", len(sections))]
     for name, payload in sections.items():
         nb = name.encode("utf-8")
         if len(nb) > 255:
             raise ValueError(f"section name too long: {name}")
+        enc, stored = block_compress(payload)
         parts.append(struct.pack("<B", len(nb)))
         parts.append(nb)
-        parts.append(struct.pack("<Q", len(payload)))
-        parts.append(payload)
+        parts.append(struct.pack("<BQQ", enc, len(payload), len(stored)))
+        parts.append(stored)
     return b"".join(parts)
 
 
 def unpack_sections(buf: bytes) -> dict[str, bytes]:
-    if buf[:4] != MAGIC:
-        raise CorruptChunkError("bad chunk frame magic")
+    magic = buf[:4]
+    if magic == MAGIC2:
+        return _unpack_v2(buf)
+    if magic == MAGIC:
+        return _unpack_v1(buf)
+    raise CorruptChunkError("bad chunk frame magic")
+
+
+def _unpack_v2(buf: bytes) -> dict[str, bytes]:
+    try:
+        (n,) = struct.unpack_from("<H", buf, 4)
+        pos = 6
+        out: dict[str, bytes] = {}
+        for _ in range(n):
+            (name_len,) = struct.unpack_from("<B", buf, pos)
+            pos += 1
+            name = buf[pos : pos + name_len].decode("utf-8")
+            pos += name_len
+            enc, raw_len, stored_len = struct.unpack_from("<BQQ", buf, pos)
+            pos += 17
+            if pos + stored_len > len(buf):
+                raise CorruptChunkError(
+                    f"section {name!r} truncated: needs {stored_len} bytes, "
+                    f"{len(buf) - pos} remain"
+                )
+            out[name] = block_decompress(enc, bytes(buf[pos : pos + stored_len]), raw_len)
+            pos += stored_len
+        return out
+    except struct.error as e:
+        raise CorruptChunkError(f"chunk frame truncated: {e}") from e
+
+
+def _unpack_v1(buf: bytes) -> dict[str, bytes]:
     try:
         (n,) = struct.unpack_from("<H", buf, 4)
         pos = 6

@@ -69,6 +69,30 @@ def choose_float_codec(bit_values: np.ndarray) -> str:
     return _pick({"raw": 8.0 * n, "dict": est_dict})
 
 
+_EXACT_TRIAL_BYTES = 1 << 16  # below this, just encode every candidate
+
+
+def _exact_bytes_trial(lengths: np.ndarray, data: np.ndarray) -> str:
+    """Small chunks: encode raw/dict/rle for real and take the true minimum
+    (the sampled model can't see the block stage's behavior at tiny sizes).
+    FSST is excluded — training cost exceeds any possible win at this size."""
+    from . import dictenc, raw, rle
+    from .frame import pack_sections
+
+    sizes = {}
+    for name, enc in (
+        ("raw", raw.encode_bytes),
+        ("dict", dictenc.encode_bytes),
+        ("rle", rle.encode_bytes),
+    ):
+        try:
+            sections, _ = enc(lengths, data)
+            sizes[name] = len(pack_sections(sections))
+        except Exception:
+            continue
+    return _pick(sizes)
+
+
 def choose_bytes_codec(
     lengths: np.ndarray,
     data: np.ndarray,
@@ -80,26 +104,54 @@ def choose_bytes_codec(
     if n == 0:
         return "raw"
     total = float(data.nbytes)
+    if total <= _EXACT_TRIAL_BYTES and global_dict is None:
+        return _exact_bytes_trial(lengths, data)
     avg_len = total / n
     w_len = bits_needed(int(lengths.max()) - int(lengths.min()))
-    est_raw = total + n * w_len / 8.0
 
-    # contiguous sample keeps run adjacency observable
+    # four contiguous windows spread across the chunk: run adjacency stays
+    # observable within each window, and a value distribution that drifts
+    # along the chunk (sorted data, constant head + varied tail) can't fool
+    # the cardinality / compressibility estimates the way a head-only
+    # sample does
     k = min(n, _SAMPLE_VALUES)
-    s_lengths = lengths[:k]
-    s_end = int(s_lengths.sum())
-    s_arr = varbytes_to_arrow(s_lengths, data[:s_end], pa.large_binary())
+    if n <= _SAMPLE_VALUES:
+        s_lengths, s_data = lengths, data
+    else:
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offs[1:])
+        per = _SAMPLE_VALUES // 4
+        parts_l, parts_d = [], []
+        for s in (0, n // 4, n // 2, n - per):
+            e = min(s + per, n)
+            parts_l.append(lengths[s:e])
+            parts_d.append(data[offs[s] : offs[e]])
+        s_lengths = np.concatenate(parts_l)
+        s_data = np.concatenate(parts_d)
+        k = len(s_lengths)
+
+    # every codec's sections pass through the frame's block stage (zstd);
+    # 'raw' therefore costs total * sampled-zstd-ratio, not total
+    from .frame import block_trial_ratio
+
+    z_ratio = block_trial_ratio(s_data)
+    est_raw = total * z_ratio + n * w_len / 8.0
+
+    s_arr = varbytes_to_arrow(s_lengths, s_data, pa.large_binary())
     s_dict = s_arr.dictionary_encode()
     codes = s_dict.indices.to_numpy(zero_copy_only=False)
     s_uniq = len(s_dict.dictionary)
     u_frac = s_uniq / k
     est_uniq = n if u_frac >= 0.999 else max(1, int(n * u_frac))
-    est_dict = est_uniq * avg_len + est_uniq * 2 + n * bits_needed(est_uniq - 1) / 8.0
+    # dictionary values are plain bytes — they get the same block stage
+    est_dict = (
+        est_uniq * avg_len * z_ratio + est_uniq * 2 + n * bits_needed(est_uniq - 1) / 8.0
+    )
 
     n_runs_s = int((codes[1:] != codes[:-1]).sum()) + 1
     r_frac = n_runs_s / k
     est_rle = (
-        est_uniq * avg_len
+        est_uniq * avg_len * z_ratio
         + est_uniq * 2
         + n * r_frac * (bits_needed(est_uniq - 1) + bits_needed(n)) / 8.0
     )
@@ -109,7 +161,10 @@ def choose_bytes_codec(
         # broadcast dictionary: codes only, no per-chunk dictionary storage
         estimates["dict"] = n * bits_needed(len(global_dict[2]) - 1) / 8.0
 
-    if enable_fsst and total >= 1024 and u_frac > 0.05:
+    # fsst can only beat raw+block-stage where the block codec struggles
+    # (z_ratio high) yet substring structure exists; when zstd already gets
+    # <1.67x on the sample, the fsst trial is pure overhead — skip it
+    if enable_fsst and total >= 1024 and u_frac > 0.05 and z_ratio > 0.6:
         window = data[: min(data.nbytes, _FSST_SAMPLE_BYTES)]
         cached = fsst._TABLE_CACHE.get(cache_key) if cache_key else None
         if cached is not None:
@@ -120,5 +175,6 @@ def choose_bytes_codec(
         used = np.unique(tokens)
         w_tok = bits_needed(len(used) - 1)
         ratio = (len(tokens) * w_tok / 8.0) / max(1.0, float(window.nbytes))
-        estimates["fsst"] = total * ratio + 2048 + 1024 + n * w_len / 8.0
+        # packed FSST tokens still shed ~15-25% under the frame's block stage
+        estimates["fsst"] = total * ratio * 0.85 + 2048 + 1024 + n * w_len / 8.0
     return _pick(estimates)

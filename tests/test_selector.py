@@ -33,8 +33,10 @@ def check_auto_near_best(arr, candidates, slack=1.35):
 
 def test_all_constant_string():
     arr = pa.array(["same"] * 10_000)
+    # raw+block-stage, rle, and dict are all near-optimal for a constant
+    # column; the selector may pick any of them as long as the size is tiny
     enc = check_auto_near_best(arr, ["raw", "dict", "rle", "fsst"])
-    assert enc.codec in ("rle", "dict")
+    assert enc.codec in ("rle", "dict", "raw")
     assert enc.bytes_out < 500
 
 
@@ -46,7 +48,8 @@ def test_all_unique_random_strings():
 def test_sorted_low_cardinality():
     arr = pa.array(sorted(rng.choice(["aa", "bb", "cc", "dd"], size=20_000)))
     enc = check_auto_near_best(arr, ["raw", "dict", "rle", "fsst"])
-    assert enc.codec == "rle"
+    assert enc.codec in ("rle", "raw")  # raw+block-stage ties rle here
+    assert enc.bytes_out < 1000
 
 
 def test_skewed_zipf_strings():
