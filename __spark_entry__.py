@@ -93,6 +93,75 @@ def _hits_sql(words: list[str]) -> str:
 # implementation uses — a drifted copy would make the gate lie
 from hadoop_etl_udfs_spark.functions.text import LANG_MARKERS as _LANG_MARKERS
 
+# ...and likewise the LSH planes / IVF quantizer: the oracle embeds literals
+# produced by the SAME deterministic generators the Spark operators use
+from hadoop_etl_udfs_spark.operators.dedup import MAX_SHINGLE_DF as _MAX_SHINGLE_DF
+from hadoop_etl_udfs_spark.operators.similarity import (
+    MAX_BUCKET as _MAX_BUCKET,
+)
+from hadoop_etl_udfs_spark.operators.similarity import (
+    _planes,
+    quantizer_centroids,
+)
+
+
+def _vec_sql(v) -> str:
+    """float32 vector -> DuckDB list literal with exact double repr — the
+    same doubles Spark sees via F.lit(float(x))."""
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+def _lsh_bucket_sql(col: str = "embedding") -> str:
+    """Mirror of similarity.lsh_bucket_expr: sign-bit of the dot product
+    against each deterministic hyperplane, packed little-endian."""
+    terms = [
+        f"(CASE WHEN list_dot_product({col}, {_vec_sql(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_planes())
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+
+
+def _ivf_dist_sql(col: str, c) -> str:
+    """Mirror of similarity._cell_distances_expr for one centroid: the same
+    (x-y)^2 element terms summed left-to-right."""
+    lit = _vec_sql(c)
+    return (
+        f"list_sum(list_transform(range(1, {len(c) + 1}), "
+        f"i -> ({col}[i] - ({lit})[i]) * ({col}[i] - ({lit})[i])))"
+    )
+
+
+def _ivf_probe_union_sql() -> str:
+    """Per-centroid distance from the query vector (one SELECT per cell) —
+    mirrors the driver-side numpy probe-cell selection in cosine_topk_ivf."""
+    return " UNION ALL ".join(
+        f"SELECT {i} AS cell, {_ivf_dist_sql('qe', c)} AS qd FROM q"
+        for i, c in enumerate(quantizer_centroids())
+    )
+
+
+def _ivf_assigned_cte() -> str:
+    """CTE assigning every vector its argmin cell (first-min tie-break,
+    matching Spark's array_position(dists, array_min))."""
+    cents = quantizer_centroids()
+    d_cols = ",\n               ".join(
+        f"{_ivf_dist_sql('embedding', c)} AS d{i}" for i, c in enumerate(cents)
+    )
+    least = "least(" + ", ".join(f"d{i}" for i in range(len(cents))) + ")"
+    case = " ".join(f"WHEN d{i} = m THEN {i}" for i in range(len(cents)))
+    return f"""
+        dists AS (
+            SELECT vec_id, embedding,
+               {d_cols}
+            FROM embeddings
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, CAST(CASE {case} END AS INT) AS cell
+            FROM (SELECT *, {least} AS m FROM dists)
+        )
+    """
+
 _TOKCOUNT = "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
 _FINGERPRINT = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
 
@@ -325,5 +394,112 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY cos_sim DESC, e.vec_id ASC
             LIMIT 10
+        """,
+        # the generated percent-charset is exactly %3D / %20, so a replace
+        # chain IS a full url-decode here (F10; DuckDB 1.0 has no url_decode)
+        "url_decode_paths": """
+            SELECT event_id,
+                   replace(replace('/data/type%3D' || event_type || '/v%201',
+                           '%3D', '='), '%20', ' ') AS decoded_path
+            FROM events ORDER BY event_id LIMIT 100
+        """,
+        "lsh_buckets": f"""
+            SELECT vec_id, {_lsh_bucket_sql()} AS bucket
+            FROM embeddings ORDER BY vec_id
+        """,
+        "cosine_topk_lsh": f"""
+            WITH b AS (
+                SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket
+                FROM embeddings
+            )
+            SELECT v.vec_id,
+                   round(list_cosine_similarity(v.embedding, q.embedding), 4)
+                       AS cos_sim
+            FROM b v, (SELECT embedding, bucket FROM b WHERE vec_id = 0) q
+            WHERE v.bucket = q.bucket AND v.vec_id <> 0
+            ORDER BY cos_sim DESC, v.vec_id ASC
+            LIMIT 10
+        """,
+        "embedding_neardup_pairs": f"""
+            WITH b AS (
+                SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket
+                FROM embeddings
+            ),
+            small AS (
+                SELECT bucket FROM b GROUP BY bucket
+                HAVING count(*) <= {_MAX_BUCKET}
+            ),
+            b2 AS (SELECT b.* FROM b JOIN small USING (bucket)),
+            pairs AS (
+                SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+                       round(list_cosine_similarity(l.embedding, r.embedding), 4)
+                           AS cos_sim
+                FROM b2 l JOIN b2 r
+                  ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            )
+            SELECT vec_a, vec_b, cos_sim FROM pairs
+            WHERE cos_sim >= 0.95
+            ORDER BY vec_a, vec_b
+        """,
+        "ivf_assignments": f"""
+            WITH {_ivf_assigned_cte()}
+            SELECT vec_id, cell FROM assigned ORDER BY vec_id
+        """,
+        "cosine_topk_ivf": f"""
+            WITH {_ivf_assigned_cte()},
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            probe AS (
+                SELECT cell FROM ({_ivf_probe_union_sql()})
+                ORDER BY qd, cell LIMIT 4
+            )
+            SELECT a.vec_id,
+                   round(list_cosine_similarity(a.embedding, q.qe), 4) AS cos_sim
+            FROM assigned a, q
+            WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0
+            ORDER BY cos_sim DESC, a.vec_id ASC
+            LIMIT 10
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH docs_w AS (
+                SELECT doc_id, lang, source,
+                       string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            expl AS (
+                SELECT doc_id, lang, source, w,
+                       unnest(range(0, greatest(len(w), 3) - 2)) AS i
+                FROM docs_w
+            ),
+            sh0 AS (
+                SELECT doc_id, lang, source,
+                       array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+                FROM expl
+            ),
+            sh1 AS (
+                SELECT DISTINCT doc_id, lang, source, shingle
+                FROM sh0 WHERE shingle <> ''
+            ),
+            rare AS (
+                SELECT shingle FROM sh1 GROUP BY shingle
+                HAVING count(*) <= {_MAX_SHINGLE_DF}
+            ),
+            sh AS (SELECT sh1.* FROM sh1 JOIN rare USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.lang = b.lang
+                 AND a.source = b.source AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, jaccard FROM (
+                SELECT doc_a, doc_b,
+                       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+            )
+            WHERE jaccard >= 0.1
+            ORDER BY doc_a, doc_b
         """,
     }

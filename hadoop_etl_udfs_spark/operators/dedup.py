@@ -124,16 +124,34 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
 
 
+MAX_SHINGLE_DF = 50  # shingles in more docs than this are stopword phrases
+
+
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.1
+    spark: SparkSession, sf_dir: str, threshold: float = 0.1,
+    max_shingle_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs blocked by (lang, source).
+    """n-gram Jaccard over candidate pairs blocked by (lang, source).
 
     Blocking bounds the pair count; the shingle sets stay distributed
-    (explode + join + count) — no collect, no per-row Python."""
+    (explode + join + count) — no collect, no per-row Python.
+
+    ``max_shingle_df`` caps the scale-killer: a shingle occurring in N docs
+    contributes N^2 rows to the equality self-join, so stopword phrases make
+    the hot-shingle head quadratic at 100 TB. Shingles with document
+    frequency above the cap are dropped from the shingle universe BEFORE
+    sizes and intersections (a consistent approximation: Jaccard over the
+    sub-stopword shingle sets; exact whenever no shingle exceeds the cap)."""
     docs = _docs(spark, sf_dir)
     sh = _shingles(docs).join(docs.select("doc_id", "lang", "source"), "doc_id")
     sh = sh.dropDuplicates(["doc_id", "shingle"])
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_shingle_df)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

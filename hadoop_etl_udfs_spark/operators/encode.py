@@ -56,6 +56,12 @@ _ENCODED_ARROW = pa.schema(
 )
 
 
+class IncompleteChunkError(ValueError):
+    """A chunk's column rows did not reunite inside one partition — the sink
+    was read with file splitting (wrong read settings for the colocated
+    decode path). Recoverable: fall back to :func:`decode_chunks`."""
+
+
 def _chunk_id(url_col: pa.Array) -> int:
     """Content-addressed chunk id: 8-byte blake2b of the chunk's url values.
 
@@ -185,9 +191,14 @@ def decode_chunks(
         t = table.sort_by("col_idx")
         arrays, names = [], []
         for row in range(t.num_rows):
+            name = t.column("column")[row].as_py()
+            if name in names:
+                # duplicated sink (resume over drifted input appended the
+                # chunk twice): copies are content-identical by the
+                # chunk-id contract — decode the first, drop the rest
+                continue
             payload = t.column("payload")[row].as_py()
             meta = t.column("meta")[row].as_py()
-            name = t.column("column")[row].as_py()
             names.append(name)
             arrays.append(decode_array(payload, meta, global_dict=gds.get(name)))
         return pa.table(dict(zip(names, arrays)))
@@ -208,8 +219,15 @@ def decode_chunks_colocated(
     ``spark.sql.files.maxPartitionBytes`` large enough — see
     plans.lineage.read_encoded_colocated), every chunk reunites inside one
     partition iterator; rows are carried across Arrow batch boundaries.
-    Raises if a chunk arrives incomplete (wrong read settings) — fall back to
-    :func:`decode_chunks` then.
+    Raises :class:`IncompleteChunkError` if a chunk arrives incomplete (wrong
+    read settings) — fall back to :func:`decode_chunks` then.
+
+    Duplicated sinks (resume over drifted input appended a chunk twice):
+    same-partition copies are dropped via a seen-set; copies in *different*
+    files cannot be deduped without a shuffle — check
+    ``plans.lineage.sink_has_duplicates`` first and use :func:`decode_chunks`
+    (which dedupes inside the group) when it returns True, as jobs/decode_job
+    does.
     """
     from ..sources.pages import PAGES_SCHEMA
 
@@ -219,6 +237,7 @@ def decode_chunks_colocated(
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         gds = gd_bc.value
         pending: dict[int, list] = {}
+        seen: set[int] = set()
         for batch in batches:
             cid_col = batch.column(batch.schema.get_field_index("chunk_id"))
             idx_col = batch.column(batch.schema.get_field_index("col_idx"))
@@ -227,6 +246,8 @@ def decode_chunks_colocated(
             payload_col = batch.column(batch.schema.get_field_index("payload"))
             for row in range(batch.num_rows):
                 cid = cid_col[row].as_py()
+                if cid in seen:  # same-partition duplicate copy
+                    continue
                 group = pending.setdefault(cid, [])
                 group.append(
                     (
@@ -246,8 +267,9 @@ def decode_chunks_colocated(
                         names=[nm for (_, nm, _, _) in group],
                     )
                     del pending[cid]
+                    seen.add(cid)
         if pending:
-            raise ValueError(
+            raise IncompleteChunkError(
                 f"{len(pending)} chunk(s) arrived incomplete — the sink was "
                 "read with file splitting; use decode_chunks() or read via "
                 "plans.lineage.read_encoded_colocated()"

@@ -54,35 +54,50 @@ def extract_features(
 
     The fake featurizer (byte histogram folded to ``feature_dim`` + entropy)
     is deterministic, so tests pin exact values; swapping in a real decoder
-    changes only the inner function, not the Spark plumbing."""
+    changes only the inner function, not the Spark plumbing. The histogram /
+    entropy / mean run as ONE bincount over the whole batch keyed on
+    row_id*256+byte — no per-row numpy calls; only the unavoidable
+    per-blob boundary work (len, join, magic probe) touches rows."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_rows = []
-            payloads = pdf["html"]
-            urls = pdf["url"]
-            # vectorized over the batch: concatenate, histogram per row
-            for url, payload in zip(urls, payloads):
-                if use_real_decoder:
-                    decode_image_stub(payload)
-                b = np.frombuffer(payload, dtype=np.uint8)
-                hist = np.bincount(b, minlength=256).astype(np.float64)
-                p = hist / max(1, len(b))
-                nz = p[p > 0]
-                entropy = float(-(nz * np.log2(nz)).sum())
-                folded = hist.reshape(feature_dim, -1).sum(axis=1)
-                feat = (folded / max(1.0, folded.sum())).astype(np.float32)
-                out_rows.append(
-                    {
-                        "url": url,
-                        "n_bytes": len(b),
-                        "magic": "html" if payload[:9] == b"<!DOCTYPE" else "unknown",
-                        "entropy": round(entropy, 6),
-                        "mean_byte": round(float(b.mean()) if len(b) else 0.0, 6),
-                        "feature": feat,
-                    }
-                )
-            yield pd.DataFrame(out_rows)
+            n = len(pdf)
+            if n == 0:
+                continue
+            # null payloads become empty blobs (n_bytes 0, entropy 0)
+            payloads = [p if p is not None else b"" for p in pdf["html"]]
+            if use_real_decoder:
+                for p in payloads:
+                    decode_image_stub(p)
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+            blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            # one histogram pass for the whole batch: bincount keyed on
+            # row_id*256 + byte, then reshape to (rows, 256)
+            row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+            hist = np.bincount(
+                row_id * 256 + blob, minlength=n * 256
+            ).reshape(n, 256).astype(np.float64)
+            denom = np.maximum(lens, 1).astype(np.float64)
+            p = hist / denom[:, None]
+            plogp = np.where(p > 0, p * np.log2(np.where(p > 0, p, 1.0)), 0.0)
+            entropy = np.round(-plogp.sum(axis=1), 6)
+            byte_sum = (hist * np.arange(256.0)).sum(axis=1)
+            mean_byte = np.round(np.where(lens > 0, byte_sum / denom, 0.0), 6)
+            folded = hist.reshape(n, feature_dim, -1).sum(axis=2)
+            feat = folded / np.maximum(1.0, folded.sum(axis=1))[:, None]
+            magic = [
+                "html" if p[:9] == b"<!DOCTYPE" else "unknown" for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy(),
+                    "n_bytes": lens,
+                    "magic": magic,
+                    "entropy": entropy,
+                    "mean_byte": mean_byte,
+                    "feature": list(feat.astype(np.float32)),
+                }
+            )
 
     return pages.select("url", "html").mapInPandas(kernel, FEATURE_SCHEMA)
 

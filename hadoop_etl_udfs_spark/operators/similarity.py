@@ -120,14 +120,32 @@ def cosine_topk_lsh(
     )
 
 
+MAX_BUCKET = 64  # pair generation skips buckets bigger than this
+
+
 def embedding_neardup_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: pairs only form
-    inside a bucket (never all-pairs)."""
+    inside a bucket (never all-pairs).
+
+    ``max_bucket`` bounds the quadratic term: a bucket with more than
+    ``max_bucket`` members is skipped entirely (documented approximation —
+    with 2^n_planes buckets a dense bucket's population grows linearly with
+    N, its pairs quadratically; at scale raise n_planes with log2(N) AND
+    keep this cap as the hard bound). Results are exact whenever every
+    bucket is under the cap."""
     emb = _emb(spark, sf_dir)
     planes = _planes()
     b = emb.withColumn("bucket", lsh_bucket_expr(F.col("embedding"), planes))
+    small = (
+        b.groupBy("bucket")
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") <= max_bucket)
+        .select("bucket")
+    )
+    b = b.join(F.broadcast(small), "bucket")
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")))
@@ -147,42 +165,54 @@ def embedding_neardup_pairs(
 
 N_CELLS = 16
 _KMEANS_ITERS = 5
+_TRAIN_SAMPLE_ROWS = 4096
 
 
-def _ivf_centroids(
-    emb: DataFrame, n_cells: int = N_CELLS, dim: int = DIM, seed: int = 99
+def quantizer_centroids(
+    n_cells: int = N_CELLS, dim: int = DIM, seed: int = 4321
 ) -> np.ndarray:
-    """Coarse quantizer trained with a few distributed k-means iterations.
+    """The demo queries' coarse quantizer: deterministic unit-norm vectors
+    (the operational shape — an IVF index always loads a quantizer trained
+    earlier; training itself is :func:`train_ivf_centroids`). Being a pure
+    function of the seed, the DuckDB oracle can embed the same literals."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_cells, dim)).astype(np.float64)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return c.astype(np.float32)
 
-    Each iteration is one Spark aggregate: assign every vector to its nearest
-    centroid (JVM array expressions against broadcast centroid literals),
-    then groupBy(cell).avg per dimension — map-side combinable, scales to any
-    N. Deterministic: seeded init from a sample."""
-    import pyspark.sql.functions as F
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = N_CELLS,
+    sample_rows: int = _TRAIN_SAMPLE_ROWS,
+    iters: int = _KMEANS_ITERS,
+    seed: int = 99,
+) -> np.ndarray:
+    """Coarse-quantizer training: ONE bounded sample collect, then numpy
+    Lloyd iterations on the driver.
+
+    Round-1 review flagged the old version (5 k-means iterations, each a
+    full-table Spark scan of an uncached DataFrame, trained on ALL rows);
+    a coarse quantizer needs only a bounded sample — at 100 TB this is one
+    TakeOrdered of `sample_rows` vectors instead of 5 full scans. Persist
+    the result beside the sink (np.save) like globaldict.save_global_dict."""
     sample = np.array(
-        [r["embedding"] for r in emb.orderBy("vec_id").limit(256).collect()],
+        [r["embedding"] for r in emb.orderBy("vec_id").limit(sample_rows).collect()],
         dtype=np.float32,
     )
     rng = np.random.default_rng(seed)
-    centroids = sample[rng.choice(len(sample), size=n_cells, replace=False)]
-    for _ in range(_KMEANS_ITERS):
-        assigned = _with_cell(emb, "embedding", centroids).select("cell", "embedding")
-        means = (
-            assigned.groupBy("cell")
-            .agg(
-                *[
-                    F.avg(F.element_at("embedding", i + 1)).alias(f"d{i}")
-                    for i in range(dim)
-                ]
-            )
-            .collect()
-        )
-        for r in means:
-            centroids[r["cell"]] = np.array(
-                [r[f"d{i}"] for i in range(dim)], dtype=np.float32
-            )
-    return centroids
+    centroids = sample[rng.choice(len(sample), size=n_cells, replace=False)].astype(
+        np.float64
+    )
+    x = sample.astype(np.float64)
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        cell = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = x[cell == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids.astype(np.float32)
 
 
 def _cell_distances_expr(col, centroids: np.ndarray):
@@ -213,10 +243,15 @@ def _with_cell(df: DataFrame, emb_col: str, centroids: np.ndarray) -> DataFrame:
     ).drop("_dists")
 
 
-def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF index build: every vector assigned to its coarse cell."""
+def ivf_assignments(
+    spark: SparkSession, sf_dir: str, centroids: np.ndarray | None = None
+) -> DataFrame:
+    """IVF index build: every vector assigned to its coarse cell (quantizer
+    from :func:`quantizer_centroids` by default; pass a trained one from
+    :func:`train_ivf_centroids`)."""
     emb = _emb(spark, sf_dir)
-    centroids = _ivf_centroids(emb)
+    if centroids is None:
+        centroids = quantizer_centroids()
     return _with_cell(emb, "embedding", centroids).select("vec_id", "cell").orderBy(
         "vec_id"
     )
@@ -224,20 +259,23 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cosine_topk_ivf(
     spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10,
-    n_probe: int = 4,
+    n_probe: int = 4, centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF search: score only vectors in the query's n_probe nearest cells.
 
     At scale the cell column is a partition key, so the scan prunes to
     n_probe/N_CELLS of the data; here the filter shows the plan shape."""
     emb = _emb(spark, sf_dir)
-    centroids = _ivf_centroids(emb)
+    if centroids is None:
+        centroids = quantizer_centroids()
     q_vec = np.array(
         emb.filter(F.col("vec_id") == query_vec_id).collect()[0]["embedding"],
-        dtype=np.float32,
+        dtype=np.float64,
     )
-    d2 = ((centroids - q_vec) ** 2).sum(axis=1)
-    probe_cells = [int(c) for c in np.argsort(d2)[:n_probe]]
+    # float64 + stable sort: matches the oracle's double distances and
+    # first-cell tie-break
+    d2 = ((centroids.astype(np.float64) - q_vec) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(d2, kind="stable")[:n_probe]]
     q = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_embedding")
     )

@@ -72,19 +72,42 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
 
 def completed_chunk_ids(spark: SparkSession, out_dir: str, n_columns: int) -> set[int]:
     """Chunks with all columns present (a torn write of some columns does not
-    count as done — the groupBy filters partial chunks)."""
+    count as done). countDistinct, not count(*): duplicate manifest rows (the
+    documented duplicate-append scenario) must not let a chunk with a missing
+    column pass as complete. Only the missing-sink case (first run) maps to
+    the empty set — any other manifest read failure raises, because silently
+    disabling resume would re-encode and append duplicate chunk rows."""
+    from pyspark.errors import AnalysisException
+
     try:
-        rows = (
-            read_manifest(spark, out_dir)
-            .groupBy("chunk_id")
-            .agg(F.count("*").alias("n_cols"))
-            .filter(F.col("n_cols") >= n_columns)
-            .select("chunk_id")
-            .collect()
-        )
-    except Exception:  # first run: no manifest yet
+        manifest = read_manifest(spark, out_dir)
+    except AnalysisException:  # first run: no manifest yet
         return set()
+    rows = (
+        manifest.groupBy("chunk_id")
+        .agg(F.countDistinct("column").alias("n_cols"))
+        .filter(F.col("n_cols") >= n_columns)
+        .select("chunk_id")
+        .collect()
+    )
     return {r["chunk_id"] for r in rows}
+
+
+def sink_has_duplicates(spark: SparkSession, out_dir: str) -> bool:
+    """True if any (chunk_id, column) row appears more than once — happens
+    when a job is resumed over drifted input (lineage docstring above). A
+    duplicated sink must be decoded with the grouped path (decode_chunks
+    dedupes inside the group); the colocated path would emit each duplicated
+    chunk once per copy. Payload-pruned scan: this costs a manifest read."""
+    row = (
+        read_manifest(spark, out_dir)
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("chunk_id", "column").alias("d"),
+        )
+        .collect()[0]
+    )
+    return row["n"] != row["d"]
 
 
 def encode_resumable(

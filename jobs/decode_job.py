@@ -45,16 +45,38 @@ def main() -> None:
         for col in args.global_dict
     } or None
 
+    from hadoop_etl_udfs_spark.operators.encode import IncompleteChunkError
+
     result: dict = {}
-    try:
-        enc = lineage.read_encoded_colocated(spark, args.input)
-        dec = decode_chunks_colocated(enc, schema=args.schema, global_dicts=gds)
-        dec.cache().count()  # materialize; torn chunks raise here
-        result["decode_path"] = "colocated"
-    except Exception:
+    dec = None
+    # duplicated sinks (resume over drifted input) need the grouped path —
+    # the colocated kernel cannot dedupe copies that landed in different files
+    if lineage.sink_has_duplicates(spark, args.input):
+        result["decode_path"] = "grouped (duplicated sink)"
+    else:
+        try:
+            enc = lineage.read_encoded_colocated(spark, args.input)
+            dec = decode_chunks_colocated(enc, schema=args.schema, global_dicts=gds)
+            dec.cache().count()  # materialize; torn chunks raise here
+            result["decode_path"] = "colocated"
+        except Exception as e:
+            # only a torn-chunk read (wrong split settings) is recoverable by
+            # re-reading grouped; genuine decode failures (CorruptChunkError
+            # etc.) must propagate, not silently decode twice
+            if dec is not None:
+                dec.unpersist()
+                dec = None
+            # worker-side exceptions reach the driver wrapped in a
+            # PythonException — match by name as well as by type
+            if not (
+                isinstance(e, IncompleteChunkError)
+                or "IncompleteChunkError" in str(e)
+            ):
+                raise
+            result["decode_path"] = "grouped (torn colocated read)"
+    if dec is None or "grouped" in result["decode_path"]:
         enc = lineage.read_encoded(spark, args.input)
         dec = decode_chunks(enc, schema=args.schema, global_dicts=gds).cache()
-        result["decode_path"] = "grouped"
 
     result["rows_decoded"] = dec.count()
     if args.output:

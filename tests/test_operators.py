@@ -138,3 +138,76 @@ def test_ivf_deterministic_and_partitions_all_vectors(spark):
     assert len(a) == 500 and all(0 <= r["cell"] < similarity.N_CELLS for r in a)
     topk = similarity.cosine_topk_ivf(spark, SF).collect()
     assert len(topk) == 10
+
+
+def test_ngram_shingle_df_cap_bounds_join(spark):
+    """Planted stopword-heavy corpus: a shingle appearing in every doc is a
+    quadratic join bomb — the DF cap must drop it from the shingle universe,
+    and results must be unchanged when no shingle exceeds the cap."""
+    stop = "the quick brown"  # appears in ALL docs -> df = n_docs
+    rows = [
+        (i, f"{stop} unique{i} tail{i} end{i} more{i}", "en", "s")
+        for i in range(20)
+    ]
+    # plus one genuine near-dup pair sharing non-stopword shingles
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta", "en", "s"),
+        (101, "alpha beta gamma delta epsilon eta", "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    docs.write.mode("overwrite").parquet("/tmp/_ngram_cap/documents.parquet")
+    # cap below the stopword df: the all-docs shingle is dropped, the planted
+    # pair (whose shared shingles have df=2) still surfaces
+    capped = dedup.ngram_jaccard_pairs(
+        spark, "/tmp/_ngram_cap", threshold=0.1, max_shingle_df=5
+    ).collect()
+    pair_ids = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert (100, 101) in pair_ids
+    # the stopword shingle links every doc pair; without the cap the join
+    # would emit >= C(20,2)=190 intersecting pairs — with it, none of the
+    # filler docs pair up (their only shared shingles contain the stopword)
+    assert all(a >= 100 for a, b in pair_ids)
+    # results unchanged below the cap: raising the cap far above every df
+    # changes nothing for the planted pair's jaccard
+    uncapped = dedup.ngram_jaccard_pairs(
+        spark, "/tmp/_ngram_cap", threshold=0.1, max_shingle_df=10_000
+    ).collect()
+    j_capped = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped}
+    j_full = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in uncapped}
+    assert j_full[(100, 101)] == j_capped[(100, 101)]
+
+
+def test_embedding_neardup_bucket_cap(spark):
+    """A bucket over max_bucket is skipped entirely; results are unchanged
+    when every bucket is under the cap."""
+    norm = similarity.embedding_neardup_pairs(spark, SF, threshold=0.5)
+    base = {(r["vec_a"], r["vec_b"]) for r in norm.collect()}
+    same = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_neardup_pairs(
+            spark, SF, threshold=0.5, max_bucket=10_000
+        ).collect()
+    }
+    assert base == same  # sf0.001 buckets are all far under the default cap
+    # cap of 1 skips every bucket with >= 2 members -> no pairs at all
+    none = similarity.embedding_neardup_pairs(
+        spark, SF, threshold=0.0, max_bucket=1
+    ).count()
+    assert none == 0
+
+
+def test_train_ivf_centroids_sampled_and_deterministic(spark):
+    import os
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    c1 = similarity.train_ivf_centroids(emb, sample_rows=256)
+    c2 = similarity.train_ivf_centroids(emb, sample_rows=256)
+    assert c1.shape == (similarity.N_CELLS, similarity.DIM)
+    assert (c1 == c2).all()
+    # trained quantizer plugs into the same assignment path
+    out = similarity.ivf_assignments(spark, SF, centroids=c1)
+    assert out.count() == 500
+    cells = {r["cell"] for r in out.collect()}
+    assert cells <= set(range(similarity.N_CELLS)) and len(cells) > 1

@@ -159,3 +159,56 @@ def test_colocated_decode_matches_grouped(spark, pages):
         assert fp(dec) == fp(pages)
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_duplicated_sink_detection_and_grouped_dedupe(spark, pages):
+    """ADVICE round 1: resume over drifted input can append a chunk twice.
+    sink_has_duplicates must flag it and decode_chunks must dedupe inside
+    the group (first copy wins — copies are content-identical)."""
+    out = tempfile.mkdtemp(prefix="dup_")
+    try:
+        enc = encode_pages(pages)
+        lineage.write_encoded(enc, out)
+        assert not lineage.sink_has_duplicates(spark, out)
+        # append the whole sink again: every (chunk_id, column) now x2
+        lineage.write_encoded(encode_pages(pages), out, mode="append")
+        assert lineage.sink_has_duplicates(spark, out)
+        dec = decode_chunks(lineage.read_encoded(spark, out))
+        assert dec.count() == pages.count()
+        result = verify_roundtrip(pages, lineage.read_encoded(spark, out))
+        assert result["ok"], result
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_partial_duplicate_chunk_not_marked_complete(spark, pages):
+    """ADVICE round 1: duplicate manifest rows must not let a chunk with a
+    missing column count as complete (countDistinct, not count(*))."""
+    out = tempfile.mkdtemp(prefix="partial_")
+    try:
+        enc = encode_pages(pages).cache()
+        # write only 3 of 5 columns, TWICE: count(*) per chunk is 6 >= 5 but
+        # distinct columns is 3 — the chunk must NOT be marked done
+        partial = enc.filter(F.col("col_idx") < 3)
+        lineage.write_encoded(partial, out)
+        lineage.write_encoded(partial, out, mode="append")
+        done = lineage.completed_chunk_ids(spark, out, n_columns=5)
+        assert done == set()
+        enc.unpersist()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_completed_chunk_ids_raises_on_corrupt_manifest(spark, tmp_path):
+    """Non-missing-path manifest failures must raise, not silently disable
+    resume (ADVICE round 1)."""
+    out = str(tmp_path / "sink")
+    import os
+
+    os.makedirs(lineage.chunks_path(out), exist_ok=True)
+    with open(os.path.join(lineage.chunks_path(out), "junk.parquet"), "wb") as f:
+        f.write(b"this is not parquet")
+    with pytest.raises(Exception):
+        ids = lineage.completed_chunk_ids(spark, out, n_columns=5)
+        # reading junk may lazily fail at collect; either way no silent empty
+        assert ids != set()
