@@ -52,8 +52,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "to_json_render": relational.to_json_render,
         "null_normalization": relational.null_normalization,
         "scalar_subquery_filter": relational.scalar_subquery_filter,
-        "url_decode_paths": relational.url_decode_paths,  # rows-only (F10)
+        "url_decode_paths": relational.url_decode_paths,
         "decimal_aggregation": relational.decimal_aggregation,
+        # --- native complex types (P3/P4/F7 + union mapping) ---
+        "complex_types_extract": relational.complex_types_extract,
+        "complex_to_json_render": relational.complex_to_json_render,
+        "union_type_unwrap": relational.union_type_unwrap,
         # --- text analysis (training-data ops) ---
         "text_stats": textstats.text_stats,
         "quality_scores": textstats.quality_scores,
@@ -394,6 +398,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY cos_sim DESC, e.vec_id ASC
             LIMIT 10
+        """,
+        "complex_types_extract": """
+            WITH built AS (
+                SELECT event_id,
+                       [round(value, 2), round(value * 2, 2)] AS f1,
+                       MAP(['K1', 'K2'], [event_type, upper(event_type)]) AS f2,
+                       [[user_id], [user_id + 1, user_id + 2]] AS f5,
+                       {'g1': {'h1': user_id, 'k1': event_type}} AS f6
+                FROM events
+            )
+            SELECT event_id,
+                   f1[1] AS f1_0,
+                   (f2['K1'])[1] AS f2_k1,
+                   f5[2][1] AS f5_1_0,
+                   f6.g1.h1 AS f6_g1_h1
+            FROM built ORDER BY event_id
+        """,
+        "complex_to_json_render": """
+            SELECT n_nationkey,
+                   to_json({
+                       'key': n_nationkey,
+                       'names': [n_name, upper(n_name)],
+                       'aa': [[n_nationkey], [n_regionkey, 7]],
+                       'm': MAP(['region'], [n_regionkey]),
+                       'nested': {'inner': {'r': n_regionkey}}
+                   }) AS as_json
+            FROM nation ORDER BY n_nationkey
+        """,
+        "union_type_unwrap": """
+            WITH t AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 2 = 0
+                            THEN {'tag': 0, 'v0': user_id,
+                                  'v1': CAST(NULL AS VARCHAR)}
+                            ELSE {'tag': 1, 'v0': CAST(NULL AS BIGINT),
+                                  'v1': event_type}
+                       END AS u
+                FROM events
+            )
+            SELECT event_id, u.tag AS tag,
+                   coalesce(u.v1, CAST(u.v0 AS VARCHAR)) AS unwrapped
+            FROM t ORDER BY event_id
         """,
         # the generated percent-charset is exactly %3D / %20, so a replace
         # chain IS a full url-decode here (F10; DuckDB 1.0 has no url_decode)

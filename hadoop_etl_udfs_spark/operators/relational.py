@@ -362,3 +362,86 @@ def decimal_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def complex_types_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native complex-type columns (array / map / struct / array-of-array)
+    with indexed-path extraction — the reference's most-tested read feature
+    (ObjectInspector tree walk, HdfsSerDeImportService.java:205-313; paths
+    ``f1[0]``, ``f2.K1``, ``f5[1][0]``, ``f6.g1.h1`` exercised at
+    HdfsSerDeImportServiceTest.java:114-127). The complex columns are built
+    from driver-table scalars so the DuckDB oracle can build identical ones."""
+    ev = _t(spark, sf_dir, "events")
+    built = ev.select(
+        "event_id",
+        F.array(F.round("value", 2), F.round(F.col("value") * 2, 2)).alias("f1"),
+        F.create_map(
+            F.lit("K1"), F.col("event_type"), F.lit("K2"), F.upper("event_type")
+        ).alias("f2"),
+        F.array(
+            F.array(F.col("user_id")),
+            F.array(F.col("user_id") + 1, F.col("user_id") + 2),
+        ).alias("f5"),
+        F.struct(
+            F.struct(
+                F.col("user_id").alias("h1"), F.col("event_type").alias("k1")
+            ).alias("g1")
+        ).alias("f6"),
+    )
+    return built.select(
+        "event_id",
+        F.col("f1").getItem(0).alias("f1_0"),
+        F.col("f2").getItem("K1").alias("f2_k1"),
+        F.col("f5").getItem(1).getItem(0).alias("f5_1_0"),
+        F.col("f6").getField("g1").getField("h1").alias("f6_g1_h1"),
+    ).orderBy("event_id")
+
+
+def complex_to_json_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested complex -> JSON render: arrays-of-arrays, maps, nested structs
+    (the reference renders these through HdfsSerDeImportService.java:99-111's
+    JSON path; P4/F7). Integer-only leaves: Spark (Jackson) and DuckDB agree
+    on integer/string JSON rendering byte-for-byte."""
+    n = _t(spark, sf_dir, "nation")
+    payload = F.struct(
+        F.col("n_nationkey").alias("key"),
+        F.array(F.col("n_name"), F.upper("n_name")).alias("names"),
+        F.array(
+            F.array(F.col("n_nationkey")),
+            F.array(F.col("n_regionkey"), F.lit(7).cast("long")),
+        ).alias("aa"),
+        F.create_map(F.lit("region"), F.col("n_regionkey")).alias("m"),
+        F.struct(F.struct(F.col("n_regionkey").alias("r")).alias("inner")).alias(
+            "nested"
+        ),
+    )
+    return n.select(
+        "n_nationkey", F.to_json(payload).alias("as_json")
+    ).orderBy("n_nationkey")
+
+
+def union_type_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive uniontype handling mapped to struct-of-options + tag (SURVEY §2;
+    tag unwrap at HdfsSerDeImportService.java:243-248,453-459): rows carry a
+    tag plus one populated option field; extraction coalesces by tag."""
+    ev = _t(spark, sf_dir, "events")
+    u = F.when(
+        F.pmod("event_id", F.lit(2)) == 0,
+        F.struct(
+            F.lit(0).alias("tag"),
+            F.col("user_id").alias("v0"),
+            F.lit(None).cast("string").alias("v1"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.lit(1).alias("tag"),
+            F.lit(None).cast("long").alias("v0"),
+            F.col("event_type").alias("v1"),
+        )
+    )
+    t = ev.select("event_id", u.alias("u"))
+    return t.select(
+        "event_id",
+        F.col("u.tag").alias("tag"),
+        F.coalesce(F.col("u.v1"), F.col("u.v0").cast("string")).alias("unwrapped"),
+    ).orderBy("event_id")

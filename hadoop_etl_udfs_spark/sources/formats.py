@@ -60,6 +60,30 @@ def read_pages(
     return reader.load(path)
 
 
+def run_pre_sql(spark: SparkSession, statements: list[str]) -> None:
+    """S11: DDL pre-statements executed before an export — the reference
+    runs user-supplied SQL to prepare the target (table/partition DDL ahead
+    of the write, ExportHCatTable.java flow); here they run through
+    spark.sql against the session catalog (views, databases, properties)."""
+    for stmt in statements:
+        spark.sql(stmt)
+
+
+def export_with_ddl(
+    spark: SparkSession,
+    source_table: str,
+    path: str,
+    pre_statements: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Export preceded by DDL pre-statements (S11 + S6). The source is
+    resolved BY NAME after the DDL runs — a pre-statement may create the
+    very view being exported, so resolution must not happen earlier."""
+    run_pre_sql(spark, pre_statements)
+    write_table(spark.table(source_table), path, fmt=fmt, mode=mode)
+
+
 def write_table(
     df: DataFrame,
     path: str,

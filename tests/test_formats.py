@@ -67,3 +67,53 @@ def test_partitioned_write_prunes(spark):
         assert one.count() == pages.filter(F.col("lang") == "en").count()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_schema_evolution_old_files_read_null(spark, tmp_path):
+    """Files written before a column was added must read as NULL for that
+    column (HdfsSerDeImportService.java:190-194: table columns missing from
+    a file's schema come back null). Mixed-schema sink: one pre-evolution
+    file + one post-evolution file, read with the evolved explicit schema."""
+    from hadoop_etl_udfs_spark.sources.formats import read_pages, write_table
+
+    sink = str(tmp_path / "evolved")
+    old = spark.createDataFrame(
+        [("u1", "hello"), ("u2", "world")], "url string, text string"
+    )
+    write_table(old, sink, fmt="parquet", mode="overwrite")
+    new = spark.createDataFrame(
+        [("u3", "bonjour", "fr")], "url string, text string, lang string"
+    )
+    write_table(new, sink, fmt="parquet", mode="append")
+    out = read_pages(
+        spark, sink, fmt="parquet", schema="url string, text string, lang string"
+    )
+    rows = {r["url"]: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows["u1"]["lang"] is None and rows["u2"]["lang"] is None
+    assert rows["u3"]["lang"] == "fr"
+    # evolved column still filterable (null-safe predicates over old files)
+    assert out.filter("lang IS NULL").count() == 2
+
+
+def test_ddl_pre_statements_before_export(spark, tmp_path):
+    """S11: DDL pre-statements run against the session catalog before the
+    export writes (the reference prepares the Hive target with user DDL)."""
+    from hadoop_etl_udfs_spark.sources.formats import export_with_ddl, read_pages
+
+    src = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, v int"
+    )
+    src.createOrReplaceTempView("_export_src")
+    sink = str(tmp_path / "ddl_sink")
+    export_with_ddl(
+        spark,
+        "_export_target",
+        sink,
+        pre_statements=[
+            "CREATE OR REPLACE TEMP VIEW _export_target AS "
+            "SELECT k, v * 10 AS v10 FROM _export_src WHERE v >= 2",
+        ],
+    )
+    out = read_pages(spark, sink, fmt="parquet", schema="k string, v10 int")
+    assert {(r["k"], r["v10"]) for r in out.collect()} == {("b", 20), ("c", 30)}
