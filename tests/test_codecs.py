@@ -207,3 +207,49 @@ def test_decimal_narrow_range_compresses():
     enc = encode_array(arr, codec="auto")
     assert enc.bytes_in / enc.bytes_out > 5  # high words pack to ~0 bits
     assert decode_array(enc.payload, enc.meta).equals(arr)
+
+
+# ------------------------------------------------------------ frame formats
+
+def test_frame_v1_payloads_still_readable():
+    """SGC1 (round-1 sinks, no block compression) must stay decodable."""
+    import struct
+
+    from hadoop_etl_udfs_spark.codecs.frame import MAGIC, unpack_sections
+
+    sections = {"a": b"hello world", "bp": b"\x01\x02\x03"}
+    parts = [MAGIC, struct.pack("<H", len(sections))]
+    for name, payload in sections.items():
+        nb = name.encode()
+        parts += [struct.pack("<B", len(nb)), nb,
+                  struct.pack("<Q", len(payload)), payload]
+    assert unpack_sections(b"".join(parts)) == sections
+
+
+def test_frame_v2_roundtrip_and_compression():
+    from hadoop_etl_udfs_spark.codecs.frame import pack_sections, unpack_sections
+
+    sections = {
+        "compressible": b"ab" * 4096,          # must shrink under the block stage
+        "tiny": b"x",                           # below min size: stored raw
+        "random": bytes(range(256)) * 1,        # small, stays raw
+    }
+    packed = pack_sections(sections)
+    assert len(packed) < sum(len(v) for v in sections.values())
+    assert unpack_sections(packed) == sections
+
+
+def test_frame_v2_truncation_is_loud():
+    import pytest
+
+    from hadoop_etl_udfs_spark.codecs.frame import (
+        CorruptChunkError,
+        pack_sections,
+        unpack_sections,
+    )
+
+    packed = pack_sections({"a": b"zz" * 4096})
+    with pytest.raises(CorruptChunkError):
+        unpack_sections(packed[: len(packed) - 5])
+    with pytest.raises(CorruptChunkError):
+        unpack_sections(b"XXXX" + packed[4:])
