@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decimal_aggregation": relational.decimal_aggregation,
         # --- native complex types (P3/P4/F7 + union mapping) ---
         "complex_types_extract": relational.complex_types_extract,
+        "json_indexed_paths": relational.json_indexed_paths,
         "complex_to_json_render": relational.complex_to_json_render,
         "union_type_unwrap": relational.union_type_unwrap,
         # --- text analysis (training-data ops) ---
@@ -413,6 +414,21 @@ def oracle_sql() -> dict[str, str]:
                    (f2['K1'])[1] AS f2_k1,
                    f5[2][1] AS f5_1_0,
                    f6.g1.h1 AS f6_g1_h1
+            FROM built ORDER BY event_id
+        """,
+        "json_indexed_paths": """
+            WITH built AS (
+                SELECT event_id,
+                       '{"f5": [[' || CAST(user_id AS VARCHAR) || '], ['
+                       || CAST(user_id + 1 AS VARCHAR) || ', '
+                       || CAST(user_id + 2 AS VARCHAR) || ']], "tags": ["a", "'
+                       || event_type || '"]}' AS doc
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(json_extract_string(doc, '$.f5[1][0]') AS BIGINT) AS f5_1_0,
+                   json_extract_string(doc, '$.tags[1]') AS tag_1,
+                   json_extract_string(doc, '$.f5[0]') AS f5_0_json
             FROM built ORDER BY event_id
         """,
         "complex_to_json_render": """

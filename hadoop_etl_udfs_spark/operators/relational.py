@@ -445,3 +445,25 @@ def union_type_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u.tag").alias("tag"),
         F.coalesce(F.col("u.v1"), F.col("u.v0").cast("string")).alias("unwrapped"),
     ).orderBy("event_id")
+
+
+def json_indexed_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 completion: JsonPath ARRAY-INDEX extraction over JSON strings —
+    the reference's ``f5[1][0]`` path family (HdfsSerDeImportServiceTest.java:
+    114-127; JsonPathParser walk) applied to serialized JSON, complementing
+    complex_types_extract's native-column version. Also extracts a sub-array
+    as its JSON rendering (the reference's mid-path complex render)."""
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    doc = F.concat(
+        F.lit('{"f5": [['), uid,
+        F.lit("], ["), (F.col("user_id") + 1).cast("string"),
+        F.lit(", "), (F.col("user_id") + 2).cast("string"),
+        F.lit(']], "tags": ["a", "'), F.col("event_type"), F.lit('"]}'),
+    )
+    return ev.select(
+        "event_id",
+        F.get_json_object(doc, "$.f5[1][0]").cast("long").alias("f5_1_0"),
+        F.get_json_object(doc, "$.tags[1]").alias("tag_1"),
+        F.get_json_object(doc, "$.f5[0]").alias("f5_0_json"),
+    ).orderBy("event_id")
