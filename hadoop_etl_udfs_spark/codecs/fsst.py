@@ -150,23 +150,26 @@ def _prep_tables(merges: np.ndarray):
             )
         order = np.argsort(sym_ints)
         sym_ints, sym_ids = sym_ints[order], sym_ids[order]
-        by_len.append((L, sym_ints, sym_ids.astype(np.int32)))
+        by_len.append((L, sym_ints, sym_ids.astype(np.int16)))
         prefixes = (sym_ints >> np.uint64(8 * (L - 2))).astype(np.uint16)
         pref_mask[prefixes] |= np.uint8(1 << (L - 2))
     return by_len, pref_mask
 
 
 def _match_tables(data: np.ndarray, prep) -> tuple[np.ndarray, np.ndarray]:
-    """Per-position longest-match tables: (mlen int8, mcode int32).
+    """Per-position longest-match tables: (mlen int8, mcode int16).
 
     The 2-byte-prefix bitmask prunes the search: only positions whose next
-    two bytes prefix *some* symbol do any per-length probing, so
-    literal-heavy data costs one gather, not seven searchsorteds.
+    two bytes prefix *some* symbol do any per-length probing. The 8-byte
+    window is gathered ONCE per candidate (zero-padded tail); each length's
+    lookup key derives from it by a right shift — per-(L, k) byte gathers
+    were the old hot spot. All code tables are int16 (codes <= 510): half
+    the memory traffic of int32, which is what 32-way concurrency punishes.
     """
     n = len(data)
     by_len, pref_mask = prep
     mlen = np.ones(n, dtype=np.int8)
-    mcode = data.astype(np.int32)
+    mcode = data.astype(np.int16)
 
     # 2-byte prefixes of all positions
     d16 = data.astype(np.uint16)
@@ -181,29 +184,32 @@ def _match_tables(data: np.ndarray, prep) -> tuple[np.ndarray, np.ndarray]:
     if len(cand_pos) == 0:
         return mlen, mcode
     cand_mask = pref_mask[p16[cand_pos]]
+    padded = np.zeros(n + 8, dtype=np.uint64)
+    padded[:n] = data
+    w8 = np.zeros(len(cand_pos), dtype=np.uint64)
+    for k in range(8):
+        w8 <<= np.uint64(8)
+        w8 |= padded[cand_pos + k]
+    matched = np.zeros(len(cand_pos), dtype=bool)
     # longest length first so the first hit wins
     for L, sym_ints, sym_codes in reversed(by_len):
         sel = np.flatnonzero(
             ((cand_mask >> np.uint8(L - 2)) & np.uint8(1)).astype(bool)
-            & (mlen[cand_pos] == 1)
+            & ~matched
             & (cand_pos <= n - L)
         )
         if len(sel) == 0:
             continue
-        pos = cand_pos[sel]
-        # build window ints in place: shift-accumulate avoids an astype+
-        # temporary per (L, k) byte gather
-        w = np.zeros(len(pos), dtype=np.uint64)
-        for k in range(L):
-            w <<= np.uint64(8)
-            w |= data[pos + k]
+        w = w8[sel] >> np.uint64(8 * (8 - L))
         idx = np.searchsorted(sym_ints, w)
         idx[idx == len(sym_ints)] = 0
         hit = sym_ints[idx] == w
         if hit.any():
-            h = pos[hit]
-            mlen[h] = L
-            mcode[h] = sym_codes[idx[hit]]
+            hs = sel[hit]
+            matched[hs] = True
+            pos = cand_pos[hs]
+            mlen[pos] = L
+            mcode[pos] = sym_codes[idx[hit]]
     return mlen, mcode
 
 
@@ -241,7 +247,7 @@ def _apply_segment(data: np.ndarray, prep) -> np.ndarray:
     """
     n = len(data)
     if n == 0:
-        return np.empty(0, dtype=np.int32)
+        return np.empty(0, dtype=np.int16)
     mlen, mcode = _match_tables(data, prep)
     # next-match-position table (for literal-run skipping): one backward
     # cummin pass replaces a binary search per walk round
@@ -251,7 +257,7 @@ def _apply_segment(data: np.ndarray, prep) -> np.ndarray:
     nxt[:n] = np.minimum.accumulate(nxt[n - 1 :: -1])[::-1]
 
     n_blocks = (n + BLOCK - 1) // BLOCK
-    out = np.full(n_blocks * BLOCK, -1, dtype=np.int32)
+    out = np.full(n_blocks * BLOCK, -1, dtype=np.int16)
     counts = np.zeros(n_blocks, dtype=np.int64)  # tokens emitted per block
     cursors = np.arange(0, n_blocks * BLOCK, BLOCK, dtype=np.int64)
     block_end = np.minimum(cursors + BLOCK, n)
@@ -306,10 +312,10 @@ def encode_bytes(
     merges = trained_table(data, cache_key=cache_key, max_merges=max_merges)
     tokens = apply_table(data, merges)
     # dense-remap the used token values so the packed width is minimal
-    # (bincount-based: O(n), not a sort)
+    # (bincount-based: O(n), not a sort; int16 end-to-end)
     used = np.flatnonzero(np.bincount(tokens, minlength=TOKEN_BASE))
-    inv = np.zeros(TOKEN_BASE, dtype=np.int64)
-    inv[used] = np.arange(len(used))
+    inv = np.zeros(TOKEN_BASE, dtype=np.int16)
+    inv[used] = np.arange(len(used), dtype=np.int16)
     dense = inv[tokens]
     width = bits_needed(len(used) - 1)
     len_sections, len_meta = forbp.encode_int(lengths.astype(np.int64))
