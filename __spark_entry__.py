@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_padding": relational.char_padding,
         "metrics_rollup": relational.metrics_rollup,
         "window_user_sessions": relational.window_user_sessions,
+        "gap_sessionization": relational.gap_sessionization,
+        "percentile_stats": relational.percentile_stats,
         "top_k_per_group": relational.top_k_per_group,
         "broadcast_join_enrich": relational.broadcast_join_enrich,
         "set_ops_customers": relational.set_ops_customers,
@@ -254,6 +256,34 @@ def oracle_sql() -> dict[str, str]:
                        AS running_value
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "gap_sessionization": """
+            WITH s AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s2 AS (
+                SELECT *, CAST(sum(new_sess) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+                FROM s
+            )
+            SELECT user_id, session_no, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   round(sum(value), 4) AS session_value
+            FROM s2 GROUP BY user_id, session_no
+        """,
+        "percentile_stats": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99,
+                   round(avg(value), 4) AS mean_value
+            FROM events GROUP BY event_type
         """,
         "top_k_per_group": """
             WITH ranked AS (

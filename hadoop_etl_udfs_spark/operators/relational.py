@@ -467,3 +467,54 @@ def json_indexed_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(doc, "$.tags[1]").alias("tag_1"),
         F.get_json_object(doc, "$.f5[0]").alias("f5_0_json"),
     ).orderBy("event_id")
+
+
+def gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (30-min inactivity splits a session):
+    lag + conditional flag + running sum — the batch twin of the engine's
+    stateful streaming sessionizer (streaming/encode_stream.py), here fully
+    SQL-expressible and oracle-checked. At scale this is one shuffle on
+    user_id; the two window functions share the same partitioning."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    # interval comparison, not epoch casts: the events ts is TIMESTAMP_NTZ,
+    # which ANSI mode refuses to cast to a number
+    new_sess = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts") - prev_ts) > F.expr("INTERVAL 1800 SECONDS")),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("_new", new_sess).withColumn(
+        "session_no", F.sum("_new").over(w)
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` =
+    DuckDB `quantile_cont`, both linear interpolation). The exact form is
+    the oracle-checkable baseline; at 100 TB swap in approx_percentile
+    (t-digest, map-side combinable) where exactness isn't required."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+        )
+        .orderBy("event_type")
+    )
