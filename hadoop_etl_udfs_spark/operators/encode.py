@@ -172,6 +172,21 @@ def encode_pages(
     return df.mapInArrow(encode, ENCODED_SCHEMA)
 
 
+def subset_schema(columns, full_schema: str | None = None) -> str:
+    """DDL for a column subset, kept in the FULL schema's field order —
+    decode emits columns sorted by col_idx, so the output schema must be the
+    original order filtered, regardless of the order ``columns`` came in."""
+    from ..sources.pages import PAGES_SCHEMA
+
+    fields = [f.strip() for f in (full_schema or PAGES_SCHEMA).split(",")]
+    want = set(columns)
+    ordered = [f for f in fields if f.split()[0] in want]
+    missing = want - {f.split()[0] for f in ordered}
+    if missing:
+        raise ValueError(f"columns not in schema: {sorted(missing)}")
+    return ", ".join(ordered)
+
+
 def decode_chunks(
     enc: DataFrame, schema: str | None = None, global_dicts: dict | None = None
 ) -> DataFrame:

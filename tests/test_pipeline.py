@@ -212,3 +212,29 @@ def test_completed_chunk_ids_raises_on_corrupt_manifest(spark, tmp_path):
         ids = lineage.completed_chunk_ids(spark, out, n_columns=5)
         # reading junk may lazily fail at collect; either way no silent empty
         assert ids != set()
+
+
+def test_column_pruned_decode_on_partitioned_sink(spark, pages):
+    """Column-partitioned sink: decoding a 2-of-5 column subset prunes the
+    other columns' directories at planning time (PartitionFilters) and
+    returns values identical to the full decode's projection."""
+    out = tempfile.mkdtemp(prefix="colpart_")
+    try:
+        lineage.write_encoded(encode_pages(pages), out, partition_by_column=True)
+        sub = lineage.decode_columns(spark, out, ["url", "lang"])
+        assert sub.columns == ["url", "lang"]
+        fp = lambda df: df.select(
+            F.bit_xor(F.xxhash64(*df.columns)).alias("h")
+        ).collect()[0]["h"]
+        assert fp(sub) == fp(pages.select("url", "lang"))
+        # the scan must prune at the partition level: only the two requested
+        # column= directories appear in the scan's partition filters
+        enc = lineage.read_encoded_columns(spark, out, ["url", "lang"])
+        plan = enc._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "column" in plan
+        # physically: files from other column dirs are never listed as data
+        n_all = lineage.read_encoded(spark, out).count()
+        n_sub = enc.count()
+        assert 0 < n_sub < n_all and n_sub == 2 * n_all // 5
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
