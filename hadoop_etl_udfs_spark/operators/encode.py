@@ -35,7 +35,8 @@ from ..codecs.api import decode_array, encode_array
 
 ENCODED_SCHEMA = (
     "chunk_id long, column string, col_idx int, n_rows long, codec string, "
-    "bytes_in long, bytes_out long, crc32 long, meta string, payload binary"
+    "bytes_in long, bytes_out long, crc32 long, meta string, stats string, "
+    "payload binary"
 )
 
 # arrow schema must match ENCODED_SCHEMA exactly — Spark's ArrowColumnVector
@@ -51,9 +52,42 @@ _ENCODED_ARROW = pa.schema(
         ("bytes_out", pa.int64()),
         ("crc32", pa.int64()),
         ("meta", pa.string()),
+        ("stats", pa.string()),
         ("payload", pa.binary()),
     ]
 )
+
+_STATS_MAX_STR = 256  # skip string stats beyond this (a zone map, not data)
+
+
+def _col_stats(arr: pa.Array) -> str | None:
+    """Per-chunk zone-map stats: JSON {"min": x, "max": x} or None.
+
+    Ints/dates/timestamps store numeric min/max (timestamps as epoch in the
+    column's own unit); strings store the values themselves unless oversized
+    (truncating a max would make it an UNDER-bound — unsafe for pruning, so
+    oversized values yield no stats instead). Binary/decimal: no stats."""
+    import json as _json
+
+    import pyarrow.compute as pc
+
+    t = arr.type
+    try:
+        if pa.types.is_timestamp(t) or pa.types.is_date(t):
+            target = pa.int64() if pa.types.is_timestamp(t) else pa.int32()
+            mm = pc.min_max(arr.cast(target))
+        elif pa.types.is_integer(t) or pa.types.is_string(t) or pa.types.is_large_string(t):
+            mm = pc.min_max(arr)
+        else:
+            return None
+    except pa.ArrowNotImplementedError:
+        return None
+    mn, mx = mm["min"].as_py(), mm["max"].as_py()
+    if mn is None or mx is None:
+        return None
+    if isinstance(mn, str) and (len(mn) > _STATS_MAX_STR or len(mx) > _STATS_MAX_STR):
+        return None
+    return _json.dumps({"min": mn, "max": mx}, separators=(",", ":"))
 
 
 class IncompleteChunkError(ValueError):
@@ -145,7 +179,7 @@ def encode_pages(
                 continue
             rows = {k: [] for k in (
                 "chunk_id", "column", "col_idx", "n_rows", "codec",
-                "bytes_in", "bytes_out", "crc32", "meta", "payload",
+                "bytes_in", "bytes_out", "crc32", "meta", "stats", "payload",
             )}
             for i, name in enumerate(batch.schema.names):
                 gd = gds.get(name)
@@ -166,6 +200,7 @@ def encode_pages(
                 rows["bytes_out"].append(enc.bytes_out)
                 rows["crc32"].append(enc.crc32)
                 rows["meta"].append(enc.meta)
+                rows["stats"].append(_col_stats(batch.column(i)))
                 rows["payload"].append(enc.payload)
             yield pa.RecordBatch.from_pydict(rows, schema=_ENCODED_ARROW)
 

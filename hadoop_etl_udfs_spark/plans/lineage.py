@@ -110,6 +110,40 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def decode_chunks_where(
+    spark: SparkSession,
+    out_dir: str,
+    column: str,
+    lo,
+    hi,
+    schema: str | None = None,
+    global_dicts: dict | None = None,
+) -> DataFrame:
+    """Zone-map pruned decode: chunks whose per-chunk [min, max] for
+    ``column`` cannot intersect [lo, hi] are skipped BEFORE any payload is
+    touched (the stats live in the manifest rows; payload bytes of pruned
+    chunks are never read thanks to parquet column+predicate pruning).
+
+    Returns ALL rows of surviving chunks — a zone map prunes IO, not rows;
+    apply the row-level filter on the result. ``lo``/``hi`` use the stats
+    domain: ints for int columns, epoch in the column's unit (µs here) for
+    timestamps, raw strings for string columns. Chunks with no stats (nulls
+    only, oversized strings, binary) are always kept — pruning is safe, not
+    clever. Sinks written before the stats column existed need
+    ``mergeSchema`` or a re-encode."""
+    from ..operators.encode import decode_chunks
+
+    enc = read_encoded(spark, out_dir)
+    st = enc.filter(F.col("column") == column).select("chunk_id", "stats")
+    mn = F.get_json_object("stats", "$.min")
+    mx = F.get_json_object("stats", "$.max")
+    if not isinstance(lo, str):
+        mn, mx = mn.cast("long"), mx.cast("long")
+    disjoint = (mx < F.lit(lo)) | (mn > F.lit(hi))
+    keep = st.filter(F.col("stats").isNull() | ~disjoint).select("chunk_id")
+    return decode_chunks(enc.join(keep, "chunk_id"), schema, global_dicts)
+
+
 def completed_chunk_ids(spark: SparkSession, out_dir: str, n_columns: int) -> set[int]:
     """Chunks with all columns present (a torn write of some columns does not
     count as done). countDistinct, not count(*): duplicate manifest rows (the

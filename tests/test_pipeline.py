@@ -238,3 +238,42 @@ def test_column_pruned_decode_on_partitioned_sink(spark, pages):
         assert 0 < n_sub < n_all and n_sub == 2 * n_all // 5
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_zone_map_pruned_decode(spark, pages):
+    """Chunk stats (per-chunk min/max in the manifest) prune chunks whose
+    range cannot match; surviving superset filters down to the exact rows."""
+    out = tempfile.mkdtemp(prefix="zonemap_")
+    try:
+        # zone maps prune only when chunks are clustered on the stat column:
+        # a url-ordered layout (range-partitioned ingest) gives each chunk a
+        # narrow url range — the case the stats exist for. (The default
+        # host-salted layout spreads urls across every chunk; its stats
+        # legitimately prune nothing.)
+        clustered = pages.orderBy("url").coalesce(4)
+        lineage.write_encoded(encode_pages(clustered, shuffle=False), out)
+        enc = lineage.read_encoded(spark, out)
+        lo, hi = "https://www.site-0", "https://www.site-2~"
+        dec = lineage.decode_chunks_where(spark, out, "url", lo, hi)
+        surviving = dec.count()
+        exact = dec.filter(
+            (F.col("url") >= lo) & (F.col("url") <= hi)
+        )
+        expect = pages.filter((F.col("url") >= lo) & (F.col("url") <= hi))
+        assert exact.count() == expect.count() > 0
+        fp = lambda df: df.select(
+            F.bit_xor(F.xxhash64(*df.columns)).alias("h")
+        ).collect()[0]["h"]
+        assert fp(exact.select(*pages.columns)) == fp(expect)
+        # pruning actually happened: fewer rows decoded than the full table
+        assert surviving < pages.count()
+        # a disjoint range prunes EVERY chunk
+        none = lineage.decode_chunks_where(spark, out, "url", "zzz", "zzzz")
+        assert none.count() == 0
+        # int/timestamp stats: warc_ts stored as epoch-us
+        ts = lineage.read_encoded(spark, out).filter(
+            F.col("column") == "warc_ts"
+        ).select("stats").first()["stats"]
+        assert ts is not None and '"min"' in ts
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
