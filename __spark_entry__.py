@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": textstats.quality_scores,
         "lang_id_heuristic": textstats.lang_id_heuristic,
         "doc_fingerprints": textstats.doc_fingerprints,
+        "corpus_filter_pipeline": textstats.corpus_filter_pipeline,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,       # rows-only
@@ -408,6 +409,40 @@ def oracle_sql() -> dict[str, str]:
                      + (CASE WHEN en_hits / greatest(n_tok, 1) > 0.01 THEN 1.0 ELSE 0.6 END)
                    ) / 4.0, 4) AS quality
             FROM q
+        """,
+        # same quality/lang/fingerprint fragments as the standalone oracles
+        # above — the pipeline is their composition, so the SQL composes too
+        "corpus_filter_pipeline": f"""
+            WITH q AS (
+                SELECT doc_id, lang,
+                       {_TOKCOUNT} AS n_tok,
+                       length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                           / greatest(length(text), 1) AS punct_ratio,
+                       length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                           / greatest(length(text), 1) AS upper_ratio,
+                       {_hits_sql(_LANG_MARKERS["en"])} AS en_hits,
+                       {_lang_id_sql()} AS lang_pred,
+                       {_FINGERPRINT} AS fp
+                FROM documents
+            ),
+            scored AS (
+                SELECT doc_id, lang, lang_pred, fp, n_tok AS n_tokens,
+                       round((
+                           (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.3 END)
+                         + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END)
+                         + (CASE WHEN upper_ratio <= 0.3 THEN 1.0 ELSE 0.5 END)
+                         + (CASE WHEN en_hits / greatest(n_tok, 1) > 0.01 THEN 1.0 ELSE 0.6 END)
+                       ) / 4.0, 4) AS quality
+                FROM q
+            ),
+            kept AS (
+                SELECT * FROM scored WHERE quality >= 0.8 AND lang_pred = lang
+            )
+            SELECT min(doc_id) AS keep_doc_id,
+                   arg_min(lang, doc_id) AS lang,
+                   arg_min(n_tokens, doc_id) AS n_tokens,
+                   count(*) AS n_copies
+            FROM kept GROUP BY fp
         """,
         "lang_id_heuristic": f"""
             SELECT doc_id, lang AS lang_true, {_lang_id_sql()} AS lang_pred

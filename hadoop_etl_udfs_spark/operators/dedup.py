@@ -56,7 +56,13 @@ BAND_ROWS = 4  # 8 bands x 4 rows
 def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     """One row per doc with n_perm minhash values: single explode + one
     groupBy with n_perm min() aggregates (map-side combine keeps the shuffle
-    at n_perm longs per doc)."""
+    at n_perm longs per doc).
+
+    Scale note: a stopword shingle adds one exploded row per doc it appears
+    in — LINEAR in corpus size, combined map-side before any shuffle (unlike
+    a shingle-equality join, where a hot shingle is quadratic — see
+    ngram_jaccard_pairs' document-frequency cap). MinHash semantics need the
+    full shingle multiset, so no cap is applied here."""
     sh = _shingles(docs)
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"mh{p}")

@@ -62,3 +62,36 @@ def encode_documents_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codec_metrics(enc).select(
         "column", "codec", "n_chunks", "n_rows", "bytes_in", "bytes_out"
     )
+
+
+def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus filter in ONE Spark plan: quality gate +
+    language agreement + exact dedup (keep the smallest doc_id per
+    fingerprint), the composition a real data pipeline runs nightly.
+
+    At scale this is ONE shuffle (the fingerprint groupBy) — quality,
+    lang-ID, and fingerprint are all codegen'd scalar expressions computed
+    in the scan stage, and the aggregate combines map-side."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        T.quality_score(F.col("text")).alias("quality"),
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+    kept = scored.filter(
+        (F.col("quality") >= 0.8) & (F.col("lang_pred") == F.col("lang"))
+    )
+    return (
+        kept.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keep_doc_id", "lang", "n_tokens", "n_copies")
+        .orderBy("keep_doc_id")
+    )
