@@ -69,9 +69,11 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     language agreement + exact dedup (keep the smallest doc_id per
     fingerprint), the composition a real data pipeline runs nightly.
 
-    At scale this is ONE shuffle (the fingerprint groupBy) — quality,
+    At scale this is ONE data shuffle (the fingerprint groupBy) — quality,
     lang-ID, and fingerprint are all codegen'd scalar expressions computed
-    in the scan stage, and the aggregate combines map-side."""
+    in the scan stage, and the aggregate combines map-side. (The final
+    orderBy is presentation for the deterministic driver check, not part of
+    the pipeline.)"""
     docs = _docs(spark, sf_dir)
     scored = docs.select(
         "doc_id",
