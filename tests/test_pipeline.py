@@ -277,3 +277,26 @@ def test_zone_map_pruned_decode(spark, pages):
         assert ts is not None and '"min"' in ts
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_zone_map_timestamp_range_pruning(spark, pages):
+    """warc_ts stats (epoch-µs longs) prune a time-range decode when chunks
+    are time-clustered (the crawl-ordered ingest layout)."""
+    out = tempfile.mkdtemp(prefix="zonets_")
+    try:
+        clustered = pages.orderBy("warc_ts").coalesce(4)
+        lineage.write_encoded(encode_pages(clustered, shuffle=False), out)
+        # the generator's ts ramp starts at epoch-µs 1.7e15; take an early slice
+        lo, hi = 1_700_000_000_000_000 - 20_000_000, 1_700_000_000_500_000
+        dec = lineage.decode_chunks_where(spark, out, "warc_ts", lo, hi)
+        n_surviving = dec.count()
+        assert 0 < n_surviving < pages.count()
+        got = dec.filter(
+            (F.unix_micros("warc_ts") >= lo) & (F.unix_micros("warc_ts") <= hi)
+        ).count()
+        expect = pages.filter(
+            (F.unix_micros("warc_ts") >= lo) & (F.unix_micros("warc_ts") <= hi)
+        ).count()
+        assert got == expect > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

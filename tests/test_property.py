@@ -88,3 +88,65 @@ def test_fsst_any_bytes_roundtrip(payload):
     exp_lengths, exp_data = fsst.expansions(merges)
     _, out = gather_bytes(tokens.astype(np.int64), exp_lengths, exp_data)
     assert out.tobytes() == payload
+
+
+# --------------------------------------------------------- zone-map stats
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(min_size=0, max_size=40)),
+        min_size=1, max_size=200,
+    )
+)
+def test_zone_map_string_stats_bound_all_values(vals):
+    import json
+
+    import pyarrow as pa
+
+    from hadoop_etl_udfs_spark.operators.encode import _col_stats
+
+    arr = pa.array(vals, type=pa.string())
+    s = _col_stats(arr)
+    present = [v for v in vals if v is not None]
+    if s is None:
+        return  # no stats is always safe (never prunes)
+    d = json.loads(s)
+    assert all(d["min"] <= v <= d["max"] for v in present)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+        min_size=1, max_size=200,
+    )
+)
+def test_zone_map_int_stats_bound_all_values(vals):
+    import json
+
+    import pyarrow as pa
+
+    from hadoop_etl_udfs_spark.operators.encode import _col_stats
+
+    arr = pa.array(vals, type=pa.int64())
+    s = _col_stats(arr)
+    present = [v for v in vals if v is not None]
+    if s is None:
+        assert not present  # ints only lack stats when all-null
+        return
+    d = json.loads(s)
+    assert all(d["min"] <= v <= d["max"] for v in present)
+
+
+def test_zone_map_oversized_string_yields_no_stats():
+    import pyarrow as pa
+
+    from hadoop_etl_udfs_spark.operators.encode import _col_stats
+
+    # truncating a max would under-bound it — the kernel must refuse instead
+    arr = pa.array(["a", "z" * 1000])
+    assert _col_stats(arr) is None
