@@ -120,17 +120,6 @@ def trained_table(
 BLOCK = 128  # lockstep tokenizer block size (symbols never cross blocks)
 
 
-def _window_ints(data: np.ndarray) -> np.ndarray:
-    """uint64 rolling windows: W[i] = bytes data[i:i+8] big-endian packed."""
-    n = len(data)
-    padded = np.zeros(n + 8, dtype=np.uint64)
-    padded[:n] = data
-    w = np.zeros(n, dtype=np.uint64)
-    for k in range(8):
-        w |= padded[k : n + k] << np.uint64(8 * (7 - k))
-    return w
-
-
 def _prep_tables(merges: np.ndarray):
     """Symbol lookup structures shared across segments: per-length sorted
     packed symbol ints + codes, and the 65536-entry 2-byte-prefix bitmask."""

@@ -18,8 +18,10 @@ columnar plan:
 - The encoded-chunk row (one per column-chunk) is the analog of the
   reference's file-manifest row (HCatTableFiles.java:116-134) — the unit of
   lineage, resume, and metrics.
-- Chunk ids are content hashes of the chunk's url set (not wall-clock UUIDs
-  like ExportIntoHiveTable.java:148-156), so lineage/resume is deterministic.
+- Chunk ids are content hashes of ALL the chunk's column values (not
+  wall-clock UUIDs like ExportIntoHiveTable.java:148-156), so lineage/resume
+  is deterministic AND same-id chunk rows are value-identical by
+  construction — the readers' duplicate-drop depends on that.
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -76,7 +79,14 @@ def _col_stats(arr: pa.Array) -> str | None:
         if pa.types.is_timestamp(t) or pa.types.is_date(t):
             target = pa.int64() if pa.types.is_timestamp(t) else pa.int32()
             mm = pc.min_max(arr.cast(target))
-        elif pa.types.is_integer(t) or pa.types.is_string(t) or pa.types.is_large_string(t):
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            # cheap length precheck first: big-text columns would pay a full
+            # byte-comparison min/max scan only to exceed the cap every time
+            max_len = pc.max(pc.binary_length(arr)).as_py()
+            if max_len is None or max_len > _STATS_MAX_STR:
+                return None
+            mm = pc.min_max(arr)
+        elif pa.types.is_integer(t):
             mm = pc.min_max(arr)
         else:
             return None
@@ -84,8 +94,6 @@ def _col_stats(arr: pa.Array) -> str | None:
         return None
     mn, mx = mm["min"].as_py(), mm["max"].as_py()
     if mn is None or mx is None:
-        return None
-    if isinstance(mn, str) and (len(mn) > _STATS_MAX_STR or len(mx) > _STATS_MAX_STR):
         return None
     return _json.dumps({"min": mn, "max": mx}, separators=(",", ":"))
 
@@ -96,21 +104,43 @@ class IncompleteChunkError(ValueError):
     decode path). Recoverable: fall back to :func:`decode_chunks`."""
 
 
-def _chunk_id(url_col: pa.Array) -> int:
-    """Content-addressed chunk id: 8-byte blake2b of the chunk's url values.
-
-    Hashes the LOGICAL values (lengths + data of the array's window), not raw
-    buffers — sliced/offset arrays that are equal must get equal ids or the
-    resume/skip contract breaks."""
+def _hash_column(h, arr: pa.Array) -> None:
+    """Feed one column's LOGICAL values (not raw buffers — sliced/offset
+    arrays that are equal must hash equal) into ``h``."""
+    from ..codecs.api import _decimal_words, _kind, _to_int64
     from ..codecs.varbytes import arrow_to_varbytes
 
-    arr = url_col.combine_chunks() if isinstance(url_col, pa.ChunkedArray) else url_col
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     if arr.null_count:
-        arr = arr.fill_null("")
-    lengths, data = arrow_to_varbytes(arr)
+        h.update(np.packbits(np.asarray(arr.is_valid())).tobytes())
+        dense = arr.drop_null()
+    else:
+        dense = arr
+    kind = _kind(arr.type)
+    if kind == "varbytes":
+        lengths, data = arrow_to_varbytes(dense)
+        h.update(lengths.astype("<i8").tobytes())
+        h.update(data.tobytes())
+    elif kind == "dec128":
+        lo, hi = _decimal_words(dense)
+        h.update(lo.astype("<i8").tobytes())
+        h.update(hi.astype("<i8").tobytes())
+    else:
+        h.update(_to_int64(dense).astype("<i8").tobytes())
+
+
+def _chunk_id(batch: pa.RecordBatch) -> int:
+    """Content-addressed chunk id: 8-byte blake2b of ALL columns' values.
+
+    Hashing every column (not just the key column) makes the id a true
+    content address: two chunk-row sets with the same id ARE value-identical,
+    which is what the readers' duplicate-drop relies on. Input that drifted
+    between runs (same urls, changed text) therefore gets NEW ids and
+    re-encodes instead of silently aliasing the stale copy."""
     h = hashlib.blake2b(digest_size=8)
-    h.update(lengths.astype("<i8").tobytes())
-    h.update(data.tobytes())
+    for i, name in enumerate(batch.schema.names):
+        h.update(name.encode("utf-8"))
+        _hash_column(h, batch.column(i))
     return int.from_bytes(h.digest(), "big", signed=True)
 
 
@@ -145,16 +175,15 @@ def encode_pages(
     salt_buckets: int = 8,
     skip_chunk_ids: set[int] | frozenset[int] | None = None,
     shuffle: bool = True,
-    key_column: str = "url",
     global_dicts: dict | None = None,
 ) -> DataFrame:
     """pages DataFrame -> encoded column-chunk DataFrame.
 
     One output row per (chunk, column). ``skip_chunk_ids`` implements
-    resume-from-failure: chunks whose content-addressed id is already in the
-    lineage manifest are skipped (see plans/lineage.py). Chunking is
-    deterministic given the same input, partitioning config, and Arrow batch
-    size.
+    resume-from-failure: chunks whose content-addressed id (a hash of ALL
+    column values) is already in the lineage manifest are skipped (see
+    plans/lineage.py). Chunking is deterministic given the same input,
+    partitioning config, and Arrow batch size.
     """
     if shuffle:
         if salt_buckets == "adaptive":
@@ -174,7 +203,7 @@ def encode_pages(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            cid = _chunk_id(batch.column(batch.schema.get_field_index(key_column)))
+            cid = _chunk_id(batch)
             if cid in done:
                 continue
             rows = {k: [] for k in (

@@ -58,7 +58,7 @@ def encode_documents_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).repartition(4, "lang", "source").sortWithinPartitions(
         "lang", "source", "doc_id"
     )
-    enc = encode_pages(docs, shuffle=False, key_column="text")
+    enc = encode_pages(docs, shuffle=False)
     return codec_metrics(enc).select(
         "column", "codec", "n_chunks", "n_rows", "bytes_in", "bytes_out"
     )

@@ -110,6 +110,9 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+_ISIN_PUSHDOWN_MAX = 100_000  # keep-set size above which IN becomes a join
+
+
 def decode_chunks_where(
     spark: SparkSession,
     out_dir: str,
@@ -124,24 +127,62 @@ def decode_chunks_where(
     touched (the stats live in the manifest rows; payload bytes of pruned
     chunks are never read thanks to parquet column+predicate pruning).
 
-    Returns ALL rows of surviving chunks — a zone map prunes IO, not rows;
-    apply the row-level filter on the result. ``lo``/``hi`` use the stats
-    domain: ints for int columns, epoch in the column's unit (µs here) for
-    timestamps, raw strings for string columns. Chunks with no stats (nulls
-    only, oversized strings, binary) are always kept — pruning is safe, not
-    clever. Sinks written before the stats column existed need
+    Returns ALL rows of surviving chunks — a zone map prunes chunks, not
+    rows; apply the row-level filter on the result. What is saved: decode
+    CPU, the decode shuffle, and (when the keep set is small enough to push
+    as an IN filter) parquet row-group reads; payload bytes of pruned chunks
+    inside surviving row groups are still scanned — combine with
+    ``partition_by_column`` or a stat-clustered sink layout for hard scan
+    pruning. ``lo``/``hi`` use the stats domain: ints for int columns, epoch
+    in the column's unit (µs here) for timestamps, raw strings for string
+    columns — a bounds type that disagrees with the column's stats type
+    raises instead of comparing lexicographically. Chunks with no stats
+    (nulls only, oversized strings, binary) are always kept — pruning is
+    safe, not clever. Sinks written before the stats column existed need
     ``mergeSchema`` or a re-encode."""
     from ..operators.encode import decode_chunks
 
     enc = read_encoded(spark, out_dir)
-    st = enc.filter(F.col("column") == column).select("chunk_id", "stats")
-    mn = F.get_json_object("stats", "$.min")
-    mx = F.get_json_object("stats", "$.max")
-    if not isinstance(lo, str):
-        mn, mx = mn.cast("long"), mx.cast("long")
-    disjoint = (mx < F.lit(lo)) | (mn > F.lit(hi))
-    keep = st.filter(F.col("stats").isNull() | ~disjoint).select("chunk_id")
-    return decode_chunks(enc.join(keep, "chunk_id"), schema, global_dicts)
+    st = (
+        enc.filter(F.col("column") == column)
+        .select("chunk_id", "stats")
+        .cache()
+    )
+    try:
+        probe = st.filter(F.col("stats").isNotNull()).select("stats").first()
+        if probe is None and st.first() is None:
+            raise ValueError(
+                f"column {column!r} has no chunk rows in {out_dir} — "
+                "misspelled column names must fail loud, not decode nothing"
+            )
+        if probe is not None:
+            import json as _json
+
+            stats_min = _json.loads(probe["stats"])["min"]
+            if isinstance(stats_min, str) != isinstance(lo, str):
+                raise TypeError(
+                    f"bounds type {type(lo).__name__} does not match the "
+                    f"stats domain of column {column!r} "
+                    f"({type(stats_min).__name__}) — comparing them would "
+                    "be lexicographic and silently wrong"
+                )
+        mn = F.get_json_object("stats", "$.min")
+        mx = F.get_json_object("stats", "$.max")
+        if not isinstance(lo, str):
+            mn, mx = mn.cast("long"), mx.cast("long")
+        disjoint = (mx < F.lit(lo)) | (mn > F.lit(hi))
+        keep = st.filter(F.col("stats").isNull() | ~disjoint).select("chunk_id")
+        n_keep = keep.count()
+        if n_keep <= _ISIN_PUSHDOWN_MAX:
+            # small keep set: push as an IN filter so parquet row-group
+            # pruning can apply (and no join stage at all)
+            ids = [r["chunk_id"] for r in keep.collect()]
+            pruned = enc.filter(F.col("chunk_id").isin(ids))
+        else:
+            pruned = enc.join(keep, "chunk_id")
+        return decode_chunks(pruned, schema, global_dicts)
+    finally:
+        st.unpersist()
 
 
 def completed_chunk_ids(spark: SparkSession, out_dir: str, n_columns: int) -> set[int]:

@@ -140,7 +140,7 @@ def test_ivf_deterministic_and_partitions_all_vectors(spark):
     assert len(topk) == 10
 
 
-def test_ngram_shingle_df_cap_bounds_join(spark):
+def test_ngram_shingle_df_cap_bounds_join(spark, tmp_path):
     """Planted stopword-heavy corpus: a shingle appearing in every doc is a
     quadratic join bomb — the DF cap must drop it from the shingle universe,
     and results must be unchanged when no shingle exceeds the cap."""
@@ -157,11 +157,12 @@ def test_ngram_shingle_df_cap_bounds_join(spark):
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string"
     )
-    docs.write.mode("overwrite").parquet("/tmp/_ngram_cap/documents.parquet")
+    corpus_dir = str(tmp_path / "ngram_cap")
+    docs.write.mode("overwrite").parquet(corpus_dir + "/documents.parquet")
     # cap below the stopword df: the all-docs shingle is dropped, the planted
     # pair (whose shared shingles have df=2) still surfaces
     capped = dedup.ngram_jaccard_pairs(
-        spark, "/tmp/_ngram_cap", threshold=0.1, max_shingle_df=5
+        spark, corpus_dir, threshold=0.1, max_shingle_df=5
     ).collect()
     pair_ids = {(r["doc_a"], r["doc_b"]) for r in capped}
     assert (100, 101) in pair_ids
@@ -172,7 +173,7 @@ def test_ngram_shingle_df_cap_bounds_join(spark):
     # results unchanged below the cap: raising the cap far above every df
     # changes nothing for the planted pair's jaccard
     uncapped = dedup.ngram_jaccard_pairs(
-        spark, "/tmp/_ngram_cap", threshold=0.1, max_shingle_df=10_000
+        spark, corpus_dir, threshold=0.1, max_shingle_df=10_000
     ).collect()
     j_capped = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped}
     j_full = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in uncapped}

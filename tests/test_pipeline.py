@@ -208,10 +208,16 @@ def test_completed_chunk_ids_raises_on_corrupt_manifest(spark, tmp_path):
     os.makedirs(lineage.chunks_path(out), exist_ok=True)
     with open(os.path.join(lineage.chunks_path(out), "junk.parquet"), "wb") as f:
         f.write(b"this is not parquet")
-    with pytest.raises(Exception):
+    # the guarded regression is 'except Exception: return set()' — so the
+    # call must raise, and if it ever returns, the value must NOT be the
+    # silent empty set (assert OUTSIDE the raises block, else an
+    # AssertionError would satisfy it)
+    raised = False
+    try:
         ids = lineage.completed_chunk_ids(spark, out, n_columns=5)
-        # reading junk may lazily fail at collect; either way no silent empty
-        assert ids != set()
+    except Exception:
+        raised = True
+    assert raised, "corrupt manifest must raise, not silently disable resume"
 
 
 def test_column_pruned_decode_on_partitioned_sink(spark, pages):
@@ -298,5 +304,33 @@ def test_zone_map_timestamp_range_pruning(spark, pages):
             (F.unix_micros("warc_ts") >= lo) & (F.unix_micros("warc_ts") <= hi)
         ).count()
         assert got == expect > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_drifted_input_reencodes_instead_of_false_skip(spark):
+    """Chunk ids hash ALL column values: input that drifted between runs
+    (same urls, changed text) must get NEW ids — resume re-encodes it
+    instead of skipping to the stale copy, and same-id rows are therefore
+    genuinely value-identical (review finding, round 2)."""
+    out = tempfile.mkdtemp(prefix="drift_")
+    try:
+        rows_v1 = [(f"https://d.com/p{i}", 1_700_000_000 + i, b"<p>", f"text v1 {i}", "en")
+                   for i in range(100)]
+        rows_v2 = [(u, ts, h, t.replace("v1", "v2"), lg)
+                   for (u, ts, h, t, lg) in rows_v1]
+        mk = lambda rows: spark.createDataFrame(
+            rows, "url string, warc_ts long, html binary, text string, lang string"
+        ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp")).coalesce(1)
+        lineage.write_encoded(encode_pages(mk(rows_v1), shuffle=False), out)
+        done = lineage.completed_chunk_ids(spark, out, n_columns=5)
+        assert len(done) == 1
+        # same urls, drifted text: the chunk id differs, so the v2 chunk is
+        # NOT in the skip set and re-encodes under a NEW id
+        lineage.encode_resumable(mk(rows_v2).coalesce(1), out,
+                                 salt_buckets=1, n_columns=5)
+        ids_after = lineage.completed_chunk_ids(spark, out, n_columns=5)
+        assert len(ids_after) >= 2, "drifted chunk must get a new id"
+        assert done < ids_after  # the v1 id is still there, v2 added
     finally:
         shutil.rmtree(out, ignore_errors=True)
