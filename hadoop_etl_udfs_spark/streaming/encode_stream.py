@@ -172,3 +172,24 @@ def sessionize_events(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_dedup(
+    docs_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup by content fingerprint: the training-pipeline
+    version of operators.dedup.exact_dedup for a document FEED.
+
+    ``dropDuplicatesWithinWatermark`` keeps fingerprint state only for the
+    watermark horizon — duplicates arriving within it drop, state is evicted
+    after, so memory is bounded by (arrival rate x watermark), not corpus
+    size. Cross-horizon dedupe belongs to the batch operator over the
+    accumulated sink."""
+    from ..functions.text import fingerprint
+
+    d = docs_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        d.withColumn("fp", fingerprint(F.col("text")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )

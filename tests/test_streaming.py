@@ -163,3 +163,39 @@ def test_sessionize_events_stateful(spark):
         assert str(s["session_start"]).startswith("2024-01-01 10:00:00")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_dedup_drops_in_watermark_duplicates(spark, tmp_path):
+    """Duplicates replayed across micro-batches within the watermark drop;
+    distinct documents all survive."""
+    from datetime import datetime, timedelta
+
+    from hadoop_etl_udfs_spark.streaming.encode_stream import streaming_dedup
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime(2026, 1, 1)
+    wave1 = [(i, base + timedelta(seconds=i), f"doc text {i % 3}") for i in range(6)]
+    wave2 = [(i + 10, base + timedelta(seconds=30 + i), f"doc text {i % 3}")
+             for i in range(3)]  # same 3 fingerprints again
+    schema = "doc_id long, ts timestamp, text string"
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    dedup = streaming_dedup(stream, watermark="1 hour")
+    q = (dedup.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(src)
+    q2 = (streaming_dedup(
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+            watermark="1 hour")
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # only the 3 distinct fingerprints survive, from their first occurrence
+    fps = [r["fp"] for r in got.select("fp").collect()]
+    assert sorted(fps) == sorted(set(fps))
+    assert len(set(fps)) == 3
+    assert got.filter(F.col("doc_id") >= 10).count() == 0  # replays dropped
