@@ -79,8 +79,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs,  # rows-only
         "ivf_assignments": similarity.ivf_assignments,       # rows-only
         "cosine_topk_ivf": similarity.cosine_topk_ivf,       # rows-only
-        # --- multimodal plumbing (decode stubbed; rows-only) ---
+        # --- multimodal plumbing (decode stubbed; demo rows-only, the
+        #     kernel itself oracle-checked via binary_features_docs) ---
         "multimodal_features": multimodal.multimodal_features_demo,
+        "binary_features_docs": multimodal.binary_features_docs,
         # --- the encode engine itself over a driver table (rows-only) ---
         "encode_documents_lineage": textstats.encode_documents_lineage,
     }
@@ -450,6 +452,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": f"""
             SELECT doc_id, {_FINGERPRINT} AS fp FROM documents
+        """,
+        # entropy() in DuckDB is Shannon log2 entropy over the value multiset
+        # = the kernel's byte-histogram entropy; the double round mirrors the
+        # kernel's internal round-to-6 before the query's round-to-4
+        "binary_features_docs": """
+            WITH b AS (
+                SELECT doc_id, ascii(substring(text, CAST(i AS INT), 1)) AS byte
+                FROM (
+                    SELECT doc_id, text,
+                           unnest(range(1, length(text) + 1)) AS i
+                    FROM documents
+                )
+            )
+            SELECT doc_id, count(*) AS n_bytes,
+                   round(round(entropy(byte), 6), 4) AS entropy4,
+                   round(round(avg(byte), 6), 4) AS mean_byte4
+            FROM b GROUP BY doc_id
         """,
         "exact_dedup": f"""
             SELECT {_FINGERPRINT} AS fp, min(doc_id) AS keep_doc_id,

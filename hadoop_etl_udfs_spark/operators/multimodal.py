@@ -111,3 +111,25 @@ def multimodal_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(pages).select(
         "url", "n_bytes", "magic", F.round("entropy", 4).alias("entropy4")
     ).orderBy("url")
+
+
+def binary_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched binary featurizer over the documents table's bytes — the
+    ORACLE-CHECKED form of extract_features: byte count, Shannon entropy and
+    mean byte from the one-bincount-per-batch kernel, verified against
+    DuckDB's entropy() aggregate over unnested bytes. (documents.text is
+    pure printable ASCII, so DuckDB's per-char ascii() equals the byte.)"""
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    payload = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("text").cast("binary").alias("html"),
+    )
+    feats = extract_features(payload)
+    return feats.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "n_bytes",
+        F.round("entropy", 4).alias("entropy4"),
+        F.round("mean_byte", 4).alias("mean_byte4"),
+    ).orderBy("doc_id")
