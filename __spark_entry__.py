@@ -69,8 +69,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter_pipeline": textstats.corpus_filter_pipeline,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,       # rows-only
-        "simhash64": dedup.simhash64,                        # rows-only
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,       # rows-only (xxhash64)
+        "minhash_lsh_pairs_checked": dedup.minhash_lsh_pairs_checked,
+        "simhash64": dedup.simhash64,                        # rows-only (xxhash64)
+        "simhash_checked": dedup.simhash_checked,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,    # rows-only
         # --- similarity search ---
         "cosine_topk": similarity.cosine_topk,
@@ -113,6 +115,89 @@ from hadoop_etl_udfs_spark.operators.similarity import (
     _planes,
     quantizer_centroids,
 )
+
+
+def _md5h_sql(expr: str, seed: int) -> str:
+    """Mirror of dedup._hash64(method='md5'): 60-bit int from the md5 hex
+    prefix of the US-joined fields."""
+    return (
+        f"CAST(('0x' || substr(md5({expr} || chr(31) || '{seed}'), 1, 15)) AS BIGINT)"
+    )
+
+
+def _minhash_checked_sql() -> str:
+    from hadoop_etl_udfs_spark.operators.dedup import BAND_ROWS, N_PERM
+
+    n_bands = N_PERM // BAND_ROWS
+    mins = ",\n                       ".join(
+        f"min({_md5h_sql('shingle', p)}) AS mh{p}" for p in range(N_PERM)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {sig} AS sig FROM sig".format(
+            b=b,
+            sig=_md5h_sql(
+                " || chr(31) || ".join(
+                    f"CAST(mh{b * BAND_ROWS + r} AS VARCHAR)"
+                    for r in range(BAND_ROWS)
+                ),
+                b,
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+            WITH docs_w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            expl AS (
+                SELECT doc_id, w, unnest(range(0, greatest(len(w), 3) - 2)) AS i
+                FROM docs_w
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+                FROM expl
+            ),
+            sh1 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+            sig AS (
+                SELECT doc_id,
+                       {mins}
+                FROM sh1 GROUP BY doc_id
+            ),
+            buckets AS ({band_selects})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared_bands
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_checked_sql(n_bits: int = 32) -> str:
+    votes = ",\n                       ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(n_bits)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(n_bits)
+    )
+    return f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                FROM documents
+            ),
+            h AS (SELECT doc_id, {_md5h_sql('tok', 0)} AS h FROM tok),
+            v AS (
+                SELECT doc_id,
+                       {votes}
+                FROM h GROUP BY doc_id
+            )
+            SELECT doc_id, CAST({bits} AS BIGINT) AS simhash
+            FROM v ORDER BY doc_id
+    """
 
 
 def _vec_sql(v) -> str:
@@ -453,6 +538,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": f"""
             SELECT doc_id, {_FINGERPRINT} AS fp FROM documents
         """,
+        # checked twins of the xxhash64 near-dup operators: identical
+        # pipelines over md5-derived hashes both engines compute
+        "minhash_lsh_pairs_checked": _minhash_checked_sql(),
+        "simhash_checked": _simhash_checked_sql(),
         # entropy() in DuckDB is Shannon log2 entropy over the value multiset
         # = the kernel's byte-histogram entropy; the double round mirrors the
         # kernel's internal round-to-6 before the query's round-to-4

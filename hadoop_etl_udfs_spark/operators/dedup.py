@@ -52,8 +52,23 @@ def _shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 N_PERM = 32
 BAND_ROWS = 4  # 8 bands x 4 rows
 
+_SEP = "\x1f"  # unit separator between hash-input fields
 
-def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+
+def _hash64(cols: list, seed: int, method: str = "xxhash64"):
+    """64-bit-ish hash column. ``xxhash64`` is the production path (fastest,
+    JVM-native); ``md5`` derives a 60-bit value from the md5 hex prefix —
+    slower, but expressible in DuckDB 1.0, so the *_checked query variants
+    can be oracle-verified end-to-end with identical values."""
+    if method == "xxhash64":
+        return F.xxhash64(*cols, F.lit(seed))
+    s = F.concat_ws(_SEP, *[c.cast("string") for c in cols], F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    docs: DataFrame, n_perm: int = N_PERM, method: str = "xxhash64"
+) -> DataFrame:
     """One row per doc with n_perm minhash values: single explode + one
     groupBy with n_perm min() aggregates (map-side combine keeps the shuffle
     at n_perm longs per doc).
@@ -65,28 +80,31 @@ def minhash_signatures(docs: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     full shingle multiset, so no cap is applied here."""
     sh = _shingles(docs)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(p))).alias(f"mh{p}")
+        F.min(_hash64([F.col("shingle")], p, method)).alias(f"mh{p}")
         for p in range(n_perm)
     ]
     return sh.groupBy("doc_id").agg(*mins)
 
 
 def minhash_lsh_pairs(
-    spark: SparkSession, sf_dir: str, n_perm: int = N_PERM, band_rows: int = BAND_ROWS
+    spark: SparkSession, sf_dir: str, n_perm: int = N_PERM,
+    band_rows: int = BAND_ROWS, method: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs.
 
     shingle -> minhash -> band signatures -> self-join on (band, signature).
     The join key is the band signature, so candidate generation is a hash
     join on a small projected table — never an all-pairs comparison."""
-    sig = minhash_signatures(_docs(spark, sf_dir), n_perm)
+    sig = minhash_signatures(_docs(spark, sf_dir), n_perm, method=method)
     n_bands = n_perm // band_rows
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+                _hash64(
+                    [F.col(f"mh{b * band_rows + r}") for r in range(band_rows)],
+                    b,
+                    method,
                 ).alias("sig"),
             )
             for b in range(n_bands)
@@ -106,28 +124,44 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document: token hash bit-votes, one pass.
+def simhash64(
+    spark: SparkSession, sf_dir: str, method: str = "xxhash64", n_bits: int = 64
+) -> DataFrame:
+    """n_bits-bit SimHash per document: token hash bit-votes, one pass.
 
-    64 conditional-sum aggregates (all map-side combinable) then bit
-    reassembly — stays in whole-stage codegen, no explode-per-bit."""
+    Conditional-sum aggregates (all map-side combinable) then bit
+    reassembly — stays in whole-stage codegen, no explode-per-bit. The
+    ``md5`` method (with n_bits <= 32, inside the md5-derived 60-bit value)
+    is the DuckDB-expressible checked variant."""
     docs = _docs(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _hash64([F.col("tok")], 0, method))
     votes = [
         F.sum(
             F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     agg = tok.groupBy("doc_id").agg(*votes)
     sim = None
-    for b in range(64):
+    for b in range(n_bits):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(0)
         term = F.shiftleft(bit, b)
         sim = term if sim is None else sim.bitwiseXOR(term)
     return agg.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+
+
+def minhash_lsh_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin of minhash_lsh_pairs: identical banding pipeline,
+    md5-derived hashes DuckDB can reproduce value-for-value."""
+    return minhash_lsh_pairs(spark, sf_dir, method="md5")
+
+
+def simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin of simhash64: same vote/reassembly pipeline over
+    32 bits of the md5-derived hash."""
+    return simhash64(spark, sf_dir, method="md5", n_bits=32)
 
 
 MAX_SHINGLE_DF = 50  # shingles in more docs than this are stopword phrases

@@ -47,7 +47,9 @@ def test_minhash_finds_planted_neardup(spark):
     n_bands = dd.N_PERM // dd.BAND_ROWS
     bands = F.array(
         *[
-            F.xxhash64(*[F.col(f"mh{b * dd.BAND_ROWS + r}") for r in range(dd.BAND_ROWS)])
+            dd._hash64(
+                [F.col(f"mh{b * dd.BAND_ROWS + r}") for r in range(dd.BAND_ROWS)], b
+            )
             for b in range(n_bands)
         ]
     )
