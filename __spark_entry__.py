@@ -73,14 +73,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs_checked": dedup.minhash_lsh_pairs_checked,
         "simhash64": dedup.simhash64,                        # rows-only (xxhash64)
         "simhash_checked": dedup.simhash_checked,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,    # rows-only
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         # --- similarity search ---
         "cosine_topk": similarity.cosine_topk,
-        "cosine_topk_lsh": similarity.cosine_topk_lsh,       # rows-only
-        "lsh_buckets": similarity.lsh_buckets,               # rows-only
-        "embedding_neardup_pairs": similarity.embedding_neardup_pairs,  # rows-only
-        "ivf_assignments": similarity.ivf_assignments,       # rows-only
-        "cosine_topk_ivf": similarity.cosine_topk_ivf,       # rows-only
+        "cosine_topk_lsh": similarity.cosine_topk_lsh,
+        "lsh_buckets": similarity.lsh_buckets,
+        "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
+        "ivf_assignments": similarity.ivf_assignments,
+        "cosine_topk_ivf": similarity.cosine_topk_ivf,
         # --- multimodal plumbing (decode stubbed; demo rows-only, the
         #     kernel itself oracle-checked via binary_features_docs) ---
         "multimodal_features": multimodal.multimodal_features_demo,
@@ -553,11 +553,21 @@ def oracle_sql() -> dict[str, str]:
                            unnest(range(1, length(text) + 1)) AS i
                     FROM documents
                 )
+            ),
+            f AS (
+                SELECT doc_id, count(*) AS n_bytes,
+                       round(round(entropy(byte), 6), 4) AS entropy4,
+                       round(round(avg(byte), 6), 4) AS mean_byte4
+                FROM b GROUP BY doc_id
             )
-            SELECT doc_id, count(*) AS n_bytes,
-                   round(round(entropy(byte), 6), 4) AS entropy4,
-                   round(round(avg(byte), 6), 4) AS mean_byte4
-            FROM b GROUP BY doc_id
+            -- LEFT JOIN from documents: a doc with empty/NULL text has no
+            -- unnested bytes, but the Spark kernel still emits its row
+            -- (n_bytes 0, entropy 0, mean 0) — mirror that here
+            SELECT d.doc_id,
+                   coalesce(f.n_bytes, 0) AS n_bytes,
+                   coalesce(f.entropy4, 0.0) AS entropy4,
+                   coalesce(f.mean_byte4, 0.0) AS mean_byte4
+            FROM documents d LEFT JOIN f USING (doc_id)
         """,
         "exact_dedup": f"""
             SELECT {_FINGERPRINT} AS fp, min(doc_id) AS keep_doc_id,

@@ -133,6 +133,11 @@ def simhash64(
     reassembly — stays in whole-stage codegen, no explode-per-bit. The
     ``md5`` method (with n_bits <= 32, inside the md5-derived 60-bit value)
     is the DuckDB-expressible checked variant."""
+    if method == "md5" and n_bits > 60:
+        raise ValueError(
+            "md5-derived hashes carry 60 bits; bits above that would vote "
+            "constant -1 and silently zero the simhash head — use n_bits<=60"
+        )
     docs = _docs(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")

@@ -119,9 +119,9 @@ def binary_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean byte from the one-bincount-per-batch kernel, verified against
     DuckDB's entropy() aggregate over unnested bytes. (documents.text is
     pure printable ASCII, so DuckDB's per-char ascii() equals the byte.)"""
-    import os
+    from .textstats import _docs
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = _docs(spark, sf_dir)
     payload = docs.select(
         F.col("doc_id").cast("string").alias("url"),
         F.col("text").cast("binary").alias("html"),

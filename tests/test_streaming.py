@@ -185,14 +185,14 @@ def test_streaming_dedup_drops_in_watermark_duplicates(spark, tmp_path):
     dedup = streaming_dedup(stream, watermark="1 hour")
     q = (dedup.writeStream.format("parquet").option("path", out)
          .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "first dedup wave timed out"
     spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(src)
     q2 = (streaming_dedup(
             spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
             watermark="1 hour")
           .writeStream.format("parquet").option("path", out)
           .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "second dedup wave timed out"
     got = spark.read.parquet(out)
     # only the 3 distinct fingerprints survive, from their first occurrence
     fps = [r["fp"] for r in got.select("fp").collect()]
