@@ -65,3 +65,43 @@ def test_encode_pipeline_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "MapInArrow" in plan or "mapInArrow" in plan.lower()
     assert "Sort" in plan  # sortWithinPartitions before encode
+
+
+def test_gap_sessionization_shares_window_partitioning(spark):
+    """Both window functions AND the final per-session aggregate run on the
+    single user_id exchange (HashPartitioning(user_id) satisfies the
+    (user_id, session_no) clustered distribution); the only other exchange
+    is the presentation orderBy."""
+    plan = plan_of(relational.gap_sessionization(spark, SF))
+    assert plan.count("Window") == 2
+    assert plan.count("Exchange") == 2  # window shuffle + final range sort
+    assert plan.count("HashAggregate") == 2  # partial+final, no extra shuffle
+
+
+def test_corpus_pipeline_single_data_shuffle(spark):
+    """Quality/lang/fingerprint are scan-stage expressions; the only data
+    shuffle is the fingerprint groupBy (plus the presentation orderBy) and
+    nothing falls back to Python evaluation."""
+    from hadoop_etl_udfs_spark.operators import textstats
+
+    plan = plan_of(textstats.corpus_filter_pipeline(spark, SF))
+    assert plan.count("Exchange") == 2  # fp groupBy + final sort
+    assert "EvalPython" not in plan
+
+
+def test_zone_map_small_keep_pushes_in_filter(spark, tmp_path):
+    """The small-keep path pushes chunk ids as an IN filter (PushedFilters
+    at the parquet scan) instead of planning a join."""
+    from hadoop_etl_udfs_spark.operators.encode import encode_pages
+    from hadoop_etl_udfs_spark.plans import lineage
+    from hadoop_etl_udfs_spark.sources.pages import synthesize_pages
+
+    out = str(tmp_path / "zm")
+    pages = synthesize_pages(spark, 500, seed=3).orderBy("url").coalesce(2)
+    lineage.write_encoded(encode_pages(pages, shuffle=False), out)
+    dec = lineage.decode_chunks_where(spark, out, "url", "https://", "https://z")
+    plan = plan_of(dec)
+    assert "Join" not in plan
+    pushed = plan.split("PushedFilters:")[1][:300]
+    # Catalyst renders a 1-element isin as EqualTo, larger sets as In
+    assert "In(chunk_id" in pushed or "EqualTo(chunk_id" in pushed
