@@ -334,3 +334,26 @@ def test_drifted_input_reencodes_instead_of_false_skip(spark):
         assert done < ids_after  # the v1 id is still there, v2 added
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_decode_tolerates_stats_free_sink(spark, pages):
+    """Sinks written before the stats column existed (round 1) decode
+    unchanged — no decode path touches stats."""
+    out = tempfile.mkdtemp(prefix="oldsink_")
+    try:
+        from hadoop_etl_udfs_spark.operators.encode import decode_chunks_colocated
+
+        old_style = encode_pages(pages).drop("stats")
+        old_style.write.mode("overwrite").option("compression", "none").parquet(
+            lineage.chunks_path(out)
+        )
+        fp = lambda df: df.select(
+            F.bit_xor(F.xxhash64(*df.columns)).alias("h")
+        ).collect()[0]["h"]
+        assert fp(decode_chunks(lineage.read_encoded(spark, out))) == fp(pages)
+        enc = lineage.read_encoded_colocated(spark, out)
+        assert fp(decode_chunks_colocated(enc)) == fp(pages)
+        # resume bookkeeping works without stats too
+        assert len(lineage.completed_chunk_ids(spark, out, n_columns=5)) > 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
