@@ -117,3 +117,58 @@ def test_pages_edge_rows_roundtrip_bit_identical(spark):
         assert (r["html"], r["text"], r["lang"], r["warc_ts"]) == (
             b["html"], b["text"], b["lang"], b["warc_ts"]
         ), url
+
+
+def test_numeric_golden_row_f4():
+    """F4 (HdfsSerDeExportServiceTest.java:44-132): the reference's numeric
+    golden row — every width + a null twin per type — bit-identical through
+    the codec engine."""
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    from hadoop_etl_udfs_spark.codecs import decode_array, encode_array, verify_crc
+
+    cols = {
+        "ti": pa.array([55, None], type=pa.int8()),
+        "si": pa.array([5555, None], type=pa.int16()),
+        "i": pa.array([555555555, None], type=pa.int32()),
+        "bi": pa.array([555555555555555555, None], type=pa.int64()),
+        "f": pa.array([55.55, None], type=pa.float32()),
+        "d": pa.array([55555.55555, None], type=pa.float64()),
+        "dec1": pa.array(
+            [Decimal("5" * 30 + "555555"), None], type=pa.decimal128(36, 0)
+        ),
+        "dec2": pa.array(
+            [Decimal("5" * 31 + ".55555"), None], type=pa.decimal128(36, 5)
+        ),
+        "dec3": pa.array([Decimal("0.12345678"), None], type=pa.decimal128(8, 8)),
+    }
+    for name, arr in cols.items():
+        enc = encode_array(arr, codec="auto")
+        out = decode_array(enc.payload, enc.meta)
+        assert out.equals(arr), name
+        assert verify_crc(out, enc.crc32), name
+
+
+def test_temporal_bool_string_golden_row_f5():
+    """F5 (HdfsSerDeExportServiceTest.java:135-274): timestamps (t2 = t1
+    - 6 months - 12 h), booleans, and varchar/string exactness with null
+    twins, through the codec engine."""
+    from datetime import datetime
+
+    import pyarrow as pa
+
+    from hadoop_etl_udfs_spark.codecs import decode_array, encode_array
+
+    t1 = datetime(2015, 6, 15, 12, 30, 45, 123456)
+    t2 = datetime(2014, 12, 15, 0, 30, 45, 123456)  # -6 months, -12 h
+    cols = {
+        "t": pa.array([t1, t2, None], type=pa.timestamp("us")),
+        "b": pa.array([True, False, None]),
+        "v": pa.array(["a", "aaaaaaaaaa", None], type=pa.utf8()),
+    }
+    for name, arr in cols.items():
+        enc = encode_array(arr, codec="auto")
+        out = decode_array(enc.payload, enc.meta)
+        assert out.equals(arr), name
