@@ -117,3 +117,37 @@ def test_ddl_pre_statements_before_export(spark, tmp_path):
     )
     out = read_pages(spark, sink, fmt="parquet", schema="k string, v10 int")
     assert {(r["k"], r["v10"]) for r in out.collect()} == {("b", 20), ("c", 30)}
+
+
+def test_partition_or_filter_and_junk_file_skip(spark, tmp_path):
+    """F7 (PartitionPathFilterTest.java:14-32, HdfsService.java:120-122):
+    comma=OR / slash=AND partition filters prune to exact leaves, and
+    files named `_*` or zero-length are skipped by the scan."""
+    import os
+
+    from hadoop_etl_udfs_spark.sources.formats import write_table
+
+    root = str(tmp_path / "pt")
+    df = spark.createDataFrame(
+        [(2001, 1, "a"), (2001, 2, "b"), (2002, 3, "c"), (2003, 11, "d")],
+        "y int, m int, v string",
+    )
+    write_table(df, root, partition_by=["y", "m"])
+    # drop junk into a leaf: an underscore file and a zero-length part file
+    leaf = os.path.join(root, "y=2001", "m=1")
+    with open(os.path.join(leaf, "_SPURIOUS_marker"), "w") as f:
+        f.write("not data")
+    open(os.path.join(leaf, "part-empty.parquet"), "wb").close()
+    back = spark.read.parquet(root)
+    # OR-of-AND partition filter: (y=2001 AND m=1) OR (y=2002 AND m=3)
+    from pyspark.sql import functions as F
+
+    got = back.filter(
+        ((F.col("y") == 2001) & (F.col("m") == 1))
+        | ((F.col("y") == 2002) & (F.col("m") == 3))
+    )
+    assert {r["v"] for r in got.collect()} == {"a", "c"}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the junk files did not break the read nor add rows
+    assert back.count() == 4
