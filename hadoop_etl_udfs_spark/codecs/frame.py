@@ -40,6 +40,15 @@ class CorruptChunkError(ValueError):
     """Chunk payload failed structural validation (bad magic / truncation)."""
 
 
+class MissingCodecError(CorruptChunkError):
+    """The chunk is structurally sound but was written with a block codec
+    this pyarrow build lacks (capability gap, NOT corruption). SGC2 sinks
+    written with zstd sections require a zstd-capable pyarrow on every
+    reader — a heterogeneous cluster mixing builds will hit this. Subclasses
+    CorruptChunkError so existing handlers still catch it, but the type and
+    message distinguish "install the codec" from "the bytes are damaged"."""
+
+
 def _zstd_codec():
     """pyarrow's bundled zstd (C speed); None if this build lacks it."""
     try:
@@ -75,7 +84,11 @@ def block_decompress(enc: int, stored: bytes, raw_len: int) -> bytes:
         return stored
     if enc == _ENC_ZSTD:
         if _ZSTD is None:
-            raise CorruptChunkError("chunk uses zstd but this build lacks it")
+            raise MissingCodecError(
+                "chunk section is zstd-compressed but this pyarrow build "
+                "has no zstd codec — install a zstd-capable pyarrow on the "
+                "reading side (the chunk itself is not corrupt)"
+            )
         return _ZSTD.decompress(stored, decompressed_size=raw_len, asbytes=True)
     if enc == _ENC_ZLIB:
         return zlib.decompress(stored)

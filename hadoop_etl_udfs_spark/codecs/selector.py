@@ -122,10 +122,18 @@ def choose_bytes_codec(
         np.cumsum(lengths, out=offs[1:])
         per = _SAMPLE_VALUES // 4
         parts_l, parts_d = [], []
+        prev_end = 0
         for s in (0, n // 4, n // 2, n - per):
+            # windows never overlap: double-counting head values (possible
+            # when n is barely above _SAMPLE_VALUES) would bias the
+            # cardinality/run estimates toward whatever the head holds
+            s = max(s, prev_end)
             e = min(s + per, n)
+            if e <= s:
+                continue
             parts_l.append(lengths[s:e])
             parts_d.append(data[offs[s] : offs[e]])
+            prev_end = e
         s_lengths = np.concatenate(parts_l)
         s_data = np.concatenate(parts_d)
         k = len(s_lengths)

@@ -86,15 +86,30 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*mins)
 
 
+MAX_BAND_BUCKET = 64  # band buckets bigger than this are skipped entirely
+
+
 def minhash_lsh_pairs(
     spark: SparkSession, sf_dir: str, n_perm: int = N_PERM,
     band_rows: int = BAND_ROWS, method: str = "xxhash64",
+    max_band_bucket: int = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs.
 
     shingle -> minhash -> band signatures -> self-join on (band, signature).
     The join key is the band signature, so candidate generation is a hash
-    join on a small projected table — never an all-pairs comparison."""
+    join on a small projected table — never an all-pairs comparison.
+
+    ``max_band_bucket`` bounds the degenerate case: a class of K identical
+    documents shares ALL band signatures, so without a cap one hot bucket
+    yields K² candidate rows. Buckets larger than the cap are skipped
+    (documented approximation, mirroring similarity.embedding_neardup_pairs'
+    MAX_BUCKET): members of an over-cap bucket are overwhelmingly
+    byte-identical copies, which belong to exact_dedup — run it first, as
+    textstats.corpus_filter_pipeline does. Results are exact whenever every
+    band bucket is under the cap. The bucket-size filter is an aggregate +
+    re-join on the same (band, sig) key — co-partitioned with the pair join,
+    NOT broadcast (the bucket list scales with the corpus)."""
     sig = minhash_signatures(_docs(spark, sf_dir), n_perm, method=method)
     n_bands = n_perm // band_rows
     bands = F.array(
@@ -113,6 +128,13 @@ def minhash_lsh_pairs(
     buckets = sig.select("doc_id", F.explode(bands).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+    small = (
+        buckets.groupBy("band", "sig")
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") <= max_band_bucket)
+        .select("band", "sig")
+    )
+    buckets = buckets.join(small, ["band", "sig"])
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -337,6 +337,15 @@ def decode_chunks_colocated(
                     )
                 )
                 if len(group) == n_columns:
+                    if len({idx for (idx, _, _, _) in group}) != n_columns:
+                        # a torn partial copy preceded a full copy in this
+                        # partition: the group filled up with duplicated
+                        # col_idx rows — emitting would mis-assemble columns
+                        raise IncompleteChunkError(
+                            f"chunk {cid} arrived incomplete: duplicated "
+                            "col_idx rows (torn partial copy before a full "
+                            "copy) — use decode_chunks()"
+                        )
                     group.sort()
                     yield pa.RecordBatch.from_arrays(
                         [

@@ -158,14 +158,15 @@ def decode_chunks_where(
         if probe is not None:
             import json as _json
 
-            stats_min = _json.loads(probe["stats"])["min"]
-            if isinstance(stats_min, str) != isinstance(lo, str):
-                raise TypeError(
-                    f"bounds type {type(lo).__name__} does not match the "
-                    f"stats domain of column {column!r} "
-                    f"({type(stats_min).__name__}) — comparing them would "
-                    "be lexicographic and silently wrong"
-                )
+            probe_stats = _json.loads(probe["stats"])
+            for bound, name in ((lo, "lo"), (hi, "hi")):
+                if isinstance(probe_stats["min"], str) != isinstance(bound, str):
+                    raise TypeError(
+                        f"bounds type {type(bound).__name__} ({name}) does "
+                        f"not match the stats domain of column {column!r} "
+                        f"({type(probe_stats['min']).__name__}) — comparing "
+                        "them would be lexicographic and silently wrong"
+                    )
         mn = F.get_json_object("stats", "$.min")
         mx = F.get_json_object("stats", "$.max")
         if not isinstance(lo, str):

@@ -67,10 +67,13 @@ def main() -> None:
                 dec.unpersist()
                 dec = None
             # worker-side exceptions reach the driver wrapped in a
-            # PythonException — match by name as well as by type
+            # PythonException — match the distinctive message marker every
+            # IncompleteChunkError raise carries ("arrived incomplete"), not
+            # the bare class name, which could appear inside an unrelated
+            # traceback's quoted source
             if not (
                 isinstance(e, IncompleteChunkError)
-                or "IncompleteChunkError" in str(e)
+                or "arrived incomplete" in str(e)
             ):
                 raise
             result["decode_path"] = "grouped (torn colocated read)"
