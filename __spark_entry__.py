@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- native complex types (P3/P4/F7 + union mapping) ---
         "complex_types_extract": relational.complex_types_extract,
         "json_indexed_paths": relational.json_indexed_paths,
+        "json_quoted_paths": relational.json_quoted_paths,
         "complex_to_json_render": relational.complex_to_json_render,
         "union_type_unwrap": relational.union_type_unwrap,
         # --- text analysis (training-data ops) ---
@@ -126,7 +127,11 @@ def _md5h_sql(expr: str, seed: int) -> str:
 
 
 def _minhash_checked_sql() -> str:
-    from hadoop_etl_udfs_spark.operators.dedup import BAND_ROWS, N_PERM
+    from hadoop_etl_udfs_spark.operators.dedup import (
+        BAND_ROWS,
+        MAX_BAND_BUCKET,
+        N_PERM,
+    )
 
     n_bands = N_PERM // BAND_ROWS
     mins = ",\n                       ".join(
@@ -165,7 +170,17 @@ def _minhash_checked_sql() -> str:
                        {mins}
                 FROM sh1 GROUP BY doc_id
             ),
-            buckets AS ({band_selects})
+            buckets0 AS ({band_selects}),
+            -- band-bucket size cap: mirrors minhash_lsh_pairs'
+            -- max_band_bucket (same constant, imported above — anti-drift)
+            small AS (
+                SELECT band, sig FROM buckets0 GROUP BY band, sig
+                HAVING count(*) <= {MAX_BAND_BUCKET}
+            ),
+            buckets AS (
+                SELECT b.doc_id, b.band, b.sig
+                FROM buckets0 b JOIN small USING (band, sig)
+            )
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    count(*) AS n_shared_bands
             FROM buckets a JOIN buckets b
@@ -612,6 +627,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(json_extract_string(doc, '$.f5[1][0]') AS BIGINT) AS f5_1_0,
                    json_extract_string(doc, '$.tags[1]') AS tag_1,
                    json_extract_string(doc, '$.f5[0]') AS f5_0_json
+            FROM built ORDER BY event_id
+        """,
+        "json_quoted_paths": """
+            WITH built AS (
+                SELECT event_id, user_id, event_type,
+                       '{"a.b": ' || CAST(user_id AS VARCHAR)
+                       || ', "with space": {"inner.key": "' || event_type
+                       || '"}, "arr": [' || CAST(user_id + 1 AS VARCHAR)
+                       || ', ' || CAST(user_id + 2 AS VARCHAR) || ']}' AS doc
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(json_extract_string(doc, '$."a.b"') AS BIGINT) AS q_ab,
+                   json_extract_string(doc, '$."with space"."inner.key"')
+                       AS q_space,
+                   CAST(json_extract_string(doc, '$.arr[1]') AS BIGINT) AS arr_1,
+                   json_extract_string(doc, '$."no.such"') AS q_missing,
+                   user_id AS n_ab,
+                   event_type AS n_space
             FROM built ORDER BY event_id
         """,
         "complex_to_json_render": """

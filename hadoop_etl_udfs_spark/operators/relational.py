@@ -469,6 +469,39 @@ def json_indexed_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def json_quoted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 completion: QUOTED-FIELD JsonPath segments — keys containing dots
+    and spaces, addressed as ``"a.b"`` / ``"with space"."inner.key"`` — the
+    reference grammar's first alternative (JsonPathParser.java:17-28, spec
+    test parsing ``f1.f2[0]."f3.x".f4[1][2]`` at jsonpath/JsonPathTest.java:23),
+    which round 2 left uncovered. Applied through the shared parser to BOTH
+    evaluation sites: a JSON-string column (get_json_object compilation) and
+    a native struct column (getItem walk). Missing quoted paths -> NULL."""
+    from ..functions.jsonpath import json_path_col, json_path_str
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    doc = F.concat(
+        F.lit('{"a.b": '), uid.cast("string"),
+        F.lit(', "with space": {"inner.key": "'), F.col("event_type"),
+        F.lit('"}, "arr": ['), (uid + 1).cast("string"),
+        F.lit(", "), (uid + 2).cast("string"), F.lit("]}"),
+    )
+    native = F.struct(
+        uid.alias("a.b"),
+        F.struct(F.col("event_type").alias("inner.key")).alias("with space"),
+    )
+    return ev.select(
+        "event_id",
+        json_path_str(doc, '"a.b"').cast("long").alias("q_ab"),
+        json_path_str(doc, '"with space"."inner.key"').alias("q_space"),
+        json_path_str(doc, "arr[1]").cast("long").alias("arr_1"),
+        json_path_str(doc, '"no.such"').alias("q_missing"),
+        json_path_col(native, '"a.b"').alias("n_ab"),
+        json_path_col(native, '"with space"."inner.key"').alias("n_space"),
+    ).orderBy("event_id")
+
+
 def gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-based sessionization (30-min inactivity splits a session):
     lag + conditional flag + running sum — the batch twin of the engine's
