@@ -30,19 +30,22 @@ _FORMAT_OPTIONS: dict[str, dict[str, str]] = {
 }
 
 
+def _has_spark_avro(spark: SparkSession) -> bool:
+    try:
+        spark.read.format("avro").schema("x int").load(
+            "/nonexistent_probe_path"
+        ).schema
+    except Exception as e:  # noqa: BLE001
+        if "Failed to find data source" in str(e):
+            return False
+    return True
+
+
 def supported_formats(spark: SparkSession) -> list[str]:
-    out = []
-    for fmt in _FORMAT_OPTIONS:
-        if fmt == "avro":
-            try:
-                spark.read.format("avro").schema("x int").load(
-                    "/nonexistent_probe_path"
-                ).schema
-            except Exception as e:  # noqa: BLE001
-                if "Failed to find data source" in str(e):
-                    continue
-        out.append(fmt)
-    return out
+    # avro is always supported: via the spark-avro module when it is on the
+    # classpath, else via the pure-Python container-file fallback
+    # (sources/avro_lite.py) wired into read_pages' dispatch
+    return list(_FORMAT_OPTIONS)
 
 
 def read_pages(
@@ -52,6 +55,14 @@ def read_pages(
     reference, caller-supplied here)."""
     from .pages import PAGES_SCHEMA
 
+    if fmt == "avro" and not _has_spark_avro(spark):
+        # reference parity (S1 reads Avro via SerDe dispatch,
+        # doc/import.md:15): no spark-avro jar in this runtime, so dispatch
+        # to the pure-Python container-file reader — distributed via
+        # binaryFile + mapInArrow (see avro_lite module docstring)
+        from .avro_lite import read_avro_spark
+
+        return read_avro_spark(spark, path, schema or PAGES_SCHEMA)
     reader = spark.read.format(fmt)
     for k, v in _FORMAT_OPTIONS.get(fmt, {}).items():
         reader = reader.option(k, v)
@@ -82,6 +93,32 @@ def export_with_ddl(
     very view being exported, so resolution must not happen earlier."""
     run_pre_sql(spark, pre_statements)
     write_table(spark.table(source_table), path, fmt=fmt, mode=mode)
+
+
+def save_catalog_table(
+    df: DataFrame,
+    table: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S9/S10: catalog-backed sink. The reference resolves schema, location
+    and partition keys from the Hive metastore (HiveMetastoreService.java:
+    49-86) and registers partitions idempotently (:92-110); Spark's session
+    catalog is the equivalent — ``saveAsTable`` records schema + partition
+    columns in the catalog and readers address the table BY NAME
+    (:func:`read_catalog_table`), never by path. With an Iceberg catalog
+    configured the same call targets Iceberg; this sandbox tests the
+    built-in in-memory/Derby session catalog."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.saveAsTable(table)
+
+
+def read_catalog_table(spark: SparkSession, table: str) -> DataFrame:
+    """Name-based read: schema comes from the catalog, not the caller
+    (the metastore-supplied-schema model, SURVEY.md §1.4)."""
+    return spark.read.table(table)
 
 
 def write_table(

@@ -119,6 +119,45 @@ def test_ddl_pre_statements_before_export(spark, tmp_path):
     assert {(r["k"], r["v10"]) for r in out.collect()} == {("b", 20), ("c", 30)}
 
 
+def test_catalog_table_roundtrip(spark):
+    """S9: catalog-backed read/write — schema + partition keys resolved from
+    the session catalog by NAME (reference: HiveMetastoreService.java:49-86
+    metastore lookup; idempotent partition registration :92-110). The write
+    registers the table, the read never supplies a schema, and partition
+    pruning works on the catalog's partition columns."""
+    from hadoop_etl_udfs_spark.sources.formats import (
+        read_catalog_table,
+        save_catalog_table,
+    )
+
+    pages = synthesize_pages(spark, 400, seed=7).cache()
+    try:
+        save_catalog_table(pages, "pages_cat", partition_by=["lang"])
+        # catalog holds the metadata: table listed, schema matches
+        assert any(t.name == "pages_cat" for t in spark.catalog.listTables())
+        cols = {c.name: c.dataType for c in spark.catalog.listColumns("pages_cat")}
+        assert cols["url"] == "string" and cols["warc_ts"] == "timestamp"
+        assert cols["html"] == "binary"
+        # name-based read, no schema supplied; values bit-identical
+        got = read_catalog_table(spark, "pages_cat")
+        fp = lambda df: df.select(
+            F.bit_xor(F.xxhash64("url", "warc_ts", "html", "text", "lang"))
+            .alias("h")
+        ).collect()[0]["h"]
+        assert got.count() == 400 and fp(got) == fp(pages)
+        # catalog partition columns prune the scan
+        one = got.filter(F.col("lang") == "en")
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        assert one.count() == pages.filter(F.col("lang") == "en").count()
+        # idempotent re-create (reference: AlreadyExistsException swallowed)
+        save_catalog_table(pages.limit(10), "pages_cat", mode="overwrite")
+        assert read_catalog_table(spark, "pages_cat").count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_cat")
+        pages.unpersist()
+
+
 def test_partition_or_filter_and_junk_file_skip(spark, tmp_path):
     """F7 (PartitionPathFilterTest.java:14-32, HdfsService.java:120-122):
     comma=OR / slash=AND partition filters prune to exact leaves, and
