@@ -86,8 +86,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     kernel itself oracle-checked via binary_features_docs) ---
         "multimodal_features": multimodal.multimodal_features_demo,
         "binary_features_docs": multimodal.binary_features_docs,
-        # --- the encode engine itself over a driver table (rows-only) ---
+        # --- the encode engine over a driver table: the codec-independent
+        #     lineage half is oracle-checked; codec/bytes_out stay rows-only
         "encode_documents_lineage": textstats.encode_documents_lineage,
+        "encode_documents_lineage_checked":
+            textstats.encode_documents_lineage_checked,
     }
 
 
@@ -737,6 +740,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0
             ORDER BY cos_sim DESC, a.vec_id ASC
             LIMIT 10
+        """,
+        # codec-independent lineage half: rows + exact input data bytes per
+        # column (strings: sum of UTF-8 byte lengths; int64: 8 per row) —
+        # the Spark side derives the same quantities from the Arrow chunk
+        # footprints recorded in the lineage (see the operator docstring)
+        "encode_documents_lineage_checked": """
+            SELECT 'doc_id' AS "column", count(*) AS n_rows,
+                   8 * count(*) AS data_bytes FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), 8 * count(*) FROM documents
+            UNION ALL
+            SELECT 'text', count(*), sum(strlen(text)) FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), sum(strlen(lang)) FROM documents
+            UNION ALL
+            SELECT 'source', count(*), sum(strlen(source)) FROM documents
+            ORDER BY "column"
         """,
         "ngram_jaccard_pairs": f"""
             WITH docs_w AS (

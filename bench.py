@@ -78,8 +78,18 @@ def _dir_bytes(path: str) -> int:
     )
 
 
-def run_encode_bench(cores: int, pages_path: str, workdir: str) -> dict:
-    """Encode the materialized pages table; returns wall time + throughput."""
+def run_encode_bench(
+    cores: int, pages_path: str, workdir: str, kernel_only: bool = False
+) -> dict:
+    """Encode the materialized pages table; returns wall time + throughput.
+
+    ``kernel_only=True`` is the round-2 verdict's shuffle-attribution run:
+    the input is pre-partitioned (fixed 64 round-robin partitions, identical
+    chunking at every core count) and cached, encode runs with
+    ``shuffle=False`` into a noop sink — so the timed stage is ONLY the
+    codec kernels. Comparing its scaling pair against the full pipeline's
+    pins the residual 8→32 inefficiency on the local-mode shuffle + sink,
+    which a real cluster parallelizes across nodes."""
     from hadoop_etl_udfs_spark.operators.encode import encode_pages
     from hadoop_etl_udfs_spark.plans.lineage import write_encoded
     from hadoop_etl_udfs_spark.sources.pages import pages_input_bytes
@@ -89,7 +99,10 @@ def run_encode_bench(cores: int, pages_path: str, workdir: str) -> dict:
         # cache the input: the metric is ENCODE throughput; re-reading the
         # source through local mode's single disk each repeat would measure
         # that disk, which a real cluster parallelizes away
-        pages = spark.read.parquet(pages_path).cache()
+        pages = spark.read.parquet(pages_path)
+        if kernel_only:
+            pages = pages.repartition(64)
+        pages = pages.cache()
         input_bytes = pages_input_bytes(pages)
         n_docs = pages.count()
         # warm the (reused) python workers: a ~10% untimed encode pass heats
@@ -98,9 +111,25 @@ def run_encode_bench(cores: int, pages_path: str, workdir: str) -> dict:
         from pyspark.sql import functions as F
 
         warm = pages.filter(F.pmod(F.xxhash64("url"), F.lit(10)) == 0)
-        encode_pages(warm, salt_buckets=8).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        encode_pages(warm, salt_buckets=8, shuffle=not kernel_only).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        if kernel_only:
+            wall = None
+            for _ in range(1):
+                t0 = time.time()
+                encode_pages(pages, shuffle=False).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                w = time.time() - t0
+                wall = w if wall is None else min(wall, w)
+            return {
+                "cores": cores,
+                "wall_s": round(wall, 2),
+                "input_bytes": input_bytes,
+                "gb_per_s": round(input_bytes / 1e9 / wall, 4),
+                "docs_per_s": round(n_docs / wall, 1),
+            }
         out = os.path.join(workdir, f"enc_{cores}")
         # one timed run per session; the caller interleaves sessions across
         # configs and takes per-config minima (this sandbox throttles in
@@ -195,6 +224,24 @@ def main() -> None:
                 )
                 if eff_now >= 0.8 and results[CPUS]["wall_s"] < results[MID_CORES]["wall_s"]:
                     break
+        # kernel-only scaling (round-2 verdict item 2): same input,
+        # pre-partitioned + cached, shuffle=False, noop sink — only the
+        # codec kernels are timed. 3 interleaved passes, per-config minima.
+        kres: dict[int, dict] = {}
+        for _ in range(3):
+            for cores in (LOW_CORES, MID_CORES, CPUS):
+                r = run_encode_bench(cores, pages_path, workdir, kernel_only=True)
+                if cores not in kres or r["wall_s"] < kres[cores]["wall_s"]:
+                    kres[cores] = r
+        k_eff = round(
+            kres[LOW_CORES]["wall_s"] / kres[MID_CORES]["wall_s"]
+            / (MID_CORES / LOW_CORES), 3,
+        )
+        k_eff_full = round(
+            kres[MID_CORES]["wall_s"] / kres[CPUS]["wall_s"] / (CPUS / MID_CORES),
+            3,
+        )
+
         low, mid, high = results[LOW_CORES], results[MID_CORES], results[CPUS]
         speedup = low["wall_s"] / mid["wall_s"]
         efficiency = round(speedup / (MID_CORES / LOW_CORES), 3)
@@ -231,6 +278,13 @@ def main() -> None:
                 "parquet_snappy_proxy_bytes": proxy_bytes,
                 "engine_vs_proxy": round(high["sink_bytes"] / proxy_bytes, 3),
             },
+            "kernel_scaling": {
+                "low": kres[LOW_CORES],
+                "mid": kres[MID_CORES],
+                "high": kres[CPUS],
+                "efficiency": k_eff,
+                "full_pair_efficiency": k_eff_full,
+            },
         }
         # decode timing on the high-core sink
         spark = _session(CPUS, shuffle_partitions=max(32, CPUS))
@@ -250,6 +304,78 @@ def main() -> None:
                 t = round(time.time() - t0, 3)
                 best = t if best is None or t < best else best
             result["queries"]["decode_check"] = best
+
+            # pruned decode (round-2 verdict item 7): zone maps + the
+            # column-partitioned layout TOGETHER at bench scale. The sink is
+            # time-clustered (repartitionByRange on warc_ts — the
+            # "stat-clustered layout" the lineage docs call for; a crawl
+            # ingest is naturally time-sliced) and column-partitioned; the
+            # query decodes a 2-of-5 column subset over the first ~20% of
+            # the time range. scanned_fraction = bytes of the two column
+            # directories the planner actually lists vs the whole sink.
+            from pyspark.sql import functions as F
+
+            from hadoop_etl_udfs_spark.operators.encode import (
+                decode_chunks,
+                encode_pages,
+            )
+            from hadoop_etl_udfs_spark.plans.lineage import (
+                decode_chunks_where,
+                read_encoded,
+                write_encoded,
+            )
+
+            pages = spark.read.parquet(pages_path)
+            part_out = os.path.join(workdir, "enc_part")
+            clustered = pages.repartitionByRange(32, "warc_ts")\
+                .sortWithinPartitions("warc_ts")
+            write_encoded(
+                encode_pages(clustered, shuffle=False), part_out,
+                mode="overwrite", partition_by_column=True,
+            )
+            b = pages.agg(
+                F.min(F.unix_micros("warc_ts")).alias("lo"),
+                F.max(F.unix_micros("warc_ts")).alias("hi"),
+            ).collect()[0]
+            cut = b["lo"] + (b["hi"] - b["lo"]) // 5
+            pruned_wall = full_wall = None
+            for _ in range(3):
+                t0 = time.time()
+                decode_chunks_where(
+                    spark, part_out, "warc_ts", b["lo"], cut,
+                    columns=["url", "warc_ts"],
+                ).write.format("noop").mode("overwrite").save()
+                t = time.time() - t0
+                pruned_wall = t if pruned_wall is None else min(pruned_wall, t)
+                t0 = time.time()
+                decode_chunks(read_encoded(spark, part_out)).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                t = time.time() - t0
+                full_wall = t if full_wall is None else min(full_wall, t)
+            chunks_root = os.path.join(part_out, "chunks")
+            scanned = _dir_bytes(os.path.join(chunks_root, "column=url")) + \
+                _dir_bytes(os.path.join(chunks_root, "column=warc_ts"))
+            total = _dir_bytes(chunks_root)
+            st = read_encoded(spark, part_out).filter(
+                F.col("column") == "warc_ts"
+            ).select(
+                (F.get_json_object("stats", "$.min").cast("long") <= cut)
+                .alias("keep")
+            )
+            kept = st.filter("keep").count()
+            n_chunks = st.count()
+            result["pruned_decode"] = {
+                "columns": ["url", "warc_ts"],
+                "scanned_bytes": scanned,
+                "sink_bytes": total,
+                "scanned_fraction": round(scanned / total, 4),
+                "kept_chunks": kept,
+                "total_chunks": n_chunks,
+                "kept_chunk_fraction": round(kept / n_chunks, 4),
+                "wall_s": round(pruned_wall, 3),
+                "full_decode_wall_s": round(full_wall, 3),
+            }
         finally:
             spark.stop()
         print(json.dumps(result))

@@ -64,6 +64,36 @@ def encode_documents_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def encode_documents_lineage_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked projection of the encode lineage (the codec-INdependent
+    half of encode_documents_lineage): per column, total rows and exact input
+    data bytes.
+
+    ``bytes_in`` is the Arrow chunk footprint. For null-free string chunks
+    that is the UTF-8 data plus an int32 offsets buffer of (n_rows+1)
+    entries; subtracting the offsets term per chunk leaves exactly
+    ``sum(strlen(col))``, which DuckDB recomputes from the raw table. int64
+    chunks are 8*n_rows. The codec-dependent half (codec chosen, bytes_out)
+    stays rows-only in encode_documents_lineage."""
+    from .encode import encode_pages
+
+    docs = _docs(spark, sf_dir).repartition(4, "lang", "source").sortWithinPartitions(
+        "lang", "source", "doc_id"
+    )
+    enc = encode_pages(docs, shuffle=False)
+    str_cols = ("text", "lang", "source")
+    data_bytes = F.when(
+        F.col("column").isin(*str_cols),
+        F.col("bytes_in") - 4 * (F.col("n_rows") + 1),
+    ).otherwise(F.col("bytes_in"))
+    return (
+        enc.select("column", "n_rows", data_bytes.alias("db"))
+        .groupBy("column")
+        .agg(F.sum("n_rows").alias("n_rows"), F.sum("db").alias("data_bytes"))
+        .orderBy("column")
+    )
+
+
 def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus filter in ONE Spark plan: quality gate +
     language agreement + exact dedup (keep the smallest doc_id per

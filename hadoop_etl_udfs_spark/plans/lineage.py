@@ -121,6 +121,7 @@ def decode_chunks_where(
     hi,
     schema: str | None = None,
     global_dicts: dict | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Zone-map pruned decode: chunks whose per-chunk [min, max] for
     ``column`` cannot intersect [lo, hi] are skipped BEFORE any payload is
@@ -139,8 +140,16 @@ def decode_chunks_where(
     raises instead of comparing lexicographically. Chunks with no stats
     (nulls only, oversized strings, binary) are always kept — pruning is
     safe, not clever. Sinks written before the stats column existed need
-    ``mergeSchema`` or a re-encode."""
-    from ..operators.encode import decode_chunks
+    ``mergeSchema`` or a re-encode.
+
+    ``columns`` combines the zone map with the sink's projection pushdown:
+    only the requested columns' chunk rows are scanned and decoded (whole
+    directories pruned on a ``partition_by_column`` sink — the two pruning
+    mechanisms compose: PartitionFilters drop column dirs at planning time,
+    the zone-map IN filter drops chunks of the surviving dirs). The stats
+    probe always reads the PRUNE column's rows from the payload-pruned
+    manifest scan, so the prune column need not be in the output subset."""
+    from ..operators.encode import decode_chunks, subset_schema
 
     enc = read_encoded(spark, out_dir)
     st = (
@@ -172,16 +181,20 @@ def decode_chunks_where(
         if not isinstance(lo, str):
             mn, mx = mn.cast("long"), mx.cast("long")
         disjoint = (mx < F.lit(lo)) | (mn > F.lit(hi))
+        data = (
+            read_encoded_columns(spark, out_dir, columns) if columns else enc
+        )
+        out_schema = subset_schema(columns, schema) if columns else schema
         keep = st.filter(F.col("stats").isNull() | ~disjoint).select("chunk_id")
-        n_keep = keep.count()
-        if n_keep <= _ISIN_PUSHDOWN_MAX:
+        ids = [r["chunk_id"] for r in keep.limit(_ISIN_PUSHDOWN_MAX + 1).collect()]
+        if len(ids) <= _ISIN_PUSHDOWN_MAX:
             # small keep set: push as an IN filter so parquet row-group
-            # pruning can apply (and no join stage at all)
-            ids = [r["chunk_id"] for r in keep.collect()]
-            pruned = enc.filter(F.col("chunk_id").isin(ids))
+            # pruning can apply (and no join stage at all). One job: the
+            # bounded limit+collect replaces the count-then-collect pair
+            pruned = data.filter(F.col("chunk_id").isin(ids))
         else:
-            pruned = enc.join(keep, "chunk_id")
-        return decode_chunks(pruned, schema, global_dicts)
+            pruned = data.join(keep, "chunk_id")
+        return decode_chunks(pruned, out_schema, global_dicts)
     finally:
         st.unpersist()
 

@@ -89,6 +89,54 @@ def test_corpus_pipeline_single_data_shuffle(spark):
     assert "EvalPython" not in plan
 
 
+def test_zone_map_composes_with_column_partitioned_sink(spark, tmp_path):
+    """The two pruning mechanisms TOGETHER (round-2 verdict item 7): on a
+    column-partitioned sink, a column-subset + zone-map decode must show
+    (a) PartitionFilters with the column IN list — whole directories pruned
+    at planning time — and (b) the chunk-id IN pushed to the parquet scan;
+    and the decoded subset must be value-correct vs a plain filtered read."""
+    from hadoop_etl_udfs_spark.operators.encode import encode_pages
+    from hadoop_etl_udfs_spark.plans import lineage
+    from hadoop_etl_udfs_spark.sources.pages import synthesize_pages
+
+    out = str(tmp_path / "zmp")
+    pages = synthesize_pages(spark, 600, seed=5).orderBy("warc_ts").coalesce(3)
+    pages = pages.cache()
+    lineage.write_encoded(
+        encode_pages(pages, shuffle=False), out, partition_by_column=True
+    )
+    bounds = pages.agg(
+        F.min("warc_ts").alias("lo"), F.max("warc_ts").alias("hi")
+    ).collect()[0]
+    import datetime as dt
+
+    lo_us = int(bounds["lo"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    hi_us = int(bounds["hi"].replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    cut = lo_us + (hi_us - lo_us) // 5  # ~first 20% of the time range
+    dec = lineage.decode_chunks_where(
+        spark, out, "warc_ts", lo_us, cut, columns=["url", "warc_ts"]
+    )
+    plan = plan_of(dec)
+    part = plan.split("PartitionFilters:")[1][:200]
+    assert "column" in part and ("url" in part and "warc_ts" in part)
+    assert "html" not in part and "text" not in part
+    pushed = plan.split("PushedFilters:")[1][:300]
+    assert "In(chunk_id" in pushed or "EqualTo(chunk_id" in pushed
+    # zone map is chunk-granular: surviving chunks may carry rows past the
+    # cut, but every row BEFORE the cut must be present and value-correct
+    got = {r["url"]: r["warc_ts"] for r in dec.collect()}
+    want = {
+        r["url"]: r["warc_ts"]
+        for r in pages.select("url", "warc_ts")
+        .filter(F.unix_micros("warc_ts") <= cut)
+        .collect()
+    }
+    assert set(want) <= set(got)
+    assert all(got[u] == t for u, t in want.items())
+    assert len(got) < 600  # some chunks actually pruned
+    pages.unpersist()
+
+
 def test_zone_map_small_keep_pushes_in_filter(spark, tmp_path):
     """The small-keep path pushes chunk ids as an IN filter (PushedFilters
     at the parquet scan) instead of planning a join."""
