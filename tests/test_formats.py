@@ -33,11 +33,16 @@ def test_roundtrip_all_formats(spark):
     ).collect()[0]["h"]
     want = fp(pages)
     try:
-        for fmt in ["parquet", "orc", "json"]:
+        for fmt in ["parquet", "orc", "json", "csv"]:
             p = os.path.join(base, fmt)
             write_table(pages, p, fmt=fmt)
             got = read_pages(spark, p, fmt=fmt, schema="url string, text string, lang string")
             assert fp(got) == want, fmt
+        # text format: single-column lines (S1's TextInputFormat role)
+        p = os.path.join(base, "text")
+        write_table(pages.select(F.col("url").alias("value")), p, fmt="text")
+        got_urls = {r["value"] for r in read_pages(spark, p, fmt="text").collect()}
+        assert got_urls == {r["url"] for r in pages.collect()}
         # binary columns survive the columnar formats
         full = synthesize_pages(spark, 200, seed=9).cache()
         for fmt in ["parquet", "orc"]:
