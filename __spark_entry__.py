@@ -412,6 +412,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": f"""
             SELECT doc_id,
                    {_TOKCOUNT} AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9]{{1,4}}|[^\\sA-Za-z0-9]')) AS n_bpe_tokens,
                    round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
                          / greatest(length(text), 1), 4) AS punct_ratio,
                    length(text) AS n_chars_actual

@@ -320,7 +320,7 @@ def main() -> None:
                 encode_pages,
             )
             from hadoop_etl_udfs_spark.plans.lineage import (
-                decode_chunks_where,
+                decode_chunks_where_clustered,
                 read_encoded,
                 write_encoded,
             )
@@ -330,8 +330,8 @@ def main() -> None:
             clustered = pages.repartitionByRange(32, "warc_ts")\
                 .sortWithinPartitions("warc_ts")
             write_encoded(
-                encode_pages(clustered, shuffle=False), part_out,
-                mode="overwrite", partition_by_column=True,
+                encode_pages(clustered, shuffle=False, cluster_by="warc_ts"),
+                part_out, mode="overwrite", partition_by_column=True,
             )
             b = pages.agg(
                 F.min(F.unix_micros("warc_ts")).alias("lo"),
@@ -341,8 +341,8 @@ def main() -> None:
             pruned_wall = full_wall = None
             for _ in range(3):
                 t0 = time.time()
-                decode_chunks_where(
-                    spark, part_out, "warc_ts", b["lo"], cut,
+                decode_chunks_where_clustered(
+                    spark, part_out, b["lo"], cut,
                     columns=["url", "warc_ts"],
                 ).write.format("noop").mode("overwrite").save()
                 t = time.time() - t0
@@ -359,10 +359,7 @@ def main() -> None:
             total = _dir_bytes(chunks_root)
             st = read_encoded(spark, part_out).filter(
                 F.col("column") == "warc_ts"
-            ).select(
-                (F.get_json_object("stats", "$.min").cast("long") <= cut)
-                .alias("keep")
-            )
+            ).select((F.col("cluster_lo") <= cut).alias("keep"))
             kept = st.filter("keep").count()
             n_chunks = st.count()
             result["pruned_decode"] = {

@@ -39,7 +39,7 @@ from ..codecs.api import decode_array, encode_array
 ENCODED_SCHEMA = (
     "chunk_id long, column string, col_idx int, n_rows long, codec string, "
     "bytes_in long, bytes_out long, crc32 long, meta string, stats string, "
-    "payload binary"
+    "cluster_lo long, cluster_hi long, payload binary"
 )
 
 # arrow schema must match ENCODED_SCHEMA exactly — Spark's ArrowColumnVector
@@ -56,6 +56,8 @@ _ENCODED_ARROW = pa.schema(
         ("crc32", pa.int64()),
         ("meta", pa.string()),
         ("stats", pa.string()),
+        ("cluster_lo", pa.int64()),
+        ("cluster_hi", pa.int64()),
         ("payload", pa.binary()),
     ]
 )
@@ -96,6 +98,32 @@ def _col_stats(arr: pa.Array) -> str | None:
     if mn is None or mx is None:
         return None
     return _json.dumps({"min": mn, "max": mx}, separators=(",", ":"))
+
+
+def _cluster_range(arr: pa.Array) -> tuple[int, int] | None:
+    """Chunk [min, max] of a numeric-domain column as int64 (timestamps as
+    epoch in the column's unit) — the value pair stamped on EVERY row of the
+    chunk when the sink declares a cluster column, so range predicates on
+    that column push into the parquet scan as ordinary filters (no
+    driver-side keep-set). None for non-numeric domains or all-null chunks."""
+    import pyarrow.compute as pc
+
+    t = arr.type
+    try:
+        if pa.types.is_timestamp(t):
+            mm = pc.min_max(arr.cast(pa.int64()))
+        elif pa.types.is_date(t):
+            mm = pc.min_max(arr.cast(pa.int32()))
+        elif pa.types.is_integer(t) or pa.types.is_boolean(t):
+            mm = pc.min_max(arr.cast(pa.int64()))
+        else:
+            return None
+    except pa.ArrowNotImplementedError:
+        return None
+    mn, mx = mm["min"].as_py(), mm["max"].as_py()
+    if mn is None or mx is None:
+        return None
+    return int(mn), int(mx)
 
 
 class IncompleteChunkError(ValueError):
@@ -176,6 +204,7 @@ def encode_pages(
     skip_chunk_ids: set[int] | frozenset[int] | None = None,
     shuffle: bool = True,
     global_dicts: dict | None = None,
+    cluster_by: str | None = None,
 ) -> DataFrame:
     """pages DataFrame -> encoded column-chunk DataFrame.
 
@@ -184,6 +213,15 @@ def encode_pages(
     column values) is already in the lineage manifest are skipped (see
     plans/lineage.py). Chunking is deterministic given the same input,
     partitioning config, and Arrow batch size.
+
+    ``cluster_by`` declares a sink cluster column (numeric domain —
+    timestamp/date/int): the chunk's [min, max] of that column is stamped
+    as ``cluster_lo``/``cluster_hi`` on EVERY row of the chunk, so range
+    predicates on it later prune chunks inside the parquet scan itself
+    (plans.lineage.decode_chunks_where_clustered) — no driver-side keep-set
+    collect, and hard row-group pruning when the layout is range-clustered.
+    Without it the two columns are NULL and the JSON zone-map path
+    (decode_chunks_where) still applies.
     """
     if shuffle:
         if salt_buckets == "adaptive":
@@ -206,9 +244,16 @@ def encode_pages(
             cid = _chunk_id(batch)
             if cid in done:
                 continue
+            cl = None
+            if cluster_by is not None:
+                ci = batch.schema.get_field_index(cluster_by)
+                if ci >= 0:
+                    cl = _cluster_range(batch.column(ci))
+            cl_lo, cl_hi = cl if cl is not None else (None, None)
             rows = {k: [] for k in (
                 "chunk_id", "column", "col_idx", "n_rows", "codec",
-                "bytes_in", "bytes_out", "crc32", "meta", "stats", "payload",
+                "bytes_in", "bytes_out", "crc32", "meta", "stats",
+                "cluster_lo", "cluster_hi", "payload",
             )}
             for i, name in enumerate(batch.schema.names):
                 gd = gds.get(name)
@@ -230,6 +275,8 @@ def encode_pages(
                 rows["crc32"].append(enc.crc32)
                 rows["meta"].append(enc.meta)
                 rows["stats"].append(_col_stats(batch.column(i)))
+                rows["cluster_lo"].append(cl_lo)
+                rows["cluster_hi"].append(cl_hi)
                 rows["payload"].append(enc.payload)
             yield pa.RecordBatch.from_pydict(rows, schema=_ENCODED_ARROW)
 

@@ -21,6 +21,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         T.token_count(F.col("text")).alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
         F.round(T.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
         F.length("text").cast("long").alias("n_chars_actual"),
     ).orderBy("doc_id")

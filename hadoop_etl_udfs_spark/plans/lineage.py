@@ -199,6 +199,48 @@ def decode_chunks_where(
         st.unpersist()
 
 
+def decode_chunks_where_clustered(
+    spark: SparkSession,
+    out_dir: str,
+    lo: int,
+    hi: int,
+    schema: str | None = None,
+    global_dicts: dict | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Scan-level zone-map pruning on a cluster-stamped sink (encode ran
+    with ``encode_pages(cluster_by=...)``): every chunk row carries the
+    chunk's [cluster_lo, cluster_hi] for the sink's declared cluster
+    column, so the range predicate is an ORDINARY parquet filter —
+
+    - no driver-side keep-set collect (decode_chunks_where's
+      ``_ISIN_PUSHDOWN_MAX`` bound disappears; works at any chunk count),
+    - pushed to the scan (PushedFilters on cluster_lo/cluster_hi), which on
+      a range-clustered layout prunes whole row groups via parquet stats,
+    - chunk-atomic by construction (all rows of a chunk share the pair).
+
+    Chunks with NULL cluster stats (non-numeric domain, all-null column,
+    or rows from a pre-cluster sink read with mergeSchema) are always kept.
+    ``lo``/``hi`` are in the cluster column's int64 domain (epoch-µs for
+    timestamps). Sinks encoded WITHOUT cluster_by raise loudly."""
+    from ..operators.encode import decode_chunks, subset_schema
+
+    data = (
+        read_encoded_columns(spark, out_dir, columns) if columns
+        else read_encoded(spark, out_dir)
+    )
+    if "cluster_lo" not in data.columns:
+        raise ValueError(
+            f"sink {out_dir} carries no cluster stats — encode with "
+            "encode_pages(cluster_by=...) or use decode_chunks_where()"
+        )
+    keep = F.col("cluster_lo").isNull() | ~(
+        (F.col("cluster_hi") < F.lit(lo)) | (F.col("cluster_lo") > F.lit(hi))
+    )
+    out_schema = subset_schema(columns, schema) if columns else schema
+    return decode_chunks(data.filter(keep), out_schema, global_dicts)
+
+
 def completed_chunk_ids(spark: SparkSession, out_dir: str, n_columns: int) -> set[int]:
     """Chunks with all columns present (a torn write of some columns does not
     count as done). countDistinct, not count(*): duplicate manifest rows (the

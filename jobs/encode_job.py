@@ -40,6 +40,9 @@ def main() -> None:
                    help="column(s) to encode with a broadcast global dictionary")
     p.add_argument("--resume", action="store_true",
                    help="skip chunks already completed in the output manifest")
+    p.add_argument("--cluster-by", default=None,
+                   help="numeric-domain column whose per-chunk [min,max] is "
+                        "stamped on every chunk row (scan-level zone maps)")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
     if not args.input and not args.synthesize:
@@ -84,6 +87,7 @@ def main() -> None:
         salt_buckets=salt,
         skip_chunk_ids=done,
         global_dicts=gds or None,
+        cluster_by=args.cluster_by,
     )
     lineage.write_encoded(enc, args.output, mode="append")
     wall = time.time() - t0

@@ -137,6 +137,64 @@ def test_zone_map_composes_with_column_partitioned_sink(spark, tmp_path):
     pages.unpersist()
 
 
+def test_clustered_zone_map_pushes_range_to_scan(spark, tmp_path):
+    """Scan-level zone maps: a cluster-stamped sink carries the chunk's
+    [min,max] of the declared cluster column on every row, so the range
+    predicate pushes into the parquet scan itself — no driver-side keep-set
+    collect, no Join, PushedFilters on cluster_lo/cluster_hi. Rows in range
+    are present and value-correct; chunks fully out of range are pruned."""
+    import datetime as dt
+
+    from hadoop_etl_udfs_spark.operators.encode import encode_pages
+    from hadoop_etl_udfs_spark.plans import lineage
+    from hadoop_etl_udfs_spark.sources.pages import synthesize_pages
+
+    out = str(tmp_path / "clus")
+    pages = synthesize_pages(spark, 600, seed=8).orderBy("warc_ts").coalesce(3)
+    pages = pages.cache()
+    lineage.write_encoded(
+        encode_pages(pages, shuffle=False, cluster_by="warc_ts"), out
+    )
+    b = pages.agg(
+        F.min(F.unix_micros("warc_ts")).alias("lo"),
+        F.max(F.unix_micros("warc_ts")).alias("hi"),
+    ).collect()[0]
+    cut = b["lo"] + (b["hi"] - b["lo"]) // 5
+    dec = lineage.decode_chunks_where_clustered(
+        spark, out, b["lo"], cut, columns=["url", "warc_ts"]
+    )
+    plan = plan_of(dec)
+    assert "Join" not in plan
+    pushed = plan.split("PushedFilters:")[1][:300]
+    assert "cluster_hi" in pushed and "cluster_lo" in pushed
+    got = {r["url"]: r["warc_ts"] for r in dec.collect()}
+    want = {
+        r["url"]: r["warc_ts"]
+        for r in pages.select("url", "warc_ts")
+        .filter(F.unix_micros("warc_ts") <= cut)
+        .collect()
+    }
+    assert set(want) <= set(got)
+    assert all(got[u] == t for u, t in want.items())
+    assert len(got) < 600  # chunk pruning actually happened
+    # a sink without cluster stamps must fail loudly, not decode everything
+    out2 = str(tmp_path / "noclus")
+    lineage.write_encoded(encode_pages(pages, shuffle=False), out2)
+    enc2 = lineage.read_encoded(spark, out2)
+    assert enc2.filter(F.col("cluster_lo").isNotNull()).count() == 0
+    import pytest as _pytest
+
+    legacy = enc2.drop("cluster_lo", "cluster_hi")
+    legacy.write.mode("overwrite").option("compression", "none").parquet(
+        str(tmp_path / "legacy" / "chunks")
+    )
+    with _pytest.raises(ValueError, match="no cluster stats"):
+        lineage.decode_chunks_where_clustered(
+            spark, str(tmp_path / "legacy"), 0, 1
+        )
+    pages.unpersist()
+
+
 def test_zone_map_small_keep_pushes_in_filter(spark, tmp_path):
     """The small-keep path pushes chunk ids as an IN filter (PushedFilters
     at the parquet scan) instead of planning a join."""
