@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     kernel itself oracle-checked via binary_features_docs) ---
         "multimodal_features": multimodal.multimodal_features_demo,
         "binary_features_docs": multimodal.binary_features_docs,
+        "frame_sample_docs": multimodal.frame_sample_docs,
+        "resize_grayscale_docs": multimodal.resize_grayscale_docs,
         # --- the encode engine over a driver table: the codec-independent
         #     lineage half is oracle-checked; codec/bytes_out stay rows-only
         "encode_documents_lineage": textstats.encode_documents_lineage,
@@ -274,6 +276,36 @@ def _ivf_assigned_cte() -> str:
             FROM (SELECT *, {least} AS m FROM dists)
         )
     """
+
+def _resize_oracle_sql() -> str:
+    """Mirror of multimodal.resize_grayscale(src=(4,4), dst=(2,2)) over
+    documents.text: canvas byte at 0-based pos = ascii(substr) when inside
+    the text, zero-padded past the end; each 2x2 output pixel is the mean
+    of its 2x2 source block (exact in float64 — integer sums / 4)."""
+    def byte(pos: int) -> str:
+        return (
+            f"(CASE WHEN {pos} < strlen(text) "
+            f"THEN ascii(substr(text, {pos + 1}, 1)) ELSE 0 END)"
+        )
+
+    pixels = []
+    for i in range(2):
+        for j in range(2):
+            terms = [
+                byte((2 * i + di) * 4 + (2 * j + dj))
+                for di in (0, 1)
+                for dj in (0, 1)
+            ]
+            pixels.append(
+                f"round(({' + '.join(terms)}) / 4.0, 4) AS p{i}{j}"
+            )
+    cols = ",\n                   ".join(pixels)
+    return f"""
+            SELECT doc_id,
+                   {cols}
+            FROM documents ORDER BY doc_id
+    """
+
 
 _TOKCOUNT = "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
 _FINGERPRINT = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
@@ -589,6 +621,31 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(f.mean_byte4, 0.0) AS mean_byte4
             FROM documents d LEFT JOIN f USING (doc_id)
         """,
+        # frame sampling: offsets/lengths/md5s of evenly spaced byte windows
+        # (same integer offset formula as multimodal.frame_sample; ASCII
+        # text makes string positions equal byte offsets)
+        "frame_sample_docs": """
+            WITH f AS (
+                SELECT doc_id, text, strlen(text) AS L FROM documents
+            ),
+            fr AS (
+                SELECT doc_id, text, L,
+                       unnest(CASE WHEN L <= 64 THEN [0]
+                              ELSE [0, 1, 2, 3] END) AS frame_no,
+                       unnest(CASE WHEN L <= 64 THEN [CAST(0 AS BIGINT)]
+                              ELSE [CAST(0 AS BIGINT),
+                                    (L - 64) // 3,
+                                    (2 * (L - 64)) // 3,
+                                    L - 64] END) AS frame_off
+                FROM f
+            )
+            SELECT doc_id, frame_no, frame_off,
+                   CAST(least(64, L - frame_off) AS INT) AS frame_len,
+                   md5(substr(text, CAST(frame_off AS INT) + 1, 64))
+                       AS frame_md5
+            FROM fr ORDER BY doc_id, frame_no
+        """,
+        "resize_grayscale_docs": _resize_oracle_sql(),
         "exact_dedup": f"""
             SELECT {_FINGERPRINT} AS fp, min(doc_id) AS keep_doc_id,
                    count(*) AS n_copies

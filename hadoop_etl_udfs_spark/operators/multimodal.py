@@ -102,6 +102,125 @@ def extract_features(
     return pages.select("url", "html").mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+def frame_sample(
+    pages: DataFrame,
+    media_col: str = "html",
+    key_col: str = "url",
+    n_frames: int = 4,
+    frame_bytes: int = 64,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Frame-sampling plumbing for video-ish binary columns: n evenly spaced
+    fixed-width byte windows per blob, one output row per (key, frame_no).
+
+    Offset math (shared with the DuckDB oracle): blobs of length
+    L <= frame_bytes yield ONE frame at offset 0; otherwise frame i sits at
+    ``(i * (L - frame_bytes)) // (n_frames - 1)`` — first frame at the head,
+    last flush with the tail. A real container/codec frame grabber is
+    stubbed (no media libs in this container); the fake "frame" is the raw
+    byte window, which preserves the exact batch shape (rows × frames),
+    the offset arithmetic, and the output schema a real one would have."""
+    schema = (
+        f"{key_col} string, frame_no int, frame_off long, "
+        "frame_len int, frame binary"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keys, fnos, offs, flens, frames = [], [], [], [], []
+            for key, payload in zip(pdf[key_col], pdf[media_col]):
+                p = payload if payload is not None else b""
+                if use_real_decoder:
+                    decode_image_stub(p)
+                L = len(p)
+                if L <= frame_bytes:
+                    row_offs = [0]
+                else:
+                    row_offs = [
+                        (i * (L - frame_bytes)) // (n_frames - 1)
+                        for i in range(n_frames)
+                    ]
+                for i, off in enumerate(row_offs):
+                    win = bytes(p[off : off + frame_bytes])
+                    keys.append(key)
+                    fnos.append(i)
+                    offs.append(off)
+                    flens.append(len(win))
+                    frames.append(win)
+            yield pd.DataFrame(
+                {
+                    key_col: keys,
+                    "frame_no": np.array(fnos, dtype=np.int32),
+                    "frame_off": np.array(offs, dtype=np.int64),
+                    "frame_len": np.array(flens, dtype=np.int32),
+                    "frame": frames,
+                }
+            )
+
+    return pages.select(key_col, media_col).mapInPandas(kernel, schema)
+
+
+def resize_grayscale(
+    pages: DataFrame,
+    media_col: str = "html",
+    key_col: str = "url",
+    src: tuple[int, int] = (32, 32),
+    dst: tuple[int, int] = (8, 8),
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Resize plumbing: views each blob's first src_h*src_w bytes as a
+    grayscale bitmap (zero-padded when shorter) and block-mean downsamples
+    to dst — ONE vectorized scatter + reshape-mean per Arrow batch, no
+    per-row numpy. A real image decode would replace the byte-window view
+    with actual pixel planes; the batching, scatter and pooling are
+    unchanged. Output: one float per dst pixel, row-major."""
+    H, W = src
+    h, w = dst
+    if H % h or W % w:
+        raise ValueError("dst must evenly divide src")
+    schema = f"{key_col} string, pixels array<double>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hw = H * W
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            payloads = [
+                p if p is not None else b"" for p in pdf[media_col]
+            ]
+            if use_real_decoder:
+                for p in payloads:
+                    decode_image_stub(p)
+            lens = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=n
+            )
+            clipped = np.minimum(lens, hw)
+            blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            # vectorized scatter of each row's first `clipped` bytes into a
+            # zero canvas: global positions minus per-row starts
+            canvas = np.zeros((n, hw), dtype=np.float64)
+            total = int(clipped.sum())
+            if total:
+                row_id = np.repeat(np.arange(n, dtype=np.int64), clipped)
+                starts = np.concatenate(([0], np.cumsum(clipped)[:-1]))
+                pos = np.arange(total, dtype=np.int64) - np.repeat(starts, clipped)
+                blob_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                src_idx = np.repeat(blob_starts, clipped) + pos
+                canvas[row_id, pos] = blob[src_idx]
+            pooled = canvas.reshape(n, h, H // h, w, W // w).mean(axis=(2, 4))
+            yield pd.DataFrame(
+                {
+                    key_col: pdf[key_col].to_numpy(),
+                    "pixels": list(pooled.reshape(n, h * w)),
+                }
+            )
+
+    return pages.select(key_col, media_col).mapInPandas(kernel, schema)
+
+
 def multimodal_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-contract entry: deterministic pages -> binary feature extract
     (rows-only check; the media decode itself is stubbed)."""
@@ -111,6 +230,46 @@ def multimodal_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(pages).select(
         "url", "n_bytes", "magic", F.round("entropy", 4).alias("entropy4")
     ).orderBy("url")
+
+
+def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textstats import _docs
+
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("text").cast("binary").alias("html"),
+    )
+
+
+def frame_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED frame sampling over documents.text-as-binary: the
+    kernel's offsets, lengths and frame md5s verified value-for-value
+    against DuckDB substr/md5 (the text is pure printable ASCII, so string
+    positions equal byte offsets)."""
+    fs = frame_sample(_docs_as_media(spark, sf_dir), n_frames=4, frame_bytes=64)
+    return fs.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "frame_no",
+        "frame_off",
+        "frame_len",
+        F.md5("frame").alias("frame_md5"),
+    ).orderBy("doc_id", "frame_no")
+
+
+def resize_grayscale_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED resize plumbing: documents.text's first 16 bytes as a
+    4x4 grayscale bitmap, block-mean pooled to 2x2 — each output pixel is
+    the mean of 4 byte values DuckDB recomputes via ascii(substr(...))."""
+    rs = resize_grayscale(
+        _docs_as_media(spark, sf_dir), src=(4, 4), dst=(2, 2)
+    )
+    px = [
+        F.round(F.get(F.col("pixels"), k), 4).alias(name)
+        for k, name in enumerate(("p00", "p01", "p10", "p11"))
+    ]
+    return rs.select(
+        F.col("url").cast("long").alias("doc_id"), *px
+    ).orderBy("doc_id")
 
 
 def binary_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

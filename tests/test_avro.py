@@ -74,6 +74,47 @@ def test_avro_roundtrip_bit_identical(spark, tmp_path):
     pages.unpersist()
 
 
+def test_avro_lite_property_roundtrip(tmp_path):
+    """Property test: arbitrary rows over the full supported type matrix
+    round-trip exactly through both codecs and any block size."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "l", "type": ["null", "long"]},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": ["null", "bytes"]},
+            {"name": "f", "type": "boolean"},
+            {"name": "i", "type": "int"},
+        ],
+    }
+    row_st = st.fixed_dictionaries({
+        "s": st.text(max_size=40),
+        "l": st.none() | st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+        "d": st.floats(allow_nan=False, width=64),
+        "b": st.none() | st.binary(max_size=40),
+        "f": st.booleans(),
+        "i": st.integers(min_value=-(1 << 31), max_value=(1 << 31) - 1),
+    })
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        rows=st.lists(row_st, max_size=25),
+        codec=st.sampled_from(["null", "deflate"]),
+        per_block=st.integers(min_value=1, max_value=7),
+    )
+    def roundtrip(rows, codec, per_block):
+        p = str(tmp_path / "prop.avro")
+        write_avro(p, schema, rows, codec=codec, records_per_block=per_block)
+        _, back = read_avro(p)
+        assert back == rows
+
+    roundtrip()
+
+
 def test_avro_lite_union_nulls(tmp_path):
     """Nullable fields via [null, T] unions — Avro's standard null idiom."""
     schema = {

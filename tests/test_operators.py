@@ -133,6 +133,46 @@ def test_multimodal_real_decoder_is_stubbed(spark):
     )
 
 
+def test_frame_sample_offsets_and_padding(spark):
+    """Frame sampling: evenly spaced windows, last flush with the tail,
+    short blobs collapse to one whole-blob frame, real decode stubbed."""
+    rows = [("a", bytes(range(200))), ("b", b"xy"), ("c", None)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = multimodal.frame_sample(df, n_frames=4, frame_bytes=64).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["url"], []).append(r)
+    a = sorted(by_key["a"], key=lambda r: r["frame_no"])
+    assert [r["frame_off"] for r in a] == [0, 45, 90, 136]  # (i*136)//3
+    assert all(r["frame_len"] == 64 for r in a)
+    assert bytes(a[3]["frame"]) == bytes(range(136, 200))
+    (b,) = by_key["b"]
+    assert b["frame_off"] == 0 and bytes(b["frame"]) == b"xy" and b["frame_len"] == 2
+    (c,) = by_key["c"]  # null payload -> one empty frame, not a crash
+    assert c["frame_len"] == 0
+    with pytest.raises(Exception):
+        multimodal.frame_sample(df, use_real_decoder=True).collect()
+
+
+def test_resize_grayscale_block_means(spark):
+    """Resize kernel: first src bytes as a bitmap, zero-padded, block-mean
+    pooled — exact expected values, vectorized scatter path."""
+    img = bytes(range(16))            # 4x4: rows [0..3],[4..7],[8..11],[12..15]
+    short = bytes([100, 200])         # pads 14 zeros
+    df = spark.createDataFrame(
+        [("full", img), ("short", short)], "url string, html binary"
+    )
+    out = {
+        r["url"]: list(r["pixels"])
+        for r in multimodal.resize_grayscale(df, src=(4, 4), dst=(2, 2)).collect()
+    }
+    assert out["full"] == [
+        (0 + 1 + 4 + 5) / 4, (2 + 3 + 6 + 7) / 4,
+        (8 + 9 + 12 + 13) / 4, (10 + 11 + 14 + 15) / 4,
+    ]
+    assert out["short"] == [(100 + 200) / 4, 0.0, 0.0, 0.0]
+
+
 def test_ivf_deterministic_and_partitions_all_vectors(spark):
     a = similarity.ivf_assignments(spark, SF).collect()
     b = similarity.ivf_assignments(spark, SF).collect()
