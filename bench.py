@@ -237,7 +237,10 @@ def main() -> None:
             )
             need = []
             if eff_now < 0.8:
-                need += [LOW_CORES, MID_CORES]
+                # eff = low/mid/ratio: only a faster MID draw can RAISE it
+                # (a faster LOW draw pushes the gate further away) — re-run
+                # the mid-core config only
+                need += [MID_CORES]
             if results[CPUS]["wall_s"] >= results[MID_CORES]["wall_s"]:
                 need += [CPUS]
             if not need:

@@ -222,7 +222,29 @@ def encode_pages(
     collect, and hard row-group pruning when the layout is range-clustered.
     Without it the two columns are NULL and the JSON zone-map path
     (decode_chunks_where) still applies.
+
+    A misspelled or non-numeric ``cluster_by`` raises here, at write time —
+    silently stamping NULLs would make every later clustered decode scan the
+    whole sink with no error (all-null *chunks* still stamp NULL, which
+    readers conservatively keep).
     """
+    if cluster_by is not None:
+        if cluster_by not in df.columns:
+            raise ValueError(
+                f"cluster_by column {cluster_by!r} not in input columns "
+                f"{df.columns} — a misspelled cluster column must fail loud "
+                "at write time, not produce an unprunable sink"
+            )
+        cb_type = df.schema[cluster_by].dataType.typeName()
+        if cb_type not in (
+            "timestamp", "timestamp_ntz", "date", "long", "integer",
+            "short", "byte", "boolean",
+        ):
+            raise TypeError(
+                f"cluster_by column {cluster_by!r} has non-numeric-domain "
+                f"type {cb_type}; cluster stamps need an int64-mappable "
+                "domain (timestamp/date/int/boolean)"
+            )
     if shuffle:
         if salt_buckets == "adaptive":
             from ..plans.salting import salted_partitioning_adaptive

@@ -120,6 +120,8 @@ def frame_sample(
     stubbed (no media libs in this container); the fake "frame" is the raw
     byte window, which preserves the exact batch shape (rows × frames),
     the offset arithmetic, and the output schema a real one would have."""
+    if n_frames < 1:
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
     schema = (
         f"{key_col} string, frame_no int, frame_off long, "
         "frame_len int, frame binary"
@@ -135,7 +137,7 @@ def frame_sample(
                 if use_real_decoder:
                     decode_image_stub(p)
                 L = len(p)
-                if L <= frame_bytes:
+                if L <= frame_bytes or n_frames == 1:
                     row_offs = [0]
                 else:
                     row_offs = [

@@ -234,6 +234,16 @@ def decode_chunks_where_clustered(
             f"sink {out_dir} carries no cluster stats — encode with "
             "encode_pages(cluster_by=...) or use decode_chunks_where()"
         )
+    # round-3 sinks always HAVE the columns; a sink written without
+    # cluster_by has them all-NULL, and the keep-filter would silently
+    # decode everything. Probe one column-pruned row (limit 1
+    # short-circuits the scan) so that case fails loud instead.
+    if not data.filter(F.col("cluster_lo").isNotNull()).limit(1).collect():
+        raise ValueError(
+            f"sink {out_dir} has no non-NULL cluster stamps (encoded "
+            "without cluster_by, or the cluster column was all-null) — "
+            "range pruning is impossible; use decode_chunks_where()"
+        )
     keep = F.col("cluster_lo").isNull() | ~(
         (F.col("cluster_hi") < F.lit(lo)) | (F.col("cluster_lo") > F.lit(hi))
     )

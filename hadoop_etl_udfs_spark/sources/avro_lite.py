@@ -83,15 +83,28 @@ def _type_name(schema) -> str:
 def _encode_value(buf: io.BytesIO, schema, v) -> None:
     if isinstance(schema, list):  # union: branch index then value
         idx = next(
-            i for i, br in enumerate(schema)
-            if (v is None) == (_type_name(br) == "null")
+            (
+                i for i, br in enumerate(schema)
+                if (v is None) == (_type_name(br) == "null")
+            ),
+            None,
         )
+        if idx is None:
+            raise ValueError(
+                f"value {v!r} fits no branch of union {schema!r} "
+                "(None for a non-nullable union?)"
+            )
         _write_long(buf, idx)
         _encode_value(buf, schema[idx], v)
         return
     t = _type_name(schema)
     if t == "null":
         return
+    if v is None:
+        raise ValueError(
+            f"None for non-nullable avro type {t!r} — declare the field "
+            'as a ["null", ...] union'
+        )
     if t == "boolean":
         buf.write(b"\x01" if v else b"\x00")
     elif t in ("int", "long"):
@@ -241,9 +254,81 @@ def pages_avro_schema() -> dict:
 
 
 def _is_timestamp_micros(field_type) -> bool:
+    if isinstance(field_type, list):  # nullable union idiom
+        return any(_is_timestamp_micros(br) for br in field_type)
     return (
         isinstance(field_type, dict)
         and field_type.get("logicalType") == "timestamp-micros"
+    )
+
+
+_AVRO_PRIMITIVES = {
+    "string": "string", "long": "long", "integer": "int",
+    "double": "double", "float": "float", "binary": "bytes",
+    "boolean": "boolean",
+}
+
+
+def avro_schema_for(df_schema) -> dict:
+    """Spark StructType -> avro writer schema (fields as nullable unions,
+    timestamps as timestamp-micros logical longs). Raises for types outside
+    this module's documented primitive scope."""
+    fields = []
+    for f in df_schema.fields:
+        name = f.dataType.typeName()
+        if name in ("timestamp", "timestamp_ntz"):
+            core = {"type": "long", "logicalType": "timestamp-micros"}
+        elif name in _AVRO_PRIMITIVES:
+            core = _AVRO_PRIMITIVES[name]
+        else:
+            raise ValueError(
+                f"avro_lite cannot write Spark type {name!r} "
+                f"(field {f.name!r}) — supported: "
+                f"{sorted(_AVRO_PRIMITIVES)} + timestamp"
+            )
+        fields.append({"name": f.name, "type": ["null", core]})
+    return {"type": "record", "name": "row", "fields": fields}
+
+
+def write_avro_spark(df, path: str) -> int:
+    """Distributed fallback sink: each task writes its partition as one
+    Avro container file ``part-<pid>.avro`` under ``path``. Requires a
+    filesystem shared by driver and executors (local mode, NFS) — the same
+    honesty caveat as the fallback reader; production Avro export at scale
+    uses the spark-avro JVM sink, which the dispatch prefers whenever the
+    module is on the classpath. Returns the number of files written."""
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    schema = avro_schema_for(df.schema)
+    ts_cols = {
+        f.name for f in df.schema.fields
+        if f.dataType.typeName() in ("timestamp", "timestamp_ntz")
+    }
+    os.makedirs(path, exist_ok=True)
+
+    def write_part(batches):
+        rows: list[dict] = []
+        for batch in batches:
+            cols = {}
+            for i, name in enumerate(batch.schema.names):
+                col = batch.column(i)
+                if name in ts_cols:
+                    col = col.cast(pa.int64())  # epoch-µs for the logical type
+                cols[name] = col.to_pylist()
+            names = list(cols)
+            for vals in zip(*(cols[n] for n in names)):
+                rows.append(dict(zip(names, vals)))
+        if rows:
+            pid = TaskContext.get().partitionId()
+            write_avro(
+                os.path.join(path, f"part-{pid:05d}.avro"), schema, rows
+            )
+            yield pa.RecordBatch.from_pydict({"files": [1]})
+
+    return int(
+        df.mapInArrow(write_part, "files long").agg({"files": "sum"})
+        .collect()[0][0] or 0
     )
 
 

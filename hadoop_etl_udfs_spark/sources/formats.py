@@ -30,21 +30,29 @@ _FORMAT_OPTIONS: dict[str, dict[str, str]] = {
 }
 
 
+_HAS_SPARK_AVRO: bool | None = None  # classpath is constant per process
+
+
 def _has_spark_avro(spark: SparkSession) -> bool:
-    try:
-        spark.read.format("avro").schema("x int").load(
-            "/nonexistent_probe_path"
-        ).schema
-    except Exception as e:  # noqa: BLE001
-        if "Failed to find data source" in str(e):
-            return False
-    return True
+    global _HAS_SPARK_AVRO
+    if _HAS_SPARK_AVRO is None:
+        try:
+            spark.read.format("avro").schema("x int").load(
+                "/nonexistent_probe_path"
+            ).schema
+            _HAS_SPARK_AVRO = True
+        except Exception as e:  # noqa: BLE001
+            # datasource resolution happens before the path lookup, so a
+            # missing module fails with this exact template; any OTHER
+            # error (e.g. path-not-found) proves the source resolved
+            _HAS_SPARK_AVRO = "Failed to find data source" not in str(e)
+    return _HAS_SPARK_AVRO
 
 
 def supported_formats(spark: SparkSession) -> list[str]:
-    # avro is always supported: via the spark-avro module when it is on the
-    # classpath, else via the pure-Python container-file fallback
-    # (sources/avro_lite.py) wired into read_pages' dispatch
+    # avro is always supported in BOTH directions: via the spark-avro module
+    # when it is on the classpath, else via the pure-Python container-file
+    # fallback (sources/avro_lite.py) wired into read_pages AND write_table
     return list(_FORMAT_OPTIONS)
 
 
@@ -132,6 +140,25 @@ def write_table(
     """Format-dispatched sink with Hive-style directory partitioning
     (reference export: dynamic-partition GROUP BY + one file per group,
     ExportHCatTable.java:114-156 — here ``partitionBy`` + task parallelism)."""
+    if fmt == "avro" and not _has_spark_avro(df.sparkSession):
+        # symmetric with read_pages' fallback: the pure-Python container-file
+        # writer, one file per partition (partition_by/compression are
+        # spark-avro features — fail loud rather than silently ignore)
+        if partition_by or compression:
+            raise ValueError(
+                "avro fallback sink supports neither partition_by nor "
+                "compression options — vendor spark-avro for those"
+            )
+        from .avro_lite import write_avro_spark
+        import os
+        import shutil
+
+        if mode == "overwrite" and os.path.isdir(path):
+            shutil.rmtree(path)
+        elif mode == "errorifexists" and os.path.exists(path):
+            raise FileExistsError(path)
+        write_avro_spark(df, path)
+        return
     w = df.write.format(fmt).mode(mode)
     for k, v in _FORMAT_OPTIONS.get(fmt, {}).items():
         w = w.option(k, v)

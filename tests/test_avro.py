@@ -115,6 +115,56 @@ def test_avro_lite_property_roundtrip(tmp_path):
     roundtrip()
 
 
+def test_write_table_avro_fallback_roundtrip(spark, tmp_path):
+    """S6 symmetry: write_table(fmt='avro') dispatches to the pure-Python
+    container-file sink when spark-avro is absent (one file per partition),
+    and the dispatch read gets the rows back fingerprint-identical."""
+    from hadoop_etl_udfs_spark.sources.formats import write_table
+    from hadoop_etl_udfs_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 120, seed=13).repartition(3).cache()
+    out = str(tmp_path / "avro_sink")
+    write_table(pages, out, fmt="avro")
+    files = [f for f in os.listdir(out) if f.endswith(".avro")]
+    assert len(files) == 3  # one container file per partition
+    got = read_pages(spark, out, fmt="avro")
+
+    def fp(df):
+        return df.select(
+            F.bit_xor(F.xxhash64("url", "warc_ts", "html", "text", "lang"))
+            .alias("h")
+        ).collect()[0]["h"]
+
+    assert got.count() == 120 and fp(got) == fp(pages)
+    # overwrite replaces; unsupported sink options fail loud
+    write_table(pages.limit(10).coalesce(1), out, fmt="avro")
+    assert read_pages(spark, out, fmt="avro").count() == 10
+    import pytest
+
+    with pytest.raises(ValueError, match="fallback sink"):
+        write_table(pages, out, fmt="avro", partition_by=["lang"])
+    pages.unpersist()
+
+
+def test_encode_value_union_mismatch_is_diagnosable(tmp_path):
+    """None for a non-nullable field raises a ValueError naming the problem,
+    not a bare StopIteration/AttributeError."""
+    import pytest
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "v", "type": ["long", "string"]}],
+    }
+    with pytest.raises(ValueError, match="fits no branch"):
+        write_avro(str(tmp_path / "bad.avro"), schema, [{"v": None}])
+    schema2 = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "v", "type": "string"}],
+    }
+    with pytest.raises(ValueError, match="non-nullable"):
+        write_avro(str(tmp_path / "bad2.avro"), schema2, [{"v": None}])
+
+
 def test_avro_lite_union_nulls(tmp_path):
     """Nullable fields via [null, T] unions — Avro's standard null idiom."""
     schema = {

@@ -33,7 +33,7 @@ def test_roundtrip_all_formats(spark):
     ).collect()[0]["h"]
     want = fp(pages)
     try:
-        for fmt in ["parquet", "orc", "json", "csv"]:
+        for fmt in ["parquet", "orc", "json", "csv", "avro"]:
             p = os.path.join(base, fmt)
             write_table(pages, p, fmt=fmt)
             got = read_pages(spark, p, fmt=fmt, schema="url string, text string, lang string")

@@ -152,6 +152,13 @@ def test_frame_sample_offsets_and_padding(spark):
     assert c["frame_len"] == 0
     with pytest.raises(Exception):
         multimodal.frame_sample(df, use_real_decoder=True).collect()
+    # n_frames=1 on a long blob: single head frame, no division by zero
+    one = multimodal.frame_sample(df, n_frames=1, frame_bytes=64).collect()
+    assert len(one) == 3
+    a1 = next(r for r in one if r["url"] == "a")
+    assert a1["frame_off"] == 0 and a1["frame_len"] == 64
+    with pytest.raises(ValueError, match="n_frames"):
+        multimodal.frame_sample(df, n_frames=0)
 
 
 def test_resize_grayscale_block_means(spark):

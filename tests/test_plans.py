@@ -184,6 +184,15 @@ def test_clustered_zone_map_pushes_range_to_scan(spark, tmp_path):
     assert enc2.filter(F.col("cluster_lo").isNotNull()).count() == 0
     import pytest as _pytest
 
+    # round-3 sink, columns present but all-NULL (encoded without
+    # cluster_by): the clustered decode must raise, not scan everything
+    with _pytest.raises(ValueError, match="no non-NULL cluster stamps"):
+        lineage.decode_chunks_where_clustered(spark, out2, 0, 1)
+    # and a misspelled / non-numeric cluster column fails at WRITE time
+    with _pytest.raises(ValueError, match="not in input columns"):
+        encode_pages(pages, shuffle=False, cluster_by="warcts")
+    with _pytest.raises(TypeError, match="non-numeric-domain"):
+        encode_pages(pages, shuffle=False, cluster_by="url")
     legacy = enc2.drop("cluster_lo", "cluster_hi")
     legacy.write.mode("overwrite").option("compression", "none").parquet(
         str(tmp_path / "legacy" / "chunks")
