@@ -153,10 +153,18 @@ def write_table(
         import os
         import shutil
 
-        if mode == "overwrite" and os.path.isdir(path):
-            shutil.rmtree(path)
-        elif mode == "errorifexists" and os.path.exists(path):
-            raise FileExistsError(path)
+        if mode == "overwrite":
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+        elif mode in ("error", "errorifexists"):
+            if os.path.exists(path):
+                raise FileExistsError(path)
+        else:
+            # append would silently clobber same-numbered part files
+            raise ValueError(
+                f"avro fallback sink supports modes overwrite/errorifexists,"
+                f" not {mode!r}"
+            )
         write_avro_spark(df, path)
         return
     w = df.write.format(fmt).mode(mode)

@@ -33,6 +33,7 @@ def start_encode_stream(
     codec: str = "auto",
     salt_buckets: int = 8,
     max_files_per_trigger: int = 16,
+    cluster_by: str | None = None,
 ) -> StreamingQuery:
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
@@ -43,7 +44,8 @@ def start_encode_stream(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         done = lineage.completed_chunk_ids(spark, out_dir, n_columns=5)
         enc = encode_pages(
-            batch_df, codec=codec, salt_buckets=salt_buckets, skip_chunk_ids=done
+            batch_df, codec=codec, salt_buckets=salt_buckets,
+            skip_chunk_ids=done, cluster_by=cluster_by,
         )
         lineage.write_encoded(enc, out_dir, mode="append")
 

@@ -143,6 +143,10 @@ def test_write_table_avro_fallback_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="fallback sink"):
         write_table(pages, out, fmt="avro", partition_by=["lang"])
+    with pytest.raises(ValueError, match="modes overwrite"):
+        write_table(pages, out, fmt="avro", mode="append")
+    with pytest.raises(FileExistsError):
+        write_table(pages, out, fmt="avro", mode="errorifexists")
     pages.unpersist()
 
 

@@ -29,14 +29,18 @@ def test_streaming_incremental_encode(spark):
         ).cache()
         wave1.coalesce(1).write.parquet(os.path.join(in_dir, "w1"))
 
-        q = start_encode_stream(spark, in_dir + "/*", out_dir, ckpt)
+        q = start_encode_stream(
+            spark, in_dir + "/*", out_dir, ckpt, cluster_by="warc_ts"
+        )
         q.processAllAvailable()
         q.stop()
         n1 = lineage.read_manifest(spark, out_dir).select("chunk_id").distinct().count()
         assert n1 > 0
 
         wave2.coalesce(1).write.parquet(os.path.join(in_dir, "w2"))
-        q = start_encode_stream(spark, in_dir + "/*", out_dir, ckpt)
+        q = start_encode_stream(
+            spark, in_dir + "/*", out_dir, ckpt, cluster_by="warc_ts"
+        )
         q.processAllAvailable()
         q.stop()
 
@@ -52,6 +56,20 @@ def test_streaming_incremental_encode(spark):
         assert result["ok"], result
         metrics = streaming_lineage_metrics(spark, out_dir)
         assert metrics.count() >= 5
+        # the streaming sink is cluster-stamped like the batch path: every
+        # chunk row carries [cluster_lo, cluster_hi] and a range decode
+        # over the micro-batch-built sink finds the in-range rows
+        assert enc.filter(F.col("cluster_lo").isNull()).count() == 0
+        lo = all_pages.agg(
+            F.min(F.unix_micros("warc_ts")).alias("lo")
+        ).collect()[0]["lo"]
+        dec = lineage.decode_chunks_where_clustered(spark, out_dir, lo, lo)
+        got = {r["url"] for r in dec.collect()}
+        want = {
+            r["url"]
+            for r in all_pages.filter(F.unix_micros("warc_ts") == lo).collect()
+        }
+        assert want <= got
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
