@@ -291,6 +291,51 @@ def sink_has_duplicates(spark: SparkSession, out_dir: str) -> bool:
     return row["n"] != row["d"]
 
 
+def recluster_sink(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    cluster_by: str,
+    schema: str | None = None,
+    n_partitions: int | None = None,
+    codec: str = "auto",
+    global_dicts: dict | None = None,
+    partition_by_column: bool = False,
+) -> None:
+    """Rewrite an existing chunk sink range-clustered on ``cluster_by`` —
+    the columnar engine's OPTIMIZE/compaction: sinks built without
+    ``encode_pages(cluster_by=...)`` (e.g. pre-round-3, or incrementally by
+    the streaming encode before it stamped clusters) have no scan-level
+    zone maps and decode in full; this job makes them range-prunable.
+
+    Plan: grouped decode of the source sink (tolerates duplicated chunks —
+    decode_chunks dedupes in the group) → ``repartitionByRange`` on the
+    cluster column (a range shuffle, so chunk [lo, hi] windows are narrow
+    AND the sink's parquet row groups are range-sorted — both pruning
+    levers at once) → re-encode with ``cluster_by`` → fresh sink at
+    ``dst_dir``. Cost: one full decode + one range shuffle + one encode of
+    the data — the honest price of reclustering at any scale; at 100 TB
+    run it column-complete per time slice, not all-at-once.
+
+    ``shuffle=False`` on the re-encode preserves the range partitioning
+    (the salted host shuffle would scatter it)."""
+    from ..operators.encode import decode_chunks, encode_pages
+
+    pages = decode_chunks(
+        read_encoded(spark, src_dir), schema=schema, global_dicts=global_dicts
+    )
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    pages = pages.repartitionByRange(n, F.col(cluster_by))
+    enc = encode_pages(
+        pages, codec=codec, shuffle=False, cluster_by=cluster_by,
+        global_dicts=global_dicts,
+    )
+    write_encoded(
+        enc, dst_dir, mode="errorifexists",
+        partition_by_column=partition_by_column,
+    )
+
+
 def encode_resumable(
     pages: DataFrame,
     out_dir: str,

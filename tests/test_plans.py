@@ -220,3 +220,59 @@ def test_zone_map_small_keep_pushes_in_filter(spark, tmp_path):
     pushed = plan.split("PushedFilters:")[1][:300]
     # Catalyst renders a 1-element isin as EqualTo, larger sets as In
     assert "In(chunk_id" in pushed or "EqualTo(chunk_id" in pushed
+
+
+def test_recluster_sink_makes_unclustered_sink_prunable(spark, tmp_path):
+    """OPTIMIZE path: a sink encoded WITHOUT cluster_by (clustered decode
+    raises) is rewritten range-clustered by recluster_sink; the rewritten
+    sink prunes chunks on a time-range decode, values bit-match the
+    source, and a second recluster to the same dst fails loud."""
+    from hadoop_etl_udfs_spark.operators.encode import (
+        encode_pages,
+        verify_roundtrip,
+    )
+    from hadoop_etl_udfs_spark.plans import lineage
+    from hadoop_etl_udfs_spark.sources.pages import synthesize_pages
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    # deliberately NOT time-ordered: shuffled input, no cluster stamps
+    pages = synthesize_pages(spark, 800, seed=21).repartition(4).cache()
+    lineage.write_encoded(encode_pages(pages, shuffle=False), src)
+    with pytest.raises(ValueError, match="no non-NULL cluster stamps"):
+        lineage.decode_chunks_where_clustered(spark, src, 0, 1)
+
+    lineage.recluster_sink(spark, src, dst, "warc_ts", n_partitions=4)
+    enc2 = lineage.read_encoded(spark, dst)
+    assert enc2.filter(F.col("cluster_lo").isNull()).count() == 0
+    # full roundtrip of the rewritten sink is bit-identical to the source
+    assert verify_roundtrip(pages, enc2)["ok"]
+
+    b = pages.agg(
+        F.min(F.unix_micros("warc_ts")).alias("lo"),
+        F.max(F.unix_micros("warc_ts")).alias("hi"),
+    ).collect()[0]
+    cut = b["lo"] + (b["hi"] - b["lo"]) // 5
+    total_chunks = enc2.select("chunk_id").distinct().count()
+    kept_chunks = (
+        enc2.filter(
+            ~((F.col("cluster_hi") < b["lo"]) | (F.col("cluster_lo") > cut))
+        )
+        .select("chunk_id")
+        .distinct()
+        .count()
+    )
+    assert kept_chunks < total_chunks  # range layout => narrow windows
+    dec = lineage.decode_chunks_where_clustered(spark, dst, b["lo"], cut)
+    got = {r["url"]: r["warc_ts"] for r in dec.collect()}
+    want = {
+        r["url"]: r["warc_ts"]
+        for r in pages.filter(F.unix_micros("warc_ts") <= cut)
+        .select("url", "warc_ts")
+        .collect()
+    }
+    assert set(want) <= set(got)
+    assert all(got[u] == t for u, t in want.items())
+    with pytest.raises(Exception):  # dst exists: no silent append-mix
+        lineage.recluster_sink(spark, src, dst, "warc_ts", n_partitions=4)
+    pages.unpersist()
