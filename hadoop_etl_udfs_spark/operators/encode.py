@@ -320,6 +320,37 @@ def subset_schema(columns, full_schema: str | None = None) -> str:
     return ", ".join(ordered)
 
 
+def _expected_ts_types(ddl_or_struct) -> dict[str, pa.DataType]:
+    """Arrow timestamp types the Python UDF verifier expects per field.
+
+    Chunk meta records the tz the WRITER session's Arrow batches carried
+    (e.g. ``Etc/UTC`` under a bare spark-submit session); the grouped-UDF
+    verifier always expects pyspark's canonical ``tz=UTC``
+    (``to_arrow_type(timestamp_utc=True)``). The stored values are absolute
+    epoch-µs either way, so aligning is a metadata-only cast — this is what
+    makes a sink decodable from a session with a different timezone than
+    the one that wrote it."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    st = (
+        ddl_or_struct
+        if isinstance(ddl_or_struct, StructType)
+        else StructType.fromDDL(ddl_or_struct)
+    )
+    return {
+        f.name: f.type
+        for f in to_arrow_schema(st)
+        if pa.types.is_timestamp(f.type)
+    }
+
+
+def _tz_align(arr: pa.Array, want: pa.DataType | None) -> pa.Array:
+    if want is not None and arr.type != want:
+        return arr.cast(want)
+    return arr
+
+
 def decode_chunks(
     enc: DataFrame, schema: str | None = None, global_dicts: dict | None = None
 ) -> DataFrame:
@@ -327,12 +358,14 @@ def decode_chunks(
 
     Grouped by chunk_id so a chunk's column rows reunite wherever they are
     (survives parquet round trips and splits); Arrow-native the whole way
-    (applyInArrow, Spark >= 4.0).
+    (applyInArrow, Spark >= 4.0). Decodes sinks written by sessions with a
+    different timezone (see :func:`_expected_ts_types`).
     """
     from ..sources.pages import PAGES_SCHEMA
 
     out_schema = schema or PAGES_SCHEMA
     gd_bc = enc.sparkSession.sparkContext.broadcast(global_dicts or {})
+    ts_types = _expected_ts_types(out_schema)
 
     def decode(table: pa.Table) -> pa.Table:
         gds = gd_bc.value
@@ -348,7 +381,12 @@ def decode_chunks(
             payload = t.column("payload")[row].as_py()
             meta = t.column("meta")[row].as_py()
             names.append(name)
-            arrays.append(decode_array(payload, meta, global_dict=gds.get(name)))
+            arrays.append(
+                _tz_align(
+                    decode_array(payload, meta, global_dict=gds.get(name)),
+                    ts_types.get(name),
+                )
+            )
         return pa.table(dict(zip(names, arrays)))
 
     return enc.groupBy("chunk_id").applyInArrow(decode, out_schema)
@@ -381,6 +419,7 @@ def decode_chunks_colocated(
 
     out_schema = schema or PAGES_SCHEMA
     gd_bc = enc.sparkSession.sparkContext.broadcast(global_dicts or {})
+    ts_types = _expected_ts_types(out_schema)
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         gds = gd_bc.value
@@ -418,7 +457,10 @@ def decode_chunks_colocated(
                     group.sort()
                     yield pa.RecordBatch.from_arrays(
                         [
-                            decode_array(p, m, global_dict=gds.get(nm))
+                            _tz_align(
+                                decode_array(p, m, global_dict=gds.get(nm)),
+                                ts_types.get(nm),
+                            )
                             for (_, nm, m, p) in group
                         ],
                         names=[nm for (_, nm, _, _) in group],

@@ -357,3 +357,36 @@ def test_decode_tolerates_stats_free_sink(spark, pages):
         assert len(lineage.completed_chunk_ids(spark, out, n_columns=5)) > 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_decode_aligns_writer_session_timezone(spark):
+    """A sink written by a session whose Arrow batches carried a different
+    (but equivalent) timezone id — e.g. tz=Etc/UTC under a bare
+    spark-submit session — must decode in THIS session: the epoch-µs
+    values are absolute, the tz is metadata, and both decode paths cast to
+    the verifier's canonical tz=UTC (operators/encode._tz_align)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_etl_udfs_spark.operators.encode import (
+        decode_chunks,
+        decode_chunks_colocated,
+        encode_pages,
+        verify_roundtrip,
+    )
+    from hadoop_etl_udfs_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, 200, seed=7).coalesce(1).cache()
+    enc = encode_pages(pages, shuffle=False)
+    drifted = enc.withColumn(
+        "meta", F.regexp_replace("meta", "tz=UTC", "tz=Etc/UTC")
+    ).cache()
+    try:
+        assert verify_roundtrip(pages, drifted)["ok"]  # grouped path
+        got = decode_chunks_colocated(drifted).select("url", "warc_ts")
+        want = {r["url"]: r["warc_ts"] for r in pages.select("url", "warc_ts").collect()}
+        rows = got.collect()
+        assert len(rows) == 200
+        assert all(want[r["url"]] == r["warc_ts"] for r in rows)
+    finally:
+        drifted.unpersist()
+        pages.unpersist()
