@@ -334,6 +334,19 @@ def recluster_sink(
         enc, dst_dir, mode="errorifexists",
         partition_by_column=partition_by_column,
     )
+    # a rewrite whose cluster column was entirely NULL produces exactly the
+    # silent-unprunable sink this engine fails loud on — check the result
+    if (
+        not read_encoded(spark, dst_dir)
+        .filter(F.col("cluster_lo").isNotNull())
+        .limit(1)
+        .collect()
+    ):
+        raise ValueError(
+            f"recluster produced no non-NULL cluster stamps at {dst_dir} — "
+            f"column {cluster_by!r} is all-null (or the source sink was "
+            "empty); the rewritten sink would be unprunable"
+        )
 
 
 def encode_resumable(

@@ -159,11 +159,14 @@ def write_table(
         elif mode in ("error", "errorifexists"):
             if os.path.exists(path):
                 raise FileExistsError(path)
+        elif mode == "ignore":  # Spark contract: no-op when target exists
+            if os.path.exists(path):
+                return
         else:
             # append would silently clobber same-numbered part files
             raise ValueError(
-                f"avro fallback sink supports modes overwrite/errorifexists,"
-                f" not {mode!r}"
+                f"avro fallback sink supports modes overwrite/errorifexists/"
+                f"ignore, not {mode!r}"
             )
         write_avro_spark(df, path)
         return

@@ -81,11 +81,15 @@ def main() -> None:
         F.count("*").alias("chunks"),
     ).collect()[0]
     # probe: middle 10% of the value range — kept fraction ≈ 0.1 when
-    # clustering worked, ≈ 1.0 when every chunk spans the whole range
+    # clustering worked, ≈ 1.0 when every chunk spans the whole range.
+    # NULL-stamped chunks count as kept: readers keep them conservatively
+    # (recluster_sink guarantees at least one non-NULL stamp, so lo/hi are
+    # set, but individual all-null chunks can still stamp NULL)
     span = (b["hi"] - b["lo"]) or 1
     plo, phi = b["lo"] + int(span * 0.45), b["lo"] + int(span * 0.55)
     kept = stats.filter(
-        ~((F.col("cluster_hi") < plo) | (F.col("cluster_lo") > phi))
+        F.col("cluster_lo").isNull()
+        | ~((F.col("cluster_hi") < plo) | (F.col("cluster_lo") > phi))
     ).count()
     print(
         json.dumps(

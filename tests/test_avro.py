@@ -147,6 +147,12 @@ def test_write_table_avro_fallback_roundtrip(spark, tmp_path):
         write_table(pages, out, fmt="avro", mode="append")
     with pytest.raises(FileExistsError):
         write_table(pages, out, fmt="avro", mode="errorifexists")
+    # Spark's ignore contract: no-op when the target exists, write if absent
+    write_table(pages, out, fmt="avro", mode="ignore")
+    assert read_pages(spark, out, fmt="avro").count() == 10  # unchanged
+    fresh = str(tmp_path / "avro_fresh")
+    write_table(pages.limit(5).coalesce(1), fresh, fmt="avro", mode="ignore")
+    assert read_pages(spark, fresh, fmt="avro").count() == 5
     pages.unpersist()
 
 

@@ -275,4 +275,16 @@ def test_recluster_sink_makes_unclustered_sink_prunable(spark, tmp_path):
     assert all(got[u] == t for u, t in want.items())
     with pytest.raises(Exception):  # dst exists: no silent append-mix
         lineage.recluster_sink(spark, src, dst, "warc_ts", n_partitions=4)
+    # an all-null cluster column would rewrite into an unprunable sink —
+    # the recluster must fail loud, not report success
+    nul = spark.createDataFrame(
+        [("a", None), ("b", None)], "url string, v long"
+    )
+    src3 = str(tmp_path / "src3")
+    lineage.write_encoded(encode_pages(nul, shuffle=False), src3)
+    with pytest.raises(ValueError, match="all-null"):
+        lineage.recluster_sink(
+            spark, src3, str(tmp_path / "dst3"), "v",
+            schema="url string, v long", n_partitions=1,
+        )
     pages.unpersist()

@@ -16,7 +16,15 @@ from hadoop_etl_udfs_spark.streaming.encode_stream import (
 )
 
 
-def test_streaming_incremental_encode(spark):
+import pytest
+
+
+@pytest.mark.parametrize("cluster_by", [None, "warc_ts"])
+def test_streaming_incremental_encode(spark, cluster_by):
+    """Both the default (unclustered) streaming path and the
+    cluster-stamped variant: exactly-once chunks across two waves,
+    bit-identical decode; with cluster_by, stamps on every chunk row and a
+    range decode over the micro-batch-built sink."""
     base = tempfile.mkdtemp(prefix="stream_")
     in_dir = os.path.join(base, "in")
     out_dir = os.path.join(base, "out")
@@ -30,7 +38,7 @@ def test_streaming_incremental_encode(spark):
         wave1.coalesce(1).write.parquet(os.path.join(in_dir, "w1"))
 
         q = start_encode_stream(
-            spark, in_dir + "/*", out_dir, ckpt, cluster_by="warc_ts"
+            spark, in_dir + "/*", out_dir, ckpt, cluster_by=cluster_by
         )
         q.processAllAvailable()
         q.stop()
@@ -39,7 +47,7 @@ def test_streaming_incremental_encode(spark):
 
         wave2.coalesce(1).write.parquet(os.path.join(in_dir, "w2"))
         q = start_encode_stream(
-            spark, in_dir + "/*", out_dir, ckpt, cluster_by="warc_ts"
+            spark, in_dir + "/*", out_dir, ckpt, cluster_by=cluster_by
         )
         q.processAllAvailable()
         q.stop()
@@ -56,20 +64,26 @@ def test_streaming_incremental_encode(spark):
         assert result["ok"], result
         metrics = streaming_lineage_metrics(spark, out_dir)
         assert metrics.count() >= 5
-        # the streaming sink is cluster-stamped like the batch path: every
-        # chunk row carries [cluster_lo, cluster_hi] and a range decode
-        # over the micro-batch-built sink finds the in-range rows
-        assert enc.filter(F.col("cluster_lo").isNull()).count() == 0
-        lo = all_pages.agg(
-            F.min(F.unix_micros("warc_ts")).alias("lo")
-        ).collect()[0]["lo"]
-        dec = lineage.decode_chunks_where_clustered(spark, out_dir, lo, lo)
-        got = {r["url"] for r in dec.collect()}
-        want = {
-            r["url"]
-            for r in all_pages.filter(F.unix_micros("warc_ts") == lo).collect()
-        }
-        assert want <= got
+        if cluster_by is None:
+            # default path: no stamps, clustered decode refuses loudly
+            assert enc.filter(F.col("cluster_lo").isNotNull()).count() == 0
+            with pytest.raises(ValueError, match="no non-NULL cluster stamps"):
+                lineage.decode_chunks_where_clustered(spark, out_dir, 0, 1)
+        else:
+            # cluster-stamped like the batch path: every chunk row carries
+            # [cluster_lo, cluster_hi] and a range decode over the
+            # micro-batch-built sink finds the in-range rows
+            assert enc.filter(F.col("cluster_lo").isNull()).count() == 0
+            lo = all_pages.agg(
+                F.min(F.unix_micros("warc_ts")).alias("lo")
+            ).collect()[0]["lo"]
+            dec = lineage.decode_chunks_where_clustered(spark, out_dir, lo, lo)
+            got = {r["url"] for r in dec.collect()}
+            want = {
+                r["url"]
+                for r in all_pages.filter(F.unix_micros("warc_ts") == lo).collect()
+            }
+            assert want <= got
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
