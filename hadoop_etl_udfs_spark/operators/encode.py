@@ -320,16 +320,22 @@ def subset_schema(columns, full_schema: str | None = None) -> str:
     return ", ".join(ordered)
 
 
-def _expected_ts_types(ddl_or_struct) -> dict[str, pa.DataType]:
-    """Arrow timestamp types the Python UDF verifier expects per field.
+def _expected_arrow_fields(ddl_or_struct) -> list[tuple[str, pa.DataType]]:
+    """Ordered (name, arrow type) pairs the Python UDF verifier expects for
+    the decode output schema — the anchor for two portability behaviors:
 
-    Chunk meta records the tz the WRITER session's Arrow batches carried
-    (e.g. ``Etc/UTC`` under a bare spark-submit session); the grouped-UDF
-    verifier always expects pyspark's canonical ``tz=UTC``
-    (``to_arrow_type(timestamp_utc=True)``). The stored values are absolute
-    epoch-µs either way, so aligning is a metadata-only cast — this is what
-    makes a sink decodable from a session with a different timezone than
-    the one that wrote it."""
+    - **timezone alignment**: chunk meta records the tz the WRITER
+      session's Arrow batches carried (e.g. ``Etc/UTC`` under a bare
+      spark-submit session); the grouped-UDF verifier always expects
+      pyspark's canonical ``tz=UTC`` (``to_arrow_type(timestamp_utc=True)``).
+      The stored values are absolute epoch-µs either way, so aligning is a
+      metadata-only cast.
+    - **schema evolution on the engine's own sink**: decode emits exactly
+      these fields — requested columns missing from an old sink come back
+      all-NULL (the reference's pre-evolution-file semantics,
+      tests/test_formats.py evolution test, applied to the chunk sink),
+      and sink columns not requested are skipped without decoding.
+    """
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import StructType
 
@@ -338,14 +344,10 @@ def _expected_ts_types(ddl_or_struct) -> dict[str, pa.DataType]:
         if isinstance(ddl_or_struct, StructType)
         else StructType.fromDDL(ddl_or_struct)
     )
-    return {
-        f.name: f.type
-        for f in to_arrow_schema(st)
-        if pa.types.is_timestamp(f.type)
-    }
+    return [(f.name, f.type) for f in to_arrow_schema(st)]
 
 
-def _tz_align(arr: pa.Array, want: pa.DataType | None) -> pa.Array:
+def _type_align(arr: pa.Array, want: pa.DataType | None) -> pa.Array:
     if want is not None and arr.type != want:
         return arr.cast(want)
     return arr
@@ -359,35 +361,39 @@ def decode_chunks(
     Grouped by chunk_id so a chunk's column rows reunite wherever they are
     (survives parquet round trips and splits); Arrow-native the whole way
     (applyInArrow, Spark >= 4.0). Decodes sinks written by sessions with a
-    different timezone (see :func:`_expected_ts_types`).
+    different timezone, fills schema-evolved columns absent from the sink
+    with NULLs, and skips sink columns the schema doesn't request (see
+    :func:`_expected_arrow_fields`).
     """
     from ..sources.pages import PAGES_SCHEMA
 
     out_schema = schema or PAGES_SCHEMA
     gd_bc = enc.sparkSession.sparkContext.broadcast(global_dicts or {})
-    ts_types = _expected_ts_types(out_schema)
+    exp_fields = _expected_arrow_fields(out_schema)
+    exp_names = {n for n, _ in exp_fields}
 
     def decode(table: pa.Table) -> pa.Table:
         gds = gd_bc.value
         t = table.sort_by("col_idx")
-        arrays, names = [], []
+        got: dict[str, pa.Array] = {}
+        n_rows = t.column("n_rows")[0].as_py() if t.num_rows else 0
         for row in range(t.num_rows):
             name = t.column("column")[row].as_py()
-            if name in names:
+            if name in got or name not in exp_names:
                 # duplicated sink (resume over drifted input appended the
-                # chunk twice): copies are content-identical by the
-                # chunk-id contract — decode the first, drop the rest
+                # chunk twice — copies are content-identical by the chunk-id
+                # contract: decode the first, drop the rest), or a sink
+                # column the output schema doesn't request (pay no decode)
                 continue
             payload = t.column("payload")[row].as_py()
             meta = t.column("meta")[row].as_py()
-            names.append(name)
-            arrays.append(
-                _tz_align(
-                    decode_array(payload, meta, global_dict=gds.get(name)),
-                    ts_types.get(name),
-                )
-            )
-        return pa.table(dict(zip(names, arrays)))
+            got[name] = decode_array(payload, meta, global_dict=gds.get(name))
+        return pa.table(
+            {
+                n: _type_align(got[n], ty) if n in got else pa.nulls(n_rows, ty)
+                for n, ty in exp_fields
+            }
+        )
 
     return enc.groupBy("chunk_id").applyInArrow(decode, out_schema)
 
@@ -414,12 +420,18 @@ def decode_chunks_colocated(
     ``plans.lineage.sink_has_duplicates`` first and use :func:`decode_chunks`
     (which dedupes inside the group) when it returns True, as jobs/decode_job
     does.
+
+    ``n_columns`` is the SINK's column count (group completion is counted
+    against it); the output follows ``schema``, with evolution semantics as
+    in :func:`decode_chunks` (missing columns NULL, extra sink columns
+    skipped without decoding).
     """
     from ..sources.pages import PAGES_SCHEMA
 
     out_schema = schema or PAGES_SCHEMA
     gd_bc = enc.sparkSession.sparkContext.broadcast(global_dicts or {})
-    ts_types = _expected_ts_types(out_schema)
+    exp_fields = _expected_arrow_fields(out_schema)
+    exp_types = dict(exp_fields)
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         gds = gd_bc.value
@@ -430,6 +442,7 @@ def decode_chunks_colocated(
             idx_col = batch.column(batch.schema.get_field_index("col_idx"))
             name_col = batch.column(batch.schema.get_field_index("column"))
             meta_col = batch.column(batch.schema.get_field_index("meta"))
+            nrows_col = batch.column(batch.schema.get_field_index("n_rows"))
             payload_col = batch.column(batch.schema.get_field_index("payload"))
             for row in range(batch.num_rows):
                 cid = cid_col[row].as_py()
@@ -442,10 +455,11 @@ def decode_chunks_colocated(
                         name_col[row].as_py(),
                         meta_col[row].as_py(),
                         payload_col[row].as_py(),
+                        nrows_col[row].as_py(),
                     )
                 )
                 if len(group) == n_columns:
-                    if len({idx for (idx, _, _, _) in group}) != n_columns:
+                    if len({idx for (idx, *_) in group}) != n_columns:
                         # a torn partial copy preceded a full copy in this
                         # partition: the group filled up with duplicated
                         # col_idx rows — emitting would mis-assemble columns
@@ -454,16 +468,21 @@ def decode_chunks_colocated(
                             "col_idx rows (torn partial copy before a full "
                             "copy) — use decode_chunks()"
                         )
-                    group.sort()
+                    got = {
+                        nm: _type_align(
+                            decode_array(p, m, global_dict=gds.get(nm)),
+                            exp_types[nm],
+                        )
+                        for (_, nm, m, p, _) in group
+                        if nm in exp_types
+                    }
+                    chunk_rows = group[0][4]
                     yield pa.RecordBatch.from_arrays(
                         [
-                            _tz_align(
-                                decode_array(p, m, global_dict=gds.get(nm)),
-                                ts_types.get(nm),
-                            )
-                            for (_, nm, m, p) in group
+                            got[n] if n in got else pa.nulls(chunk_rows, ty)
+                            for n, ty in exp_fields
                         ],
-                        names=[nm for (_, nm, _, _) in group],
+                        names=[n for n, _ in exp_fields],
                     )
                     del pending[cid]
                     seen.add(cid)

@@ -390,3 +390,52 @@ def test_decode_aligns_writer_session_timezone(spark):
     finally:
         drifted.unpersist()
         pages.unpersist()
+
+
+def test_decode_schema_evolution_on_chunk_sink(spark):
+    """The engine's own sink supports schema evolution at decode time:
+    an evolved schema's added column comes back all-NULL (the reference's
+    pre-evolution-file semantics applied to the chunk sink), a narrowed
+    schema skips the dropped sink columns without decoding them, and a
+    mixed-version sink (chunks appended before AND after the evolution)
+    decodes each chunk against the requested schema. Both decode paths."""
+    from pyspark.sql import functions as F
+
+    from hadoop_etl_udfs_spark.operators.encode import (
+        decode_chunks,
+        decode_chunks_colocated,
+        encode_pages,
+    )
+    from hadoop_etl_udfs_spark.sources.pages import PAGES_SCHEMA, synthesize_pages
+
+    pages = synthesize_pages(spark, 300, seed=17).coalesce(1).cache()
+    enc = encode_pages(pages, shuffle=False).cache()
+    evolved = PAGES_SCHEMA + ", quality double"
+    try:
+        for dec in (
+            decode_chunks(enc, schema=evolved),
+            decode_chunks_colocated(enc, schema=evolved),
+        ):
+            got = dec.cache()
+            assert got.count() == 300
+            assert got.filter(F.col("quality").isNotNull()).count() == 0
+            fp_cols = ["url", "warc_ts", "html", "text", "lang"]
+            fp = lambda df: df.select(
+                F.bit_xor(F.xxhash64(*fp_cols)).alias("h")
+            ).collect()[0]["h"]
+            assert fp(got) == fp(pages)  # surviving columns bit-identical
+            got.unpersist()
+        # narrowed schema: only the 2 requested sink columns decode
+        proj = decode_chunks(enc, schema="url string, lang string")
+        assert proj.columns == ["url", "lang"] and proj.count() == 300
+        # mixed-version sink: chunks of 5 and 6 columns appended together
+        evolved_pages = pages.limit(50).withColumn(
+            "quality", F.length("text").cast("double")
+        ).coalesce(1)
+        mixed = enc.unionByName(encode_pages(evolved_pages, shuffle=False))
+        out = decode_chunks(mixed, schema=evolved)
+        assert out.count() == 350
+        assert out.filter(F.col("quality").isNotNull()).count() == 50
+    finally:
+        enc.unpersist()
+        pages.unpersist()
