@@ -388,6 +388,15 @@ def decode_chunks(
             payload = t.column("payload")[row].as_py()
             meta = t.column("meta")[row].as_py()
             got[name] = decode_array(payload, meta, global_dict=gds.get(name))
+        if t.num_rows and not got:
+            # zero overlap between the requested schema and this chunk's
+            # columns is a misspelled schema, not evolution — an all-NULL
+            # result here would be the silent-wrong-answer failure mode
+            raise ValueError(
+                "none of the requested output columns "
+                f"{sorted(n for n, _ in exp_fields)} exist in this chunk "
+                f"(sink columns: {sorted(set(t.column('column').to_pylist()))})"
+            )
         return pa.table(
             {
                 n: _type_align(got[n], ty) if n in got else pa.nulls(n_rows, ty)
@@ -476,6 +485,15 @@ def decode_chunks_colocated(
                         for (_, nm, m, p, _) in group
                         if nm in exp_types
                     }
+                    if not got:
+                        # zero schema overlap = misspelled schema (see
+                        # decode_chunks) — never emit an all-NULL chunk
+                        raise ValueError(
+                            "none of the requested output columns "
+                            f"{sorted(exp_types)} exist in chunk {cid} "
+                            f"(sink columns: "
+                            f"{sorted(nm for (_, nm, *_) in group)})"
+                        )
                     chunk_rows = group[0][4]
                     yield pa.RecordBatch.from_arrays(
                         [

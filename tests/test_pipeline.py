@@ -428,6 +428,11 @@ def test_decode_schema_evolution_on_chunk_sink(spark):
         # narrowed schema: only the 2 requested sink columns decode
         proj = decode_chunks(enc, schema="url string, lang string")
         assert proj.columns == ["url", "lang"] and proj.count() == 300
+        # zero schema overlap = misspelled schema, never an all-NULL result
+        import pytest
+
+        with pytest.raises(Exception, match="none of the requested"):
+            decode_chunks(enc, schema="urll string, langg string").collect()
         # mixed-version sink: chunks of 5 and 6 columns appended together
         evolved_pages = pages.limit(50).withColumn(
             "quality", F.length("text").cast("double")
