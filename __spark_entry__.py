@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": dedup.simhash64,                        # rows-only (xxhash64)
         "simhash_checked": dedup.simhash_checked,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dedup_clusters": dedup.dedup_clusters_checked,
         # --- similarity search ---
         "cosine_topk": similarity.cosine_topk,
         "cosine_topk_lsh": similarity.cosine_topk_lsh,
@@ -131,7 +132,10 @@ def _md5h_sql(expr: str, seed: int) -> str:
     )
 
 
-def _minhash_checked_sql() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE body (shingles -> md5 minhash -> capped band buckets)
+    used by both the pairs oracle and the clusters oracle — one generator,
+    so the two can never drift apart."""
     from hadoop_etl_udfs_spark.operators.dedup import (
         BAND_ROWS,
         MAX_BAND_BUCKET,
@@ -155,8 +159,7 @@ def _minhash_checked_sql() -> str:
         )
         for b in range(n_bands)
     )
-    return f"""
-            WITH docs_w AS (
+    return f"""docs_w AS (
                 SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
                 FROM documents
             ),
@@ -185,13 +188,50 @@ def _minhash_checked_sql() -> str:
             buckets AS (
                 SELECT b.doc_id, b.band, b.sig
                 FROM buckets0 b JOIN small USING (band, sig)
-            )
+            )"""
+
+
+def _minhash_checked_sql() -> str:
+    return f"""
+            WITH {_minhash_ctes()}
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    count(*) AS n_shared_bands
             FROM buckets a JOIN buckets b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             ORDER BY doc_a, doc_b
+    """
+
+
+def _dedup_clusters_sql() -> str:
+    """Connected components over the SAME md5 band pairs, as a recursive
+    CTE: reach(x, lbl) enumerates every label reachable from x through the
+    undirected pair graph; min reachable = the component representative —
+    exactly duplicate_clusters' min-label fixpoint."""
+    return f"""
+            WITH RECURSIVE {_minhash_ctes()},
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM buckets a JOIN buckets b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            edges AS (
+                SELECT doc_a AS x, doc_b AS y FROM pairs
+                UNION SELECT doc_b AS x, doc_a AS y FROM pairs
+            ),
+            reach(x, lbl) AS (
+                SELECT x, x AS lbl FROM (SELECT DISTINCT x FROM edges)
+                UNION
+                SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.x
+            ),
+            comp AS (
+                SELECT x AS doc_id, min(lbl) AS cluster_rep
+                FROM reach GROUP BY x
+            )
+            SELECT doc_id, cluster_rep,
+                   count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+            FROM comp ORDER BY doc_id
     """
 
 
@@ -593,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
         # checked twins of the xxhash64 near-dup operators: identical
         # pipelines over md5-derived hashes both engines compute
         "minhash_lsh_pairs_checked": _minhash_checked_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "simhash_checked": _simhash_checked_sql(),
         # entropy() in DuckDB is Shannon log2 entropy over the value multiset
         # = the kernel's byte-histogram entropy; the double round mirrors the

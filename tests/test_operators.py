@@ -313,3 +313,29 @@ def test_train_ivf_centroids_sampled_and_deterministic(spark):
     assert out.count() == 500
     cells = {r["cell"] for r in out.collect()}
     assert cells <= set(range(similarity.N_CELLS)) and len(cells) > 1
+
+
+def test_duplicate_clusters_label_propagation(spark):
+    """Connected components over planted pair graphs: a diameter-4 chain
+    (multi-round propagation), an isolated pair, and a triangle all resolve
+    to their component-min representative with correct sizes; an
+    unconverged run raises instead of returning split clusters."""
+    from hadoop_etl_udfs_spark.operators.dedup import duplicate_clusters
+
+    # chain 10-11-12-13-14 (diameter 4), pair 20-21, triangle 30-31-32
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14),
+         (20, 21),
+         (30, 31), (31, 32), (30, 32)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: r for r in duplicate_clusters(pairs).collect()}
+    assert {d: r["cluster_rep"] for d, r in out.items()} == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30,
+    }
+    assert all(out[d]["cluster_size"] == 5 for d in (10, 11, 12, 13, 14))
+    assert out[20]["cluster_size"] == 2 and out[30]["cluster_size"] == 3
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iter=2)  # diameter-4 chain needs more
