@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_heuristic": textstats.lang_id_heuristic,
         "doc_fingerprints": textstats.doc_fingerprints,
         "corpus_filter_pipeline": textstats.corpus_filter_pipeline,
+        "decontamination_check": textstats.decontamination_check,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,       # rows-only (xxhash64)
@@ -626,6 +627,33 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_heuristic": f"""
             SELECT doc_id, lang AS lang_true, {_lang_id_sql()} AS lang_pred
             FROM documents
+        """,
+        # decontamination: same shingle fragments as the minhash oracle;
+        # constants imported from the operator module (anti-drift)
+        "decontamination_check": f"""
+            WITH docs_w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            expl AS (
+                SELECT doc_id, w, unnest(range(0, greatest(len(w), 3) - 2)) AS i
+                FROM docs_w
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+                FROM expl
+            ),
+            sh1 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+            bench AS (
+                SELECT DISTINCT shingle FROM sh1
+                WHERE doc_id % {textstats.BENCH_EVERY} = 0
+            )
+            SELECT doc_id, count(DISTINCT shingle) AS n_overlap
+            FROM sh1 JOIN bench USING (shingle)
+            GROUP BY doc_id
+            HAVING count(DISTINCT shingle) >= {textstats.MIN_OVERLAP}
+            ORDER BY doc_id
         """,
         "doc_fingerprints": f"""
             SELECT doc_id, {_FINGERPRINT} AS fp FROM documents

@@ -95,6 +95,47 @@ def encode_documents_lineage_checked(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+BENCH_EVERY = 37      # deterministic stand-in benchmark set: doc_id % 37 == 0
+MIN_OVERLAP = 3       # distinct shared shingles to flag a doc contaminated
+
+
+def decontamination_check(
+    spark: SparkSession, sf_dir: str,
+    bench_every: int = BENCH_EVERY, min_overlap: int = MIN_OVERLAP,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose word-3-gram
+    overlap with a benchmark set reaches ``min_overlap`` distinct shingles
+    — the standard pre-training hygiene step that keeps eval data out of
+    the training corpus.
+
+    Scale shape: benchmarks are small (thousands of docs), so the
+    benchmark's DISTINCT shingle set is **broadcast** — the corpus side is
+    scanned once, the semi-join is map-side, and the only shuffle is the
+    per-doc count aggregate (map-side combinable). No corpus self-join,
+    no benchmark shuffle. The stand-in benchmark here is the deterministic
+    ``doc_id % bench_every == 0`` slice of the same table (no external
+    data, per the driver contract); a real deployment passes a separate
+    benchmark table through the same plan. Returns flagged docs only:
+    (doc_id, n_overlap), overlap counted over DISTINCT shingles."""
+    from .dedup import _docs as _d
+    from .dedup import _shingles
+
+    docs = _d(spark, sf_dir)
+    sh = _shingles(docs).dropDuplicates(["doc_id", "shingle"])
+    bench_sh = (
+        sh.filter(F.col("doc_id") % bench_every == 0)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+        .orderBy("doc_id")
+    )
+
+
 def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus filter in ONE Spark plan: quality gate +
     language agreement + exact dedup (keep the smallest doc_id per

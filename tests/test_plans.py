@@ -288,3 +288,22 @@ def test_recluster_sink_makes_unclustered_sink_prunable(spark, tmp_path):
             schema="url string, v long", n_partitions=1,
         )
     pages.unpersist()
+
+
+def test_decontamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set is the SMALL side — it must broadcast
+    (map-side semi-join against the corpus scan); the only shuffle is the
+    per-doc overlap aggregate. Benchmark member docs flag themselves
+    (full self-overlap), non-benchmark flagged docs need >= MIN_OVERLAP."""
+    from hadoop_etl_udfs_spark.operators import textstats
+
+    df = textstats.decontamination_check(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+    rows = df.collect()
+    assert rows, "sf0.001 corpus must contain contaminated docs"
+    assert all(r["n_overlap"] >= textstats.MIN_OVERLAP for r in rows)
+    flagged = {r["doc_id"] for r in rows}
+    bench = {r["doc_id"] for r in rows if r["doc_id"] % textstats.BENCH_EVERY == 0}
+    assert bench  # the planted benchmark members flag themselves
+    assert flagged >= bench
