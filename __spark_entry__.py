@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": textstats.doc_fingerprints,
         "corpus_filter_pipeline": textstats.corpus_filter_pipeline,
         "decontamination_check": textstats.decontamination_check,
+        "corpus_split": textstats.corpus_split,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,       # rows-only (xxhash64)
@@ -657,6 +658,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": f"""
             SELECT doc_id, {_FINGERPRINT} AS fp FROM documents
+        """,
+        # content-hash split: md5-derived bucket of the SAME fingerprint
+        # expression; bounds imported from the operator module (anti-drift)
+        "corpus_split": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       {_md5h_sql(_FINGERPRINT, 0)}
+                           % {textstats.N_SPLIT_BUCKETS} AS bucket
+                FROM documents
+            )
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < {textstats.SPLIT_BOUNDS[0]} THEN 'train'
+                        WHEN bucket < {textstats.SPLIT_BOUNDS[1]} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id
         """,
         # checked twins of the xxhash64 near-dup operators: identical
         # pipelines over md5-derived hashes both engines compute

@@ -136,6 +136,34 @@ def decontamination_check(
     )
 
 
+N_SPLIT_BUCKETS = 10_000
+SPLIT_BOUNDS = (9_500, 9_750)   # train < 9500, val < 9750, test = rest
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by CONTENT-hash bucket —
+    the split is a pure function of the normalized text, so (a) re-running
+    on a grown corpus never reassigns an existing document, and (b) exact
+    duplicates land in the SAME split (no train→eval leakage through
+    copies; pair with near-dup clustering for fuzzier leakage). The bucket
+    is the md5-derived hash of the text fingerprint mod ``N_SPLIT_BUCKETS``
+    — a scan-stage expression, no shuffle at all (the orderBy is the
+    driver check's presentation sort)."""
+    from .dedup import _hash64
+
+    docs = _docs(spark, sf_dir)
+    fp = T.fingerprint(F.col("text"))
+    bucket = _hash64([fp], 0, "md5") % N_SPLIT_BUCKETS
+    split = (
+        F.when(bucket < SPLIT_BOUNDS[0], "train")
+        .when(bucket < SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+    )
+    return docs.select(
+        "doc_id", bucket.alias("bucket"), split.alias("split")
+    ).orderBy("doc_id")
+
+
 def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus filter in ONE Spark plan: quality gate +
     language agreement + exact dedup (keep the smallest doc_id per

@@ -307,3 +307,42 @@ def test_decontamination_broadcasts_benchmark(spark):
     bench = {r["doc_id"] for r in rows if r["doc_id"] % textstats.BENCH_EVERY == 0}
     assert bench  # the planted benchmark members flag themselves
     assert flagged >= bench
+
+
+def test_corpus_split_is_content_based_and_shuffle_free(spark):
+    """Exact duplicates (same fingerprint) always land in the same split —
+    the content-hash property that prevents train/eval leakage through
+    copies; the split itself is a scan-stage expression (the only Exchange
+    is the presentation sort)."""
+    from hadoop_etl_udfs_spark.operators import textstats
+
+    df = textstats.corpus_split(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange") == 1  # rangepartitioning for the orderBy
+    assert df.count() == 500 and set(df.columns) == {"doc_id", "bucket", "split"}
+
+
+def test_corpus_split_duplicates_share_a_split(spark, tmp_path):
+    """Planted exact duplicates (same text modulo whitespace) get the same
+    bucket and split — the content-hash property that prevents train/eval
+    leakage through copies; assignment is stable under corpus growth."""
+    from hadoop_etl_udfs_spark.operators import textstats
+
+    rows = [(i, f"document body {i % 40}  with\textra   spaces") for i in range(120)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in textstats.corpus_split(spark, str(tmp_path)).collect()}
+    assert len(out) == 120
+    for i in range(120):
+        twin = out[i % 40]   # same normalized text as doc i
+        assert out[i]["bucket"] == twin["bucket"]
+        assert out[i]["split"] == twin["split"]
+    assert len({r["bucket"] for r in out.values()}) > 1  # sanity: buckets vary
+    # growth stability: a half-corpus run assigns the shared docs identically
+    sub_dir = tmp_path / "half"
+    spark.read.parquet(str(tmp_path / "documents.parquet")).filter(
+        "doc_id < 60"
+    ).write.parquet(str(sub_dir / "documents.parquet"))
+    sub = {r["doc_id"]: r for r in textstats.corpus_split(spark, str(sub_dir)).collect()}
+    assert all(sub[d]["split"] == out[d]["split"] for d in sub)
