@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter_pipeline": textstats.corpus_filter_pipeline,
         "decontamination_check": textstats.decontamination_check,
         "corpus_split": textstats.corpus_split,
+        "content_flags": textstats.content_flags,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,       # rows-only (xxhash64)
@@ -658,6 +659,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprints": f"""
             SELECT doc_id, {_FINGERPRINT} AS fp FROM documents
+        """,
+        # regex constants imported from the operator module (anti-drift);
+        # Spark size() on a split of empty text still counts 1 element in
+        # both engines, so the TTR denominators agree
+        "content_flags": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{textstats._EMAIL_RE}'))
+                       AS n_emails,
+                   len(regexp_extract_all(text, '{textstats._URL_RE}'))
+                       AS n_urls,
+                   round(
+                       CAST(len(list_distinct(
+                           string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+                       / greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+                       4) AS ttr
+            FROM documents
+            ORDER BY doc_id
         """,
         # content-hash split: md5-derived bucket of the SAME fingerprint
         # expression; bounds imported from the operator module (anti-drift)

@@ -136,6 +136,33 @@ def decontamination_check(
     )
 
 
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^ ]+"
+
+
+def content_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-filter signals beyond the quality score: PII-ish pattern
+    counts (emails, URLs) and the type-token ratio (distinct words /
+    words — low TTR = boilerplate/repetition, the Gopher-style repetition
+    signal). All scan-stage expressions (regexp_extract_all +
+    array_distinct), zero shuffle; patterns live in module constants the
+    oracle SQL imports, so the two engines can't drift."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_URL_RE)))
+        .cast("long").alias("n_urls"),
+        F.round(
+            F.size(F.array_distinct(words))
+            / F.greatest(F.size(words), F.lit(1)),
+            4,
+        ).alias("ttr"),
+    ).orderBy("doc_id")
+
+
 N_SPLIT_BUCKETS = 10_000
 SPLIT_BOUNDS = (9_500, 9_750)   # train < 9500, val < 9750, test = rest
 
