@@ -390,12 +390,20 @@ def decode_chunks(
             got[name] = decode_array(payload, meta, global_dict=gds.get(name))
         if t.num_rows and not got:
             # zero overlap between the requested schema and this chunk's
-            # columns is a misspelled schema, not evolution — an all-NULL
-            # result here would be the silent-wrong-answer failure mode
+            # columns: most likely a misspelled schema — an all-NULL result
+            # would be the silent-wrong-answer failure mode. (On a
+            # mixed-version sink, requesting ONLY post-evolution columns
+            # also lands here for pre-evolution chunks: include an anchor
+            # column that exists in every chunk, e.g. the key.) Partial
+            # overlap is treated as evolution and NULL-filled — a misspelled
+            # name ALONGSIDE correct ones is indistinguishable from an
+            # evolved column by construction.
             raise ValueError(
                 "none of the requested output columns "
                 f"{sorted(n for n, _ in exp_fields)} exist in this chunk "
                 f"(sink columns: {sorted(set(t.column('column').to_pylist()))})"
+                " — misspelled schema, or a pre-evolution chunk asked for "
+                "only post-evolution columns (include an anchor column)"
             )
         return pa.table(
             {
@@ -431,9 +439,13 @@ def decode_chunks_colocated(
     does.
 
     ``n_columns`` is the SINK's column count (group completion is counted
-    against it); the output follows ``schema``, with evolution semantics as
-    in :func:`decode_chunks` (missing columns NULL, extra sink columns
-    skipped without decoding).
+    against it) and must match the sink's true uniform arity — a mismatch
+    in either direction raises :class:`IncompleteChunkError` rather than
+    silently dropping or NULLing columns. The output follows ``schema``,
+    with evolution semantics as in :func:`decode_chunks` (missing columns
+    NULL, extra sink columns skipped without decoding). Mixed-ARITY sinks
+    (chunks appended before and after a schema evolution) have no single
+    n_columns: decode those with :func:`decode_chunks`.
     """
     from ..sources.pages import PAGES_SCHEMA
 
@@ -455,8 +467,20 @@ def decode_chunks_colocated(
             payload_col = batch.column(batch.schema.get_field_index("payload"))
             for row in range(batch.num_rows):
                 cid = cid_col[row].as_py()
-                if cid in seen:  # same-partition duplicate copy
-                    continue
+                if cid in seen:
+                    # a duplicate COPY re-sends col_idx < n_columns; a row
+                    # with col_idx >= n_columns means the sink's chunks have
+                    # MORE columns than n_columns claims — emitting already
+                    # happened, so dropping it would silently NULL a column
+                    # that exists (evolved sink decoded with a stale arity)
+                    if idx_col[row].as_py() >= n_columns:
+                        raise IncompleteChunkError(
+                            f"chunk {cid} arrived incomplete: sink chunks "
+                            f"carry more than n_columns={n_columns} columns "
+                            "— pass the sink's true column count, or use "
+                            "decode_chunks()"
+                        )
+                    continue  # same-partition duplicate copy
                 group = pending.setdefault(cid, [])
                 group.append(
                     (
@@ -468,14 +492,16 @@ def decode_chunks_colocated(
                     )
                 )
                 if len(group) == n_columns:
-                    if len({idx for (idx, *_) in group}) != n_columns:
-                        # a torn partial copy preceded a full copy in this
-                        # partition: the group filled up with duplicated
-                        # col_idx rows — emitting would mis-assemble columns
+                    if {idx for (idx, *_) in group} != set(range(n_columns)):
+                        # duplicated col_idx rows (torn partial copy before
+                        # a full copy) or col_idx beyond n_columns (sink
+                        # arity larger than claimed) — emitting would
+                        # mis-assemble or silently drop columns
                         raise IncompleteChunkError(
-                            f"chunk {cid} arrived incomplete: duplicated "
-                            "col_idx rows (torn partial copy before a full "
-                            "copy) — use decode_chunks()"
+                            f"chunk {cid} arrived incomplete: col_idx set "
+                            f"!= 0..{n_columns - 1} (torn partial copy, or "
+                            "n_columns smaller than the sink's arity) — "
+                            "use decode_chunks()"
                         )
                     got = {
                         nm: _type_align(

@@ -25,6 +25,10 @@ def main() -> None:
                    help="column(s) encoded with a saved global dictionary")
     p.add_argument("--schema", default=None,
                    help="output DDL (default: the pages schema)")
+    p.add_argument("--sink-columns", type=int, default=5,
+                   help="the sink's column count (colocated-path group "
+                        "arity — NOT the output schema's width; an evolved "
+                        "sink with more columns needs this raised)")
     args = p.parse_args()
     if not args.output and not args.verify_against:
         p.error("nothing to do: pass --output and/or --verify-against")
@@ -56,7 +60,10 @@ def main() -> None:
     else:
         try:
             enc = lineage.read_encoded_colocated(spark, args.input)
-            dec = decode_chunks_colocated(enc, schema=args.schema, global_dicts=gds)
+            dec = decode_chunks_colocated(
+                enc, schema=args.schema, n_columns=args.sink_columns,
+                global_dicts=gds,
+            )
             dec.cache().count()  # materialize; torn chunks raise here
             result["decode_path"] = "colocated"
         except Exception as e:

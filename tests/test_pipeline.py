@@ -364,7 +364,7 @@ def test_decode_aligns_writer_session_timezone(spark):
     (but equivalent) timezone id — e.g. tz=Etc/UTC under a bare
     spark-submit session — must decode in THIS session: the epoch-µs
     values are absolute, the tz is metadata, and both decode paths cast to
-    the verifier's canonical tz=UTC (operators/encode._tz_align)."""
+    the verifier's canonical tz=UTC (operators/encode._type_align)."""
     from pyspark.sql import functions as F
 
     from hadoop_etl_udfs_spark.operators.encode import (
@@ -444,3 +444,36 @@ def test_decode_schema_evolution_on_chunk_sink(spark):
     finally:
         enc.unpersist()
         pages.unpersist()
+
+
+def test_colocated_decode_rejects_wrong_sink_arity(spark, tmp_path):
+    """An evolved (6-column) sink decoded colocated with a stale
+    n_columns=5 must raise, not silently NULL the sixth column whose data
+    exists in the sink; the correct arity decodes, including NULL-filling
+    a column the schema requests but the sink lacks."""
+    from hadoop_etl_udfs_spark.operators.encode import (
+        IncompleteChunkError,
+        decode_chunks_colocated,
+    )
+
+    pages6 = (
+        synthesize_pages(spark, 200, seed=23)
+        .withColumn("quality", F.length("text").cast("double"))
+        .coalesce(1)
+    )
+    out = str(tmp_path / "six")
+    lineage.write_encoded(encode_pages(pages6, shuffle=False), out)
+    enc = lineage.read_encoded_colocated(spark, out)
+    schema6 = (
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, quality double"
+    )
+    with pytest.raises(Exception, match="arrived incomplete"):
+        decode_chunks_colocated(enc, schema=schema6, n_columns=5).collect()
+    good = decode_chunks_colocated(enc, schema=schema6, n_columns=6)
+    got = {r["url"]: r["quality"] for r in good.collect()}
+    want = {r["url"]: r["quality"] for r in pages6.collect()}
+    assert got == want and len(got) == 200
+    # over-specified arity is loud too (groups never complete)
+    with pytest.raises(Exception, match="arrived incomplete"):
+        decode_chunks_colocated(enc, schema=schema6, n_columns=7).collect()
