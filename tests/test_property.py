@@ -150,3 +150,45 @@ def test_zone_map_oversized_string_yields_no_stats():
     # truncating a max would under-bound it — the kernel must refuse instead
     arr = pa.array(["a", "z" * 1000])
     assert _col_stats(arr) is None
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    """Property: on random graphs, min-label propagation agrees with a
+    plain driver-side union-find (component min as representative,
+    component size). Small example count — each case runs real Spark
+    jobs — but seeds vary shape: sparse chains, dense blobs, self-loops."""
+    import random
+
+    from hadoop_etl_udfs_spark.operators.dedup import duplicate_clusters
+
+    for seed in (0, 1, 2, 3):
+        rng = random.Random(seed)
+        n = rng.randint(2, 30)
+        m = rng.randint(1, 40)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        parent = list(range(n))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        want_rep = {x: find(x) for x in touched}
+        sizes: dict = {}
+        for x in touched:
+            sizes[want_rep[x]] = sizes.get(want_rep[x], 0) + 1
+
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["doc_id"]: r for r in duplicate_clusters(pairs).collect()}
+        assert set(got) == touched, seed
+        for x in touched:
+            assert got[x]["cluster_rep"] == want_rep[x], (seed, x)
+            assert got[x]["cluster_size"] == sizes[want_rep[x]], (seed, x)
