@@ -151,9 +151,9 @@ def content_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.trim(F.col("text")), r"\s+")
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE)))
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0)))
         .cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all("text", F.lit(_URL_RE)))
+        F.size(F.regexp_extract_all("text", F.lit(_URL_RE), F.lit(0)))
         .cast("long").alias("n_urls"),
         F.round(
             F.size(F.array_distinct(words))

@@ -346,3 +346,29 @@ def test_corpus_split_duplicates_share_a_split(spark, tmp_path):
     ).write.parquet(str(sub_dir / "documents.parquet"))
     sub = {r["doc_id"]: r for r in textstats.corpus_split(spark, str(sub_dir)).collect()}
     assert all(sub[d]["split"] == out[d]["split"] for d in sub)
+
+
+def test_content_flags_on_text_with_real_emails_and_urls(spark, tmp_path):
+    """content_flags must not crash — and must count — on text that actually
+    contains emails/URLs. The patterns have zero capture groups, so
+    regexp_extract_all needs an explicit idx=0 (Spark defaults to group 1
+    and raises INVALID_PARAMETER_VALUE.REGEX_GROUP_INDEX otherwise); the
+    sf0.01 synthetic corpus has no emails/URLs, which is how that crash
+    once survived the oracle gate."""
+    from hadoop_etl_udfs_spark.operators import textstats
+
+    rows = [
+        (0, "contact a@b.com or c.d+e@sub.example.org today"),
+        (1, "see https://x.y/path and http://z.example.com?q=1 now"),
+        (2, "plain text with no flagged content at all"),
+        (3, "mixed: mail me@host.io via https://link.example"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r["doc_id"]: r for r in textstats.content_flags(spark, str(tmp_path)).collect()}
+    assert out[0]["n_emails"] == 2 and out[0]["n_urls"] == 0
+    assert out[1]["n_emails"] == 0 and out[1]["n_urls"] == 2
+    assert out[2]["n_emails"] == 0 and out[2]["n_urls"] == 0
+    assert out[3]["n_emails"] == 1 and out[3]["n_urls"] == 1
+    assert all(0 < r["ttr"] <= 1 for r in out.values())
