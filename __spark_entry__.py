@@ -28,7 +28,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The driver evaluates the FIRST 50 entries (dict order) against the
+    DuckDB oracle; the rest get no driver correctness row. Gate composition
+    is therefore an explicit decision, not insertion order (round-3 verdict
+    item 1): slots 1-50 are all oracle-backed; the final 8 slots hold the 4
+    rows-only twins (their oracle evidence is the in-gate *_checked twins)
+    plus 4 deliberately sat-out scalar-cast queries (hex_encode,
+    float_downcast, char_padding, string_functions — driver-green rounds
+    1-3, single built-in expressions, still oracle-checked every round by
+    tools/check_correctness.py which covers ALL entries). Rationale
+    mirrored in COVERAGE.md."""
     return {
+        # ---- slots 1-50: oracle-backed (driver-evaluated) ----
         # --- reference-parity relational operators (SURVEY.md §2.2/§2.6) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "projection_reorder_duplicate": relational.projection_reorder_duplicate,
@@ -36,9 +47,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pushdown_eq_in": relational.pushdown_eq_in,
         "json_path_extract": relational.json_path_extract,
         "partition_value_materialization": relational.partition_value_materialization,
-        "hex_encode": relational.hex_encode,
-        "float_downcast": relational.float_downcast,
-        "char_padding": relational.char_padding,
         "metrics_rollup": relational.metrics_rollup,
         "window_user_sessions": relational.window_user_sessions,
         "gap_sessionization": relational.gap_sessionization,
@@ -49,7 +57,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_order_stats": relational.rollup_order_stats,
         "global_top_k": relational.global_top_k,
         "semi_anti_join": relational.semi_anti_join,
-        "string_functions": relational.string_functions,
         "date_functions": relational.date_functions,
         "to_json_render": relational.to_json_render,
         "null_normalization": relational.null_normalization,
@@ -73,9 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_flags": textstats.content_flags,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,       # rows-only (xxhash64)
         "minhash_lsh_pairs_checked": dedup.minhash_lsh_pairs_checked,
-        "simhash64": dedup.simhash64,                        # rows-only (xxhash64)
         "simhash_checked": dedup.simhash_checked,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dedup_clusters": dedup.dedup_clusters_checked,
@@ -86,17 +91,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
         "ivf_assignments": similarity.ivf_assignments,
         "cosine_topk_ivf": similarity.cosine_topk_ivf,
-        # --- multimodal plumbing (decode stubbed; demo rows-only, the
-        #     kernel itself oracle-checked via binary_features_docs) ---
-        "multimodal_features": multimodal.multimodal_features_demo,
+        # --- multimodal kernels (oracle-checked; decode stubbed) ---
         "binary_features_docs": multimodal.binary_features_docs,
         "frame_sample_docs": multimodal.frame_sample_docs,
         "resize_grayscale_docs": multimodal.resize_grayscale_docs,
         # --- the encode engine over a driver table: the codec-independent
-        #     lineage half is oracle-checked; codec/bytes_out stay rows-only
-        "encode_documents_lineage": textstats.encode_documents_lineage,
+        #     lineage half is oracle-checked ---
         "encode_documents_lineage_checked":
             textstats.encode_documents_lineage_checked,
+        # ---- slots 51-58: deliberately past the driver's 50-query cap ----
+        # rows-only twins (value-covered by the in-gate *_checked twins):
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,       # rows-only (xxhash64)
+        "simhash64": dedup.simhash64,                        # rows-only (xxhash64)
+        "multimodal_features": multimodal.multimodal_features_demo,  # rows-only
+        "encode_documents_lineage": textstats.encode_documents_lineage,  # rows-only
+        # sat-out oracle queries (driver-green r1-r3; replica-gated each round):
+        "hex_encode": relational.hex_encode,
+        "float_downcast": relational.float_downcast,
+        "char_padding": relational.char_padding,
+        "string_functions": relational.string_functions,
     }
 
 

@@ -119,7 +119,13 @@ def frame_sample(
     last flush with the tail. A real container/codec frame grabber is
     stubbed (no media libs in this container); the fake "frame" is the raw
     byte window, which preserves the exact batch shape (rows × frames),
-    the offset arithmetic, and the output schema a real one would have."""
+    the offset arithmetic, and the output schema a real one would have.
+
+    Offsets/lengths and the window gather are ONE cumsum-scatter per Arrow
+    batch (same pattern as ``resize_grayscale``) — no per-blob arithmetic;
+    the only per-frame Python left is slicing the flat gathered buffer into
+    ``bytes`` objects for the output column (a real codec call would be
+    per-frame anyway)."""
     if n_frames < 1:
         raise ValueError(f"n_frames must be >= 1, got {n_frames}")
     schema = (
@@ -129,34 +135,47 @@ def frame_sample(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
-            keys, fnos, offs, flens, frames = [], [], [], [], []
-            for key, payload in zip(pdf[key_col], pdf[media_col]):
-                p = payload if payload is not None else b""
-                if use_real_decoder:
+            payloads = [p if p is not None else b"" for p in pdf[media_col]]
+            if use_real_decoder:
+                for p in payloads:
                     decode_image_stub(p)
-                L = len(p)
-                if L <= frame_bytes or n_frames == 1:
-                    row_offs = [0]
-                else:
-                    row_offs = [
-                        (i * (L - frame_bytes)) // (n_frames - 1)
-                        for i in range(n_frames)
-                    ]
-                for i, off in enumerate(row_offs):
-                    win = bytes(p[off : off + frame_bytes])
-                    keys.append(key)
-                    fnos.append(i)
-                    offs.append(off)
-                    flens.append(len(win))
-                    frames.append(win)
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+            blob = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            blob_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            # frames per row: 1 when the blob fits in one window, else n_frames
+            fpr = np.where(
+                (lens <= frame_bytes) | (n_frames == 1), 1, n_frames
+            ).astype(np.int64)
+            tot = int(fpr.sum())
+            row_id = np.repeat(np.arange(n, dtype=np.int64), fpr)
+            fstarts = np.concatenate(([0], np.cumsum(fpr)[:-1]))
+            frame_no = np.arange(tot, dtype=np.int64) - np.repeat(fstarts, fpr)
+            span = lens[row_id] - frame_bytes           # >0 wherever fpr>1
+            offs = np.where(
+                fpr[row_id] > 1,
+                (frame_no * span) // max(n_frames - 1, 1),
+                0,
+            )
+            flens = np.minimum(frame_bytes, lens[row_id] - offs)
+            # gather every window's bytes in one fancy-index pass
+            nbytes = int(flens.sum())
+            wstarts = np.concatenate(([0], np.cumsum(flens)[:-1]))
+            pos = np.arange(nbytes, dtype=np.int64) - np.repeat(wstarts, flens)
+            src = np.repeat(blob_starts[row_id] + offs, flens) + pos
+            flat = blob[src].tobytes()
+            bounds = np.concatenate((wstarts, [nbytes]))
+            frames = [
+                flat[int(a):int(b)] for a, b in zip(bounds[:-1], bounds[1:])
+            ]
             yield pd.DataFrame(
                 {
-                    key_col: keys,
-                    "frame_no": np.array(fnos, dtype=np.int32),
-                    "frame_off": np.array(offs, dtype=np.int64),
-                    "frame_len": np.array(flens, dtype=np.int32),
+                    key_col: pdf[key_col].to_numpy()[row_id],
+                    "frame_no": frame_no.astype(np.int32),
+                    "frame_off": offs,
+                    "frame_len": flens.astype(np.int32),
                     "frame": frames,
                 }
             )

@@ -161,6 +161,42 @@ def test_frame_sample_offsets_and_padding(spark):
         multimodal.frame_sample(df, n_frames=0)
 
 
+def test_frame_sample_vectorized_matches_reference_loop(spark):
+    """Batch-shape test for the cumsum-scatter kernel: one Arrow batch
+    mixing long / exactly-frame_bytes / short / empty / null blobs must
+    produce exactly what the straightforward per-blob loop produces —
+    same (key, frame_no) multiset, same offsets/lengths/bytes."""
+    import random
+
+    rng = random.Random(7)
+    n_frames, fb = 3, 16
+    rows = []
+    for i in range(40):
+        L = rng.choice([0, 1, fb - 1, fb, fb + 1, rng.randrange(2 * fb, 200)])
+        rows.append((f"k{i:02d}", bytes(rng.randrange(256) for _ in range(L))))
+    rows.append(("knull", None))
+
+    expected = []
+    for key, payload in rows:
+        p = payload or b""
+        L = len(p)
+        offs = (
+            [0]
+            if L <= fb
+            else [(i * (L - fb)) // (n_frames - 1) for i in range(n_frames)]
+        )
+        for i, off in enumerate(offs):
+            win = p[off : off + fb]
+            expected.append((key, i, off, len(win), win))
+
+    df = spark.createDataFrame(rows, "url string, html binary").coalesce(1)
+    got = [
+        (r["url"], r["frame_no"], r["frame_off"], r["frame_len"], bytes(r["frame"]))
+        for r in multimodal.frame_sample(df, n_frames=n_frames, frame_bytes=fb).collect()
+    ]
+    assert sorted(got) == sorted(expected)
+
+
 def test_resize_grayscale_block_means(spark):
     """Resize kernel: first src bytes as a bitmap, zero-padded, block-mean
     pooled — exact expected values, vectorized scatter path."""
