@@ -160,6 +160,35 @@ def run_encode_bench(
         spark.stop()
 
 
+def run_decode_draw(workdir: str) -> float:
+    """One timed colocated decode of the high-core sink in a FRESH session.
+
+    Round-3 verdict item 2: the driver once measured decode at 7.14s where
+    two same-day validation runs measured 1.17s — three back-to-back draws
+    all landed in one throttle window. Decode draws are therefore taken one
+    per session, interleaved between the other bench phases (minutes apart),
+    and ALL draws are reported, not just the min."""
+    from hadoop_etl_udfs_spark.operators.encode import decode_chunks_colocated
+    from hadoop_etl_udfs_spark.plans.lineage import read_encoded_colocated
+
+    spark = _session(CPUS, shuffle_partitions=max(32, CPUS))
+    try:
+        enc = read_encoded_colocated(spark, os.path.join(workdir, f"enc_{CPUS}"))
+        # untimed warm pass: fresh-session decode pays JVM + python-worker
+        # startup and this sandbox's first-touch page faults; the metric is
+        # steady-state decode (same warm-pass methodology as the encode leg)
+        decode_chunks_colocated(enc).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t0 = time.time()
+        decode_chunks_colocated(enc).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+
+
 def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -209,10 +238,12 @@ def main() -> None:
         # early once BOTH gates hold: 2->8 efficiency >= 0.8 AND the
         # high-core config absolutely faster than the mid-core one.
         results: dict[int, dict] = {}
+        wall_draws: dict[int, list[float]] = {LOW_CORES: [], MID_CORES: [], CPUS: []}
         n_passes = 0
         for pass_no in range(5):
             for cores in (LOW_CORES, MID_CORES, CPUS):
                 r = run_encode_bench(cores, pages_path, workdir)
+                wall_draws[cores].append(r["wall_s"])
                 if cores not in results or r["wall_s"] < results[cores]["wall_s"]:
                     results[cores] = r
             n_passes = pass_no + 1
@@ -224,41 +255,53 @@ def main() -> None:
                 )
                 if eff_now >= 0.8 and results[CPUS]["wall_s"] < results[MID_CORES]["wall_s"]:
                     break
-        # gate rescue: a pass loop can exhaust with one config's minimum
-        # still sitting inside a throttle window (identical runs measured
-        # 8x apart on this host). Re-run ONLY the configs whose gate is
-        # violated — still strict minima of identical jobs, just more draws
-        # for the configs that visibly got a bad one.
-        for _ in range(4):
-            eff_now = (
+
+        def _eff() -> float:
+            return (
                 results[LOW_CORES]["wall_s"]
                 / results[MID_CORES]["wall_s"]
                 / (MID_CORES / LOW_CORES)
             )
+
+        # gate rescue (SYMMETRIC, round-3 verdict item 3): a pass loop can
+        # exhaust with one config's minimum still inside a throttle window
+        # (identical runs measured 8x apart on this host). Minima over more
+        # draws are legitimate — but only if BOTH sides of the efficiency
+        # ratio get the same number of extra draws; re-drawing only the side
+        # that can help the gate would bias the reported efficiency upward.
+        # Pre- and post-rescue efficiency are both reported.
+        eff_pre_rescue = round(_eff(), 3)
+        rescue_passes = 0
+        for _ in range(4):
             need = []
-            if eff_now < 0.8:
-                # eff = low/mid/ratio: only a faster MID draw can RAISE it
-                # (a faster LOW draw pushes the gate further away) — re-run
-                # the mid-core config only
-                need += [MID_CORES]
+            if _eff() < 0.8:
+                # the ratio's BOTH configs get a draw — even though a faster
+                # LOW draw can only push the gate further away
+                need += [LOW_CORES, MID_CORES]
             if results[CPUS]["wall_s"] >= results[MID_CORES]["wall_s"]:
                 need += [CPUS]
             if not need:
                 break
             for cores in dict.fromkeys(need):
                 r = run_encode_bench(cores, pages_path, workdir)
+                wall_draws[cores].append(r["wall_s"])
                 if r["wall_s"] < results[cores]["wall_s"]:
                     results[cores] = r
             n_passes += 1
+            rescue_passes += 1
         # kernel-only scaling (round-2 verdict item 2): same input,
         # pre-partitioned + cached, shuffle=False, noop sink — only the
         # codec kernels are timed. 3 interleaved passes, per-config minima.
+        # A decode draw runs between kernel passes (separate sessions,
+        # minutes apart) so decode's draws span several throttle windows.
+        decode_draws: list[float] = []
         kres: dict[int, dict] = {}
         for _ in range(3):
             for cores in (LOW_CORES, MID_CORES, CPUS):
                 r = run_encode_bench(cores, pages_path, workdir, kernel_only=True)
                 if cores not in kres or r["wall_s"] < kres[cores]["wall_s"]:
                     kres[cores] = r
+            decode_draws.append(run_decode_draw(workdir))
         k_eff = round(
             kres[LOW_CORES]["wall_s"] / kres[MID_CORES]["wall_s"]
             / (MID_CORES / LOW_CORES), 3,
@@ -286,11 +329,16 @@ def main() -> None:
             "encode_low": low,
             "encode_mid": mid,
             "encode_high": high,
+            "encode_wall_draws": {
+                str(c): wall_draws[c] for c in (LOW_CORES, MID_CORES, CPUS)
+            },
             "scaling": {
                 "low_cores": LOW_CORES,
                 "high_cores": MID_CORES,
                 "speedup": round(speedup, 3),
                 "efficiency": efficiency,
+                "efficiency_pre_rescue": eff_pre_rescue,
+                "rescue_passes": rescue_passes,
                 "full_pair": {
                     "low_cores": MID_CORES,
                     "high_cores": CPUS,
@@ -312,53 +360,115 @@ def main() -> None:
                 "full_pair_efficiency": k_eff_full,
             },
         }
-        # decode timing on the high-core sink
+        # resume evidence (round-3 verdict item 4): a clean restart of the
+        # IDENTICAL encode job over the just-written high-core sink must
+        # skip every chunk — content-addressed ids recomputed, zero
+        # re-encoded bytes. The wall time is the price of a no-op restart
+        # (scan + chunk + hash, no codec work, no writes).
+        enc_high_dir = os.path.join(workdir, f"enc_{CPUS}")
+        spark = _session(CPUS, shuffle_partitions=max(32, CPUS))
+        try:
+            from hadoop_etl_udfs_spark.plans.lineage import encode_resumable
+
+            pages = spark.read.parquet(pages_path)
+            t0 = time.time()
+            stats = encode_resumable(pages, enc_high_dir, salt_buckets=8)
+            result["resume"] = {
+                **stats,
+                "wall_s": round(time.time() - t0, 3),
+                "exact_skip": stats["chunks_skipped"] == stats["chunks_total"],
+            }
+        finally:
+            spark.stop()
+        decode_draws.append(run_decode_draw(workdir))
+
+        # adaptive salting evidence (round-3 verdict item 6): the SAME pages
+        # with a deliberately Zipf-skewed host distribution (~37% of rows on
+        # one host). Fixed (host, salt%8) leaves a straggler partition ~
+        # head/8; the adaptive plan measures the histogram first and splits
+        # hot hosts by volume. Reported: realized partition-size spread
+        # (max/mean) and one encode wall each.
         spark = _session(CPUS, shuffle_partitions=max(32, CPUS))
         try:
             from hadoop_etl_udfs_spark.operators.encode import (
-                decode_chunks_colocated,
+                encode_pages,
+                salted_partitioning,
             )
-            from hadoop_etl_udfs_spark.plans.lineage import read_encoded_colocated
+            from hadoop_etl_udfs_spark.plans.salting import (
+                partition_histogram,
+                salted_partitioning_adaptive,
+            )
+            from hadoop_etl_udfs_spark.sources.pages import skew_hosts
 
-            enc = read_encoded_colocated(spark, os.path.join(workdir, f"enc_{CPUS}"))
-            best = None
-            for _ in range(3):  # per-pass minima, same throttle rationale
+            skewed = skew_hosts(spark.read.parquet(pages_path)).cache()
+            skewed.count()
+            # split target scales with the input: 16384 (the chunk size) at
+            # bench scale and above, proportionally smaller at smoke scale —
+            # a fixed 16384 at sf0.001 splits nothing (head host ~6.6k rows)
+            target = min(16384, max(1024, N_DOCS // 128))
+            fixed_hist = partition_histogram(salted_partitioning(skewed, 8))
+            adapt_hist = partition_histogram(
+                salted_partitioning_adaptive(skewed, target)
+            )
+            # time shuffle+encode over the SAME two plans the histograms
+            # describe (shuffle=False: the salting itself is the plan)
+            fixed_wall = adapt_wall = None
+            for _ in range(2):
                 t0 = time.time()
-                decode_chunks_colocated(enc).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                t = round(time.time() - t0, 3)
-                best = t if best is None or t < best else best
-            result["queries"]["decode_check"] = best
+                encode_pages(
+                    salted_partitioning(skewed, 8), shuffle=False
+                ).write.format("noop").mode("overwrite").save()
+                t = time.time() - t0
+                fixed_wall = t if fixed_wall is None else min(fixed_wall, t)
+                t0 = time.time()
+                encode_pages(
+                    salted_partitioning_adaptive(skewed, target), shuffle=False
+                ).write.format("noop").mode("overwrite").save()
+                t = time.time() - t0
+                adapt_wall = t if adapt_wall is None else min(adapt_wall, t)
+            result["salting_skew"] = {
+                "split_target_rows": target,
+                "fixed": {**fixed_hist, "wall_s": round(fixed_wall, 3)},
+                "adaptive": {**adapt_hist, "wall_s": round(adapt_wall, 3)},
+            }
+        finally:
+            spark.stop()
+        decode_draws.append(run_decode_draw(workdir))
+        result["queries"]["decode_check"] = min(decode_draws)
+        result["decode_draws"] = decode_draws
 
-            # pruned decode (round-2 verdict item 7): zone maps + the
-            # column-partitioned layout TOGETHER at bench scale. The sink is
-            # time-clustered (repartitionByRange on warc_ts — the
-            # "stat-clustered layout" the lineage docs call for; a crawl
-            # ingest is naturally time-sliced) and column-partitioned; the
-            # query decodes a 2-of-5 column subset over the first ~20% of
-            # the time range. scanned_fraction = bytes of the two column
-            # directories the planner actually lists vs the whole sink.
+        # recluster (round-3 verdict item 4) + pruned decode: the high-core
+        # sink was written WITHOUT cluster_by (no scan-level zone maps) —
+        # recluster_job's library path rewrites it range-clustered on
+        # warc_ts and column-partitioned; the pruned-decode metrics below
+        # then measure the RECLUSTERED sink, so the entry evidences both the
+        # OPTIMIZE cost and the layout it buys. The query decodes a 2-of-5
+        # column subset over the first ~20% of the time range;
+        # scanned_fraction = bytes of the two column directories the planner
+        # actually lists vs the whole sink.
+        spark = _session(CPUS, shuffle_partitions=max(32, CPUS))
+        try:
             from pyspark.sql import functions as F
 
-            from hadoop_etl_udfs_spark.operators.encode import (
-                decode_chunks,
-                encode_pages,
-            )
+            from hadoop_etl_udfs_spark.operators.encode import decode_chunks
             from hadoop_etl_udfs_spark.plans.lineage import (
                 decode_chunks_where_clustered,
                 read_encoded,
-                write_encoded,
+                recluster_sink,
             )
 
             pages = spark.read.parquet(pages_path)
             part_out = os.path.join(workdir, "enc_part")
-            clustered = pages.repartitionByRange(32, "warc_ts")\
-                .sortWithinPartitions("warc_ts")
-            write_encoded(
-                encode_pages(clustered, shuffle=False, cluster_by="warc_ts"),
-                part_out, mode="overwrite", partition_by_column=True,
+            t0 = time.time()
+            recluster_sink(
+                spark, enc_high_dir, part_out, cluster_by="warc_ts",
+                n_partitions=32, partition_by_column=True,
             )
+            result["recluster"] = {
+                "src_sink": "encode_high (unclustered)",
+                "cluster_by": "warc_ts",
+                "wall_s": round(time.time() - t0, 3),
+            }
             b = pages.agg(
                 F.min(F.unix_micros("warc_ts")).alias("lo"),
                 F.max(F.unix_micros("warc_ts")).alias("hi"),
@@ -389,6 +499,7 @@ def main() -> None:
             kept = st.filter("keep").count()
             n_chunks = st.count()
             result["pruned_decode"] = {
+                "sink": "reclustered (see .recluster)",
                 "columns": ["url", "warc_ts"],
                 "scanned_bytes": scanned,
                 "sink_bytes": total,

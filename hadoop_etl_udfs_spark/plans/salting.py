@@ -47,6 +47,31 @@ def salt_plan(
     )
 
 
+def partition_histogram(df: DataFrame) -> dict:
+    """Realized partition-size stats of a (salted) plan: rows per physical
+    partition after the shuffle actually runs. ``spread`` = max/mean — 1.0 is
+    perfectly balanced; the straggler wall-clock multiplier for a CPU-bound
+    stage downstream of this shuffle is ~``spread`` when partitions >> cores
+    doesn't hold. Used by the bench's skew-salting evidence and the
+    histogram tests; one count aggregate, no collect of data rows."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .agg(
+            F.count("*").alias("n_partitions"),
+            F.max("count").alias("max_rows"),
+            F.avg("count").alias("mean_rows"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_partitions": int(rows["n_partitions"]),
+        "max_rows": int(rows["max_rows"]),
+        "mean_rows": round(float(rows["mean_rows"]), 1),
+        "spread": round(rows["max_rows"] / rows["mean_rows"], 2),
+    }
+
+
 def salted_partitioning_adaptive(
     df: DataFrame,
     target_rows_per_chunk: int = 65536,

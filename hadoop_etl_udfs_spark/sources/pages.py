@@ -184,6 +184,27 @@ def synthesize_pages(
     return rng_df.mapInArrow(gen, PAGES_SCHEMA)
 
 
+def skew_hosts(
+    pages: DataFrame, n_hosts: int = 400, exponent: int = 6
+) -> DataFrame:
+    """Rewrite url hosts into a deterministic Zipf-like distribution — the
+    adversarial input for skew-salting evidence. Host id is
+    ``floor(u^exponent * n_hosts)`` of a per-url uniform draw, so the head
+    host holds ~``(1/n_hosts)^(1/exponent)`` of ALL rows (~37% with the
+    defaults) and the tail decays fast — the crawl-corpus shape (one giant
+    domain, many small ones) that breaks naive hash partitioning. Paths are
+    preserved, so urls stay unique."""
+    from pyspark.sql import functions as F
+
+    u = F.pmod(F.xxhash64("url"), F.lit(1_000_000)) / 1_000_000.0
+    hid = F.floor(F.pow(u, F.lit(exponent)) * n_hosts).cast("int")
+    path = F.regexp_replace("url", r"^[a-z]+://[^/]*", "")
+    return pages.withColumn(
+        "url",
+        F.concat(F.lit("https://h"), hid, F.lit(".skew.example"), path),
+    )
+
+
 def pages_input_bytes(df: DataFrame) -> int:
     """Logical input size: sum of column byte footprints (bench numerator)."""
     from pyspark.sql import functions as F

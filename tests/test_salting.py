@@ -2,12 +2,17 @@
 
 from pyspark.sql import functions as F
 
-from hadoop_etl_udfs_spark.operators.encode import encode_pages, verify_roundtrip
+from hadoop_etl_udfs_spark.operators.encode import (
+    encode_pages,
+    salted_partitioning,
+    verify_roundtrip,
+)
 from hadoop_etl_udfs_spark.plans.salting import (
+    partition_histogram,
     salt_plan,
     salted_partitioning_adaptive,
 )
-from hadoop_etl_udfs_spark.sources.pages import synthesize_pages
+from hadoop_etl_udfs_spark.sources.pages import skew_hosts, synthesize_pages
 
 
 def test_salt_plan_targets_hot_hosts_only(spark):
@@ -25,6 +30,39 @@ def test_salt_plan_targets_hot_hosts_only(spark):
                 assert plan[host] == -(-count // 500)  # ceil
             else:
                 assert host not in plan
+    finally:
+        pages.unpersist()
+
+
+def test_adaptive_beats_fixed_on_zipf_skew_histogram(spark):
+    """Partition-histogram assert (round-3 verdict item 6): on a Zipf-skewed
+    host distribution (~37% of rows on one host), fixed (host, salt%8)
+    salting leaves a straggler partition, while the adaptive plan splits the
+    hot host by its measured volume — realized max/mean partition spread
+    must come out materially tighter, and the head host must actually be
+    split across many partitions."""
+    pages = skew_hosts(synthesize_pages(spark, 16000, seed=42)).cache()
+    try:
+        head = (
+            pages.groupBy(F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1))
+            .count().agg(F.max("count")).collect()[0][0]
+        )
+        assert head > 16000 * 0.25  # the skew is real
+
+        target = 250
+        fixed = partition_histogram(
+            salted_partitioning(pages, salt_buckets=8, num_partitions=64)
+        )
+        adaptive = partition_histogram(
+            salted_partitioning_adaptive(pages, target, num_partitions=64)
+        )
+        # fixed: the head host fans over only 8 salt values, so some
+        # partition carries >= head/8 rows regardless of partition count;
+        # adaptive splits by measured volume, so its residual spread is only
+        # cell->partition hash-collision noise (a few ~target-sized cells)
+        assert fixed["max_rows"] >= head // 8
+        assert adaptive["max_rows"] < fixed["max_rows"] * 0.6
+        assert adaptive["spread"] < fixed["spread"] * 0.6
     finally:
         pages.unpersist()
 

@@ -88,6 +88,74 @@ def test_streaming_incremental_encode(spark, cluster_by):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_live_streaming_sink_decodes_atomically_mid_stream(spark):
+    """Round-3 verdict item 7: a LIVE streaming sink — read between
+    micro-batches while the query is still running — must always decode
+    consistently via the grouped path. The atomicity unit is the chunk: a
+    concurrent reader may see a prefix of the committed micro-batches, but
+    every chunk it sees must be COMPLETE (all 5 column rows present) and
+    value-correct; an in-flight chunk is absent, never partial. (The sink
+    guarantees this structurally: one encode task writes a chunk's column
+    rows consecutively into one parquet file, and uncommitted job output
+    lives under _temporary, which readers skip.)"""
+    from hadoop_etl_udfs_spark.operators.encode import decode_chunks
+
+    base = tempfile.mkdtemp(prefix="livestream_")
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(in_dir)
+    try:
+        n_waves, per_wave = 8, 600
+        all_pages = synthesize_pages(spark, n_waves * per_wave, seed=7).cache()
+        expected = {
+            r["url"]: r["text"] for r in all_pages.select("url", "text").collect()
+        }
+        for w in range(n_waves):
+            all_pages.filter(
+                F.pmod(F.xxhash64("url"), F.lit(n_waves)) == w
+            ).coalesce(1).write.parquet(os.path.join(in_dir, f"w{w}"))
+
+        q = start_encode_stream(
+            spark, in_dir + "/*", out_dir, ckpt, max_files_per_trigger=1
+        )
+        mid_reads = 0
+        try:
+            while q.isActive:
+                try:
+                    man = lineage.read_manifest(spark, out_dir)
+                    arity = man.groupBy("chunk_id").count()
+                    partial = arity.filter(F.col("count") != 5).count()
+                    n_chunks = arity.count()
+                except Exception:
+                    continue  # sink dir not created yet — "absent" is legal
+                if not q.isActive:
+                    break  # this snapshot isn't mid-stream; the final check follows
+                assert partial == 0, (
+                    f"torn chunk visible mid-stream: {partial} of {n_chunks} "
+                    "chunks have missing column rows"
+                )
+                if n_chunks == 0:
+                    continue
+                got = {
+                    r["url"]: r["text"]
+                    for r in decode_chunks(lineage.read_encoded(spark, out_dir))
+                    .select("url", "text").collect()
+                }
+                assert all(expected[u] == t for u, t in got.items())
+                mid_reads += 1
+        finally:
+            q.awaitTermination(180)
+            q.stop()
+        assert mid_reads >= 2, "stream finished before any mid-stream read"
+        # drained: the union of micro-batches decodes bit-identical
+        res = verify_roundtrip(all_pages, lineage.read_encoded(spark, out_dir))
+        assert res["ok"], res
+    finally:
+        all_pages.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_windowed_event_metrics_with_watermark(spark, sf_dir):
     import os as _os
     from pyspark.sql.types import StructType
