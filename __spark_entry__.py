@@ -33,9 +33,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is therefore an explicit decision, not insertion order (round-3 verdict
     item 1): slots 1-50 are all oracle-backed; the final 8 slots hold the 4
     rows-only twins (their oracle evidence is the in-gate *_checked twins)
-    plus 4 deliberately sat-out scalar-cast queries (hex_encode,
-    float_downcast, char_padding, string_functions — driver-green rounds
-    1-3, single built-in expressions, still oracle-checked every round by
+    plus 5 deliberately sat-out scalar queries (hex_encode, float_downcast,
+    char_padding, string_functions, to_json_render — driver-green rounds
+    1-3, single built-in expressions with an in-gate superset for
+    to_json_render, still oracle-checked every round by
     tools/check_correctness.py which covers ALL entries). Rationale
     mirrored in COVERAGE.md."""
     return {
@@ -58,7 +59,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_top_k": relational.global_top_k,
         "semi_anti_join": relational.semi_anti_join,
         "date_functions": relational.date_functions,
-        "to_json_render": relational.to_json_render,
         "null_normalization": relational.null_normalization,
         "scalar_subquery_filter": relational.scalar_subquery_filter,
         "url_decode_paths": relational.url_decode_paths,
@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     lineage half is oracle-checked ---
         "encode_documents_lineage_checked":
             textstats.encode_documents_lineage_checked,
+        # --- Iceberg table format (spec-pure commit + manifest-planned
+        #     read, sources/iceberg_lite.py) ---
+        "iceberg_roundtrip": _iceberg_roundtrip,
         # ---- slots 51-58: deliberately past the driver's 50-query cap ----
         # rows-only twins (value-covered by the in-gate *_checked twins):
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,       # rows-only (xxhash64)
@@ -110,7 +113,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "float_downcast": relational.float_downcast,
         "char_padding": relational.char_padding,
         "string_functions": relational.string_functions,
+        "to_json_render": relational.to_json_render,
     }
+
+
+def _iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_etl_udfs_spark.sources.iceberg_lite import iceberg_roundtrip_docs
+
+    return iceberg_roundtrip_docs(spark, sf_dir)
 
 
 # SQL fragments shared between Spark builders and DuckDB oracles ------------
@@ -932,6 +942,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'source', count(*), sum(strlen(source)) FROM documents
             ORDER BY "column"
+        """,
+        # Iceberg roundtrip: the Spark side commits documents to a fresh
+        # spec-layout Iceberg table and reads it back through the
+        # metadata/manifest planner; the oracle reads the source directly —
+        # equality proves the commit+plan+scan path loses/alters nothing
+        "iceberg_roundtrip": """
+            SELECT doc_id, lang, text FROM documents ORDER BY doc_id
         """,
         "ngram_jaccard_pairs": f"""
             WITH docs_w AS (

@@ -12,6 +12,8 @@ so the dispatch path moves real Avro bytes instead of being permanently
 Scope (enough for pages-shaped tables and fixtures, NOT a full Avro stack):
 - primitives: null, boolean, int, long, float, double, bytes, string
 - unions of [null, <primitive>] (Avro's nullable idiom)
+- nested records and arrays (single-block encoding) — what Iceberg manifest
+  files need (sources/iceberg_lite.py); rows carry them as dicts / lists
 - logicalType timestamp-micros on long (bare epoch-µs ints at the boundary)
 - codec: null (uncompressed) and deflate
 
@@ -105,6 +107,17 @@ def _encode_value(buf: io.BytesIO, schema, v) -> None:
             f"None for non-nullable avro type {t!r} — declare the field "
             'as a ["null", ...] union'
         )
+    if t == "record":  # fields in declaration order, no per-record framing
+        for fld in schema["fields"]:
+            _encode_value(buf, fld["type"], v[fld["name"]])
+        return
+    if t == "array":  # one block (count, items) + zero terminator
+        if len(v):
+            _write_long(buf, len(v))
+            for item in v:
+                _encode_value(buf, schema["items"], item)
+        _write_long(buf, 0)
+        return
     if t == "boolean":
         buf.write(b"\x01" if v else b"\x00")
     elif t in ("int", "long"):
@@ -128,6 +141,23 @@ def _decode_value(buf: memoryview, pos: int, schema):
     t = _type_name(schema)
     if t == "null":
         return None, pos
+    if t == "record":
+        rec = {}
+        for fld in schema["fields"]:
+            rec[fld["name"]], pos = _decode_value(buf, pos, fld["type"])
+        return rec, pos
+    if t == "array":  # blocks until the zero terminator; negative count =
+        items = []    # block byte size follows (spec)
+        while True:
+            n, pos = _read_long(buf, pos)
+            if n == 0:
+                return items, pos
+            if n < 0:
+                _, pos = _read_long(buf, pos)
+                n = -n
+            for _ in range(n):
+                item, pos = _decode_value(buf, pos, schema["items"])
+                items.append(item)
     if t == "boolean":
         return buf[pos] != 0, pos + 1
     if t in ("int", "long"):

@@ -71,6 +71,14 @@ def read_pages(
         from .avro_lite import read_avro_spark
 
         return read_avro_spark(spark, path, schema or PAGES_SCHEMA)
+    if fmt == "iceberg":
+        # table-format branch (the north star's input is an Iceberg table):
+        # no Iceberg runtime jar here either, so dispatch to the spec-pure
+        # metadata/manifest planner (sources/iceberg_lite.py); the schema
+        # comes from the table's own metadata, never from the caller
+        from .iceberg_lite import read_iceberg
+
+        return read_iceberg(spark, path)
     reader = spark.read.format(fmt)
     for k, v in _FORMAT_OPTIONS.get(fmt, {}).items():
         reader = reader.option(k, v)
