@@ -479,6 +479,39 @@ def read_iceberg(
     return df.select(*columns) if columns else df
 
 
+def iceberg_added_files(
+    path: str, from_snapshot_id: int, to_snapshot_id: int | None = None
+) -> list[str]:
+    """Data files live in ``to`` (default: current) but not in ``from`` —
+    the incremental-consumption primitive: a periodic encode job processes
+    only the files new commits added, never rescanning the table. Computed
+    as a set difference of the two snapshots' live file lists, which is
+    correct for appends AND overwrites (an overwrite's files are all
+    "added")."""
+    old, _ = iceberg_data_files(path, from_snapshot_id)
+    new, _ = iceberg_data_files(path, to_snapshot_id)
+    old_set = set(old)
+    return [f for f in new if f not in old_set]
+
+
+def read_iceberg_incremental(
+    spark: SparkSession,
+    path: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """DataFrame over ONLY the rows added after ``from_snapshot_id`` — what
+    the encode pipeline consumes per ingestion cycle. Composes with the
+    content-addressed resume contract: even a re-run over an already-seen
+    diff skips every chunk."""
+    meta = read_table_meta(path)
+    files = iceberg_added_files(path, from_snapshot_id, to_snapshot_id)
+    ddl = ddl_for_iceberg_schema(meta["schema"])
+    if not files:
+        return spark.createDataFrame([], ddl)
+    return spark.read.schema(ddl).parquet(*files)
+
+
 # -------------------------------------------------------- driver contract
 
 def iceberg_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

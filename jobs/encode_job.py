@@ -27,7 +27,15 @@ import time
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", help="pages parquet path (url, warc_ts, html, text, lang)")
+    p.add_argument("--input", help="pages table path (url, warc_ts, html, text, lang)")
+    p.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "iceberg"],
+                   help="parquet directory, or an Iceberg table read through "
+                        "the spec-pure metadata/manifest planner "
+                        "(sources/iceberg_lite.py — the north star's input)")
+    p.add_argument("--from-snapshot", type=int, default=None,
+                   help="iceberg only: encode ONLY rows added after this "
+                        "snapshot id (incremental snapshot-diff consumption)")
     p.add_argument("--synthesize", type=int, default=0,
                    help="generate N deterministic docs instead of reading --input")
     p.add_argument("--output", required=True, help="encoded-chunk sink directory")
@@ -60,6 +68,16 @@ def main() -> None:
         from hadoop_etl_udfs_spark.sources.pages import synthesize_pages
 
         pages = synthesize_pages(spark, args.synthesize, seed=args.seed)
+    elif args.input_format == "iceberg":
+        from hadoop_etl_udfs_spark.sources.iceberg_lite import (
+            read_iceberg,
+            read_iceberg_incremental,
+        )
+
+        if args.from_snapshot is not None:
+            pages = read_iceberg_incremental(spark, args.input, args.from_snapshot)
+        else:
+            pages = read_iceberg(spark, args.input)
     else:
         pages = spark.read.parquet(args.input)
 

@@ -124,6 +124,43 @@ def test_iceberg_format_dispatch(spark, tmp_path):
     assert _fingerprint(got) == _fingerprint(pages)
 
 
+def test_iceberg_incremental_snapshot_diff_feeds_encode(spark, tmp_path):
+    """The north star's ingestion loop: the encode pipeline consumes ONLY
+    the files new Iceberg commits added (snapshot diff), composing with the
+    content-addressed resume contract — the accumulated chunk sink ends up
+    holding exactly the union, no duplicates, bit-identical."""
+    from hadoop_etl_udfs_spark.operators.encode import encode_pages, verify_roundtrip
+    from hadoop_etl_udfs_spark.plans import lineage
+    from hadoop_etl_udfs_spark.sources.iceberg_lite import read_iceberg_incremental
+
+    tbl = str(tmp_path / "tbl")
+    sink = str(tmp_path / "sink")
+    w1 = synthesize_pages(spark, 400, seed=21).cache()
+    w2 = synthesize_pages(spark, 900, seed=21).exceptAll(w1).cache()
+    s1 = write_iceberg_table(w1, tbl, mode="overwrite", stats_col="warc_ts")
+    # cycle 1: full read at snapshot 1, encode
+    enc1 = encode_pages(read_iceberg(spark, tbl))
+    lineage.write_encoded(enc1, sink, mode="append")
+    # cycle 2: a new commit arrives; consume only its diff
+    write_iceberg_table(w2, tbl, mode="append", stats_col="warc_ts")
+    diff = read_iceberg_incremental(spark, tbl, from_snapshot_id=s1)
+    assert _fingerprint(diff) == _fingerprint(w2)  # only the new rows
+    done = lineage.completed_chunk_ids(spark, sink, n_columns=5)
+    enc2 = encode_pages(diff, skip_chunk_ids=done)
+    lineage.write_encoded(enc2, sink, mode="append")
+    # sink = exact union, each chunk once, bit-identical
+    enc = lineage.read_encoded(spark, sink)
+    dupes = (
+        enc.groupBy("chunk_id", "column").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+    assert verify_roundtrip(w1.unionAll(w2), enc)["ok"]
+    # an already-consumed diff is a no-op (empty frame, schema intact)
+    nothing = read_iceberg_incremental(spark, tbl, from_snapshot_id=2)
+    assert nothing.count() == 0 and nothing.schema == w1.schema
+    w1.unpersist(), w2.unpersist()
+
+
 def test_iceberg_column_subset_and_schema_guard(spark, tmp_path):
     tbl = str(tmp_path / "tbl")
     pages = synthesize_pages(spark, 100, seed=2)
