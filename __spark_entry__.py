@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_padding": relational.char_padding,
         "string_functions": relational.string_functions,
         "to_json_render": relational.to_json_render,
+        # round-4 additions (oracle-backed; replica-gated until rotated in):
+        "pii_redaction": textstats.pii_redaction,
+        "segment_dedup": textstats.segment_dedup,
     }
 
 
@@ -942,6 +945,64 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'source', count(*), sum(strlen(source)) FROM documents
             ORDER BY "column"
+        """,
+        # PII redaction: staged URL -> email -> IP replacement; counts taken
+        # at each stage (an email inside a URL is redacted as URL, counted
+        # once); the md5 gates the full transformed text. Patterns imported
+        # from the operator module (anti-drift); placeholders substituted
+        # with .replace to keep regex braces out of f-string territory
+        "pii_redaction": """
+            WITH s AS (
+                SELECT doc_id, text AS t0,
+                       regexp_replace(text, '@URL@', '<URL>', 'g') AS t1
+                FROM documents
+            ),
+            s2 AS (
+                SELECT doc_id, t0, t1,
+                       regexp_replace(t1, '@EMAIL@', '<EMAIL>', 'g') AS t2
+                FROM s
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t0, '@URL@')) AS n_urls,
+                   len(regexp_extract_all(t1, '@EMAIL@')) AS n_emails,
+                   len(regexp_extract_all(t2, '@IP@')) AS n_ips,
+                   md5(regexp_replace(t2, '@IP@', '<IP>', 'g')) AS redacted_md5
+            FROM s2 ORDER BY doc_id
+        """.replace("@URL@", textstats._URL_RE)
+           .replace("@EMAIL@", textstats._EMAIL_RE)
+           .replace("@IP@", textstats._IPV4_RE),
+        # intra-doc repetition removal: same 10-word segmentation, keep-first
+        # as min(position), cleaned text re-joined in original order
+        "segment_dedup": f"""
+            WITH w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, w,
+                       CAST(ceil(len(w) / {textstats.SEGMENT_WORDS}.0)
+                            AS BIGINT) AS n_segs
+                FROM w
+            ),
+            seg AS (
+                SELECT doc_id, n_segs,
+                       i,
+                       array_to_string(list_slice(
+                           w, i * {textstats.SEGMENT_WORDS} + 1,
+                           i * {textstats.SEGMENT_WORDS}
+                           + {textstats.SEGMENT_WORDS}), ' ') AS seg
+                FROM (SELECT doc_id, n_segs, w,
+                             unnest(range(0, n_segs)) AS i FROM n)
+            ),
+            firsts AS (
+                SELECT doc_id, any_value(n_segs) AS n_segs, seg,
+                       min(i) AS pos
+                FROM seg GROUP BY doc_id, seg
+            )
+            SELECT doc_id, any_value(n_segs) AS n_segs,
+                   count(*) AS n_uniq_segs,
+                   md5(string_agg(seg, ' ' ORDER BY pos)) AS clean_md5
+            FROM firsts GROUP BY doc_id ORDER BY doc_id
         """,
         # Iceberg roundtrip: the Spark side commits documents to a fresh
         # spec-layout Iceberg table and reads it back through the

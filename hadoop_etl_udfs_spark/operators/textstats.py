@@ -163,6 +163,92 @@ def content_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for a training corpus: URLs, emails and IPv4 literals
+    replaced by typed placeholders, with per-type counts. Staged order is
+    part of the contract (URLs first — an email inside a URL is redacted as
+    URL, not double-counted): count URLs on the raw text, emails on the
+    URL-redacted text, IPs on the email-redacted text. All scan-stage
+    regexp expressions, zero shuffle; patterns are module constants the
+    oracle SQL imports (anti-drift), and the redacted text is compared via
+    md5 so the gate checks the full transformation, not just counts."""
+    docs = _docs(spark, sf_dir)
+    t0 = F.col("text")
+    t1 = F.regexp_replace(t0, _URL_RE, "<URL>")
+    t2 = F.regexp_replace(t1, _EMAIL_RE, "<EMAIL>")
+    t3 = F.regexp_replace(t2, _IPV4_RE, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t0, F.lit(_URL_RE), F.lit(0)))
+        .cast("long").alias("n_urls"),
+        F.size(F.regexp_extract_all(t1, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t2, F.lit(_IPV4_RE), F.lit(0)))
+        .cast("long").alias("n_ips"),
+        F.md5(t3).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+SEGMENT_WORDS = 10
+
+
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal (the Gopher/C4-style boilerplate
+    cleanup): the text is cut into consecutive ``SEGMENT_WORDS``-word
+    segments (this corpus has no newlines, so fixed word windows stand in
+    for lines/paragraphs), repeated segments within a document are dropped
+    keeping the FIRST occurrence, and the cleaned text is re-joined in
+    original order. Keep-first is expressed as min(position) per (doc,
+    segment) — one aggregate on data already co-partitioned by doc_id; at
+    scale this is a map-side-combinable shuffle of (doc, segment) pairs,
+    nothing quadratic."""
+    docs = _docs(spark, sf_dir)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_segs = F.ceil(F.size(words) / SEGMENT_WORDS).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * SEGMENT_WORDS + 1, SEGMENT_WORDS), " "
+        ),
+    )
+    ex = docs.select("doc_id", F.posexplode(segs).alias("pos", "seg"))
+    firsts = ex.groupBy("doc_id", "seg").agg(F.min("pos").alias("pos"))
+    return (
+        firsts.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_uniq_segs"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "seg"))
+                        ),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_md5"),
+        )
+        .join(
+            docs.select(
+                "doc_id",
+                F.ceil(
+                    F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                    / SEGMENT_WORDS
+                ).cast("long").alias("n_segs"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id", "n_segs", F.col("n_uniq_segs").cast("long"), "clean_md5"
+        )
+        .orderBy("doc_id")
+    )
+
+
 N_SPLIT_BUCKETS = 10_000
 SPLIT_BOUNDS = (9_500, 9_750)   # train < 9500, val < 9750, test = rest
 

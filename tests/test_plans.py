@@ -348,6 +348,50 @@ def test_corpus_split_duplicates_share_a_split(spark, tmp_path):
     assert all(sub[d]["split"] == out[d]["split"] for d in sub)
 
 
+def test_pii_redaction_and_segment_dedup_on_planted_data(spark, tmp_path):
+    """Both round-4 text ops exercised on data that actually triggers them
+    (the sf0.01 corpus has no PII and no repeated segments — the
+    content_flags lesson), INCLUDING a DuckDB mini-oracle run on the same
+    planted rows so engine/oracle agreement is proven on hot inputs, not
+    just on the flag-free corpus."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from hadoop_etl_udfs_spark.operators import textstats
+
+    seg = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, "ping 10.0.0.1 or mail a@b.com via https://x.y/z?u=c@d.ee end"),
+        (1, f"{seg} {seg} unique tail words here"),  # repeated 10-word segment
+        (2, "clean text with no pii and no repeats at all"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    red = {r["doc_id"]: r for r in textstats.pii_redaction(spark, str(tmp_path)).collect()}
+    # the email inside the URL was swallowed by the URL redaction: 1 each
+    assert red[0]["n_urls"] == 1 and red[0]["n_emails"] == 1 and red[0]["n_ips"] == 1
+    assert red[2]["n_urls"] == red[2]["n_emails"] == red[2]["n_ips"] == 0
+
+    dd = {r["doc_id"]: r for r in textstats.segment_dedup(spark, str(tmp_path)).collect()}
+    assert dd[1]["n_segs"] == 3 and dd[1]["n_uniq_segs"] == 2  # dup dropped
+    assert dd[2]["n_segs"] == 1 and dd[2]["n_uniq_segs"] == 1
+
+    # mini-oracle: the SAME oracle SQL the driver runs, over the planted rows
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracles = entry.oracle_sql()
+    for name, spark_rows in (("pii_redaction", red), ("segment_dedup", dd)):
+        got = con.execute(oracles[name]).fetchall()
+        cols = [d[0] for d in con.description]
+        for orow in got:
+            srow = spark_rows[orow[cols.index("doc_id")]]
+            for c, v in zip(cols, orow):
+                assert srow[c] == v, (name, c, srow[c], v)
+
+
 def test_content_flags_on_text_with_real_emails_and_urls(spark, tmp_path):
     """content_flags must not crash — and must count — on text that actually
     contains emails/URLs. The patterns have zero capture groups, so
