@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions (oracle-backed; replica-gated until rotated in):
         "pii_redaction": textstats.pii_redaction,
         "segment_dedup": textstats.segment_dedup,
+        "cosine_topk_batch": similarity.cosine_topk_batch,
     }
 
 
@@ -146,6 +147,9 @@ from hadoop_etl_udfs_spark.functions.text import LANG_MARKERS as _LANG_MARKERS
 from hadoop_etl_udfs_spark.operators.dedup import MAX_SHINGLE_DF as _MAX_SHINGLE_DF
 from hadoop_etl_udfs_spark.operators.similarity import (
     MAX_BUCKET as _MAX_BUCKET,
+)
+from hadoop_etl_udfs_spark.operators.similarity import (
+    QUERY_EVERY as _QUERY_EVERY,
 )
 from hadoop_etl_udfs_spark.operators.similarity import (
     _planes,
@@ -889,6 +893,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE v.bucket = q.bucket AND v.vec_id <> 0
             ORDER BY cos_sim DESC, v.vec_id ASC
             LIMIT 10
+        """,
+        # batch ANN: same LSH bucket expression, every strided query at once
+        "cosine_topk_batch": f"""
+            WITH b AS (
+                SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id AS q_id, embedding AS qe, bucket
+                FROM b WHERE vec_id % {_QUERY_EVERY} = 0
+            ),
+            cand AS (
+                SELECT q.q_id, v.vec_id,
+                       round(list_cosine_similarity(v.embedding, q.qe), 4)
+                           AS cos_sim
+                FROM b v JOIN q ON v.bucket = q.bucket
+                 AND v.vec_id <> q.q_id
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+                ) AS rk FROM cand
+            )
+            SELECT q_id, rk, vec_id, cos_sim FROM r
+            WHERE rk <= 5 ORDER BY q_id, rk
         """,
         "embedding_neardup_pairs": f"""
             WITH b AS (

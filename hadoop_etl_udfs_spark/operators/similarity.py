@@ -120,6 +120,56 @@ def cosine_topk_lsh(
     )
 
 
+QUERY_EVERY = 100  # deterministic query-set stride for the batch ANN demo
+
+
+def cosine_topk_batch(
+    spark: SparkSession, sf_dir: str, query_every: int = QUERY_EVERY,
+    k: int = 5,
+) -> DataFrame:
+    """Batch ANN — top-k neighbors for EVERY query in a query set at once,
+    the production retrieval shape (the single-query variants above are its
+    unit form). Query set = the deterministic ``vec_id % query_every == 0``
+    stride; candidates come from an LSH-bucket equality join against the
+    BROADCAST query set, so the big side is scanned once, scoring is
+    map-side, and the only shuffle is the per-query top-k window over the
+    already-pruned candidates (expected N·Q/2^planes rows, not N·Q)."""
+    emb = _emb(spark, sf_dir)
+    planes = _planes()
+    with_bucket = emb.withColumn(
+        "bucket", lsh_bucket_expr(F.col("embedding"), planes)
+    )
+    q = with_bucket.filter(
+        F.col("vec_id") % query_every == 0
+    ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = (
+        with_bucket.join(F.broadcast(q), F.col("bucket") == F.col("q_bucket"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                cosine_sim(F.col("embedding"), F.col("q_embedding")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        cand.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "rk", "vec_id", "cos_sim")
+        .orderBy("q_id", "rk")
+    )
+
+
 MAX_BUCKET = 64  # pair generation skips buckets bigger than this
 
 
