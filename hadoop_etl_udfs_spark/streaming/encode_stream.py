@@ -57,6 +57,45 @@ def start_encode_stream(
     )
 
 
+def start_decode_stream(
+    spark: SparkSession,
+    sink_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str | None = None,
+    max_files_per_trigger: int = 16,
+) -> StreamingQuery:
+    """The decode-side stream: watch a chunk sink and emit decoded rows as
+    new chunks commit — the downstream half of the encode stream above
+    (continuous ingestion in, continuous decoded feed out).
+
+    Unit of consumption = committed sink FILES; each encode task writes a
+    chunk's column rows consecutively into one file, so every micro-batch
+    carries whole chunks and decodes with the grouped path (which also
+    dedupes any replayed chunk WITHIN its batch). The file-source checkpoint
+    guarantees each sink file is consumed exactly once, so an appended
+    (resume-style) sink streams out exactly once too."""
+    from ..operators.encode import ENCODED_SCHEMA, decode_chunks
+
+    stream = (
+        spark.readStream.schema(ENCODED_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(lineage.chunks_path(sink_dir))
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        decode_chunks(batch_df, schema=schema).write.mode("append").parquet(
+            out_dir
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_lineage_metrics(
     spark: SparkSession, out_dir: str
 ) -> DataFrame:

@@ -156,6 +156,42 @@ def test_live_streaming_sink_decodes_atomically_mid_stream(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_decode_stream_consumes_sink_exactly_once(spark):
+    """Decode-side streaming: a readStream over the chunk sink emits decoded
+    rows as chunks commit; a second wave appended to the sink streams out
+    exactly once (file-source checkpoint), total = bit-identical union."""
+    from hadoop_etl_udfs_spark.operators.encode import encode_pages
+    from hadoop_etl_udfs_spark.streaming.encode_stream import start_decode_stream
+
+    base = tempfile.mkdtemp(prefix="decstream_")
+    sink = os.path.join(base, "sink")
+    out = os.path.join(base, "decoded")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        w1 = synthesize_pages(spark, 500, seed=31).cache()
+        w2 = synthesize_pages(spark, 1100, seed=31).exceptAll(w1).cache()
+        lineage.write_encoded(encode_pages(w1), sink, mode="append")
+        q = start_decode_stream(spark, sink, out, ckpt)
+        assert q.awaitTermination(180)
+        got1 = spark.read.parquet(out)
+        assert got1.count() == 500
+        assert got1.exceptAll(w1).count() == 0 and w1.exceptAll(got1).count() == 0
+
+        done = lineage.completed_chunk_ids(spark, sink, n_columns=5)
+        lineage.write_encoded(
+            encode_pages(w2, skip_chunk_ids=done), sink, mode="append"
+        )
+        q = start_decode_stream(spark, sink, out, ckpt)
+        assert q.awaitTermination(180)
+        got = spark.read.parquet(out)
+        both = w1.unionAll(w2)
+        assert got.count() == both.count()  # exactly once, no re-emits
+        assert got.exceptAll(both).count() == 0 and both.exceptAll(got).count() == 0
+    finally:
+        w1.unpersist(), w2.unpersist()
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_windowed_event_metrics_with_watermark(spark, sf_dir):
     import os as _os
     from pyspark.sql.types import StructType
