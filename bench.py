@@ -78,6 +78,15 @@ def _dir_bytes(path: str) -> int:
     )
 
 
+def _pages(spark, pages_path: str):
+    """The bench pages table — an Iceberg table (spec-pure iceberg_lite)
+    resolved through its metadata/manifest planner, per the north star's
+    input clause."""
+    from hadoop_etl_udfs_spark.sources.iceberg_lite import read_iceberg
+
+    return read_iceberg(spark, pages_path)
+
+
 def run_encode_bench(
     cores: int, pages_path: str, workdir: str, kernel_only: bool = False
 ) -> dict:
@@ -99,7 +108,7 @@ def run_encode_bench(
         # cache the input: the metric is ENCODE throughput; re-reading the
         # source through local mode's single disk each repeat would measure
         # that disk, which a real cluster parallelizes away
-        pages = spark.read.parquet(pages_path)
+        pages = _pages(spark, pages_path)
         if kernel_only:
             pages = pages.repartition(64)
         pages = pages.cache()
@@ -217,13 +226,22 @@ def main() -> None:
         # materialize the deterministic pages table once (not timed)
         from hadoop_etl_udfs_spark.sources.pages import synthesize_pages
 
+        # ...committed as an ICEBERG table and read back through the
+        # manifest planner everywhere below — the north star's input clause
+        # ("reads an Iceberg table of Common-Crawl-style web pages")
+        # enacted literally, via the spec-pure sources/iceberg_lite
+        from hadoop_etl_udfs_spark.sources.iceberg_lite import (
+            write_iceberg_table,
+        )
+
         pages_path = os.path.join(workdir, "pages")
-        synthesize_pages(spark, N_DOCS, seed=42).write.mode("overwrite").parquet(
-            pages_path
+        write_iceberg_table(
+            synthesize_pages(spark, N_DOCS, seed=42), pages_path,
+            mode="overwrite", stats_col="warc_ts",
         )
         # parquet+snappy proxy of the reference's compressed size
         proxy_path = os.path.join(workdir, "proxy")
-        spark.read.parquet(pages_path).write.mode("overwrite").option(
+        _pages(spark, pages_path).write.mode("overwrite").option(
             "compression", "snappy"
         ).parquet(proxy_path)
         proxy_bytes = _dir_bytes(proxy_path)
@@ -370,7 +388,7 @@ def main() -> None:
         try:
             from hadoop_etl_udfs_spark.plans.lineage import encode_resumable
 
-            pages = spark.read.parquet(pages_path)
+            pages = _pages(spark, pages_path)
             t0 = time.time()
             stats = encode_resumable(pages, enc_high_dir, salt_buckets=8)
             result["resume"] = {
@@ -400,7 +418,7 @@ def main() -> None:
             )
             from hadoop_etl_udfs_spark.sources.pages import skew_hosts
 
-            skewed = skew_hosts(spark.read.parquet(pages_path)).cache()
+            skewed = skew_hosts(_pages(spark, pages_path)).cache()
             skewed.count()
             # split target scales with the input: 16384 (the chunk size) at
             # bench scale and above, proportionally smaller at smoke scale —
@@ -457,7 +475,7 @@ def main() -> None:
                 recluster_sink,
             )
 
-            pages = spark.read.parquet(pages_path)
+            pages = _pages(spark, pages_path)
             part_out = os.path.join(workdir, "enc_part")
             t0 = time.time()
             recluster_sink(

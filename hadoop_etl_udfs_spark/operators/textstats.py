@@ -214,12 +214,21 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(words, i * SEGMENT_WORDS + 1, SEGMENT_WORDS), " "
         ),
     )
-    ex = docs.select("doc_id", F.posexplode(segs).alias("pos", "seg"))
-    firsts = ex.groupBy("doc_id", "seg").agg(F.min("pos").alias("pos"))
+    # n_segs rides along through the explode (constant per doc) — no second
+    # scan of docs and no join, just the two aggregates
+    ex = docs.select(
+        "doc_id",
+        n_segs.cast("long").alias("n_segs"),
+        F.posexplode(segs).alias("pos", "seg"),
+    )
+    firsts = ex.groupBy("doc_id", "seg").agg(
+        F.min("pos").alias("pos"), F.min("n_segs").alias("n_segs")
+    )
     return (
         firsts.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_uniq_segs"),
+            F.min("n_segs").alias("n_segs"),
+            F.count("*").cast("long").alias("n_uniq_segs"),
             F.md5(
                 F.array_join(
                     F.transform(
@@ -232,19 +241,7 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("clean_md5"),
         )
-        .join(
-            docs.select(
-                "doc_id",
-                F.ceil(
-                    F.size(F.split(F.trim(F.col("text")), r"\s+"))
-                    / SEGMENT_WORDS
-                ).cast("long").alias("n_segs"),
-            ),
-            "doc_id",
-        )
-        .select(
-            "doc_id", "n_segs", F.col("n_uniq_segs").cast("long"), "clean_md5"
-        )
+        .select("doc_id", "n_segs", "n_uniq_segs", "clean_md5")
         .orderBy("doc_id")
     )
 
