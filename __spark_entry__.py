@@ -31,13 +31,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver evaluates the FIRST 50 entries (dict order) against the
     DuckDB oracle; the rest get no driver correctness row. Gate composition
     is therefore an explicit decision, not insertion order (round-3 verdict
-    item 1): slots 1-50 are all oracle-backed; the final 8 slots hold the 4
-    rows-only twins (their oracle evidence is the in-gate *_checked twins)
-    plus 5 deliberately sat-out scalar queries (hex_encode, float_downcast,
-    char_padding, string_functions, to_json_render — driver-green rounds
-    1-3, single built-in expressions with an in-gate superset for
-    to_json_render, still oracle-checked every round by
-    tools/check_correctness.py which covers ALL entries). Rationale
+    item 1): slots 1-50 are all oracle-backed; the past-cap slots hold the
+    4 rows-only twins (their oracle evidence is the in-gate *_checked
+    twins), 5 deliberately sat-out scalar queries (hex_encode,
+    float_downcast, char_padding, string_functions, to_json_render —
+    driver-green rounds 1-3, single built-in expressions with an in-gate
+    superset for to_json_render), and the round-4 oracle-backed additions
+    awaiting rotation (pii_redaction, segment_dedup, cosine_topk_batch).
+    Everything past the cap is still oracle-checked every round by
+    tools/check_correctness.py, which covers ALL entries. Rationale
     mirrored in COVERAGE.md."""
     return {
         # ---- slots 1-50: oracle-backed (driver-evaluated) ----
