@@ -30,9 +30,13 @@ The Avro container files use this repo's own spec-pure ``avro_lite`` codec
 Scope (documented subset, NOT a full Iceberg stack): format-version 1,
 unpartitioned spec, flat primitive schemas (the pages/documents shapes),
 parquet data files, optional per-file bounds on ONE stats column
-(long/timestamp). Planning is driver-side over manifest files — the same
-division of labor as Iceberg's own client planner; the data path stays fully
-distributed. Reference parity: the reference's table abstraction is an HCat/
+(long/timestamp), ADDITIVE schema evolution (appends may add columns —
+fresh field ids, pre-evolution files read NULL; drops and type changes
+fail loud). Planning is driver-side over manifest files — the same
+division of labor as Iceberg's own client planner; the data path stays
+fully distributed. Commits assume a single writer (version-hint is
+last-writer-wins here; real Iceberg arbitrates concurrent commits through
+an atomic catalog swap, which a local filesystem cannot express). Reference parity: the reference's table abstraction is an HCat/
 metastore table of files (HCatTableMetadata.java:11-31, file enumeration
 HdfsService.java:24-57); here the manifest list replaces the directory walk
 and adds commit atomicity the reference never had.
@@ -292,14 +296,33 @@ def write_iceberg_table(
         snapshot_id = max(
             s["snapshot-id"] for s in prev_meta.get("snapshots", [])
         ) + 1
-        if [f["name"] for f in prev_meta["schema"]["fields"]] != \
-                [f["name"] for f in schema_json["fields"]]:
+        prev_fields = {f["name"]: f for f in prev_meta["schema"]["fields"]}
+        df_names = [f["name"] for f in schema_json["fields"]]
+        missing = [n for n in prev_fields if n not in df_names]
+        if missing:
             raise ValueError(
-                "iceberg_lite does not evolve schemas on write: table "
-                f"{[f['name'] for f in prev_meta['schema']['fields']]} vs "
-                f"df {[f['name'] for f in schema_json['fields']]}"
+                "iceberg_lite supports ADDITIVE schema evolution only: the "
+                f"commit is missing existing table columns {missing} "
+                f"(table {sorted(prev_fields)}, df {df_names})"
             )
-        schema_json = prev_meta["schema"]  # keep the table's field ids
+        # keep existing field ids; new columns get fresh sequential ids —
+        # Iceberg's additive evolution. Pre-evolution data files read the
+        # new columns as NULL (explicit-schema parquet read fills by name).
+        next_id = prev_meta["last-column-id"] + 1
+        evolved = list(prev_meta["schema"]["fields"])
+        for f in schema_json["fields"]:
+            if f["name"] not in prev_fields:
+                evolved.append({**f, "id": next_id})
+                next_id += 1
+            elif prev_fields[f["name"]]["type"] != f["type"]:
+                # type changes (incl. timestamp tz flavor — a tz change
+                # silently shifts values) must fail loud
+                raise ValueError(
+                    f"column {f['name']!r} changed type "
+                    f"{prev_fields[f['name']]['type']!r} -> {f['type']!r}; "
+                    "iceberg_lite does not rewrite column types"
+                )
+        schema_json = {"type": "struct", "schema-id": 0, "fields": evolved}
     except FileNotFoundError:
         prev_meta, version, snapshot_id = None, 0, 1
 

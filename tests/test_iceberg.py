@@ -167,10 +167,41 @@ def test_iceberg_column_subset_and_schema_guard(spark, tmp_path):
     write_iceberg_table(pages, tbl, mode="overwrite")
     sub = read_iceberg(spark, tbl, columns=["url", "lang"])
     assert sub.columns == ["url", "lang"] and sub.count() == 100
-    # appending a drifted schema must fail loud, not corrupt the table
-    with pytest.raises(ValueError, match="does not evolve schemas"):
+    # a commit that DROPS existing columns must fail loud, not corrupt
+    with pytest.raises(ValueError, match="ADDITIVE schema evolution only"):
         write_iceberg_table(
             pages.select("url", "lang"), tbl, mode="append"
         )
-    # the failed commit did not advance the table version
+    # ...and so must a type change on an existing column
+    with pytest.raises(ValueError, match="changed type"):
+        write_iceberg_table(
+            pages.withColumn("lang", F.length("lang")), tbl, mode="append"
+        )
+    # the failed commits did not advance the table version
     assert read_table_meta(tbl)["current-snapshot-id"] == 1
+
+
+def test_iceberg_additive_schema_evolution(spark, tmp_path):
+    """Iceberg's additive evolution: an append may ADD columns — the table
+    schema grows with fresh field ids, pre-evolution data files read the
+    new column as NULL, and new files carry real values."""
+    tbl = str(tmp_path / "tbl")
+    w1 = synthesize_pages(spark, 80, seed=13).cache()
+    w2 = (
+        synthesize_pages(spark, 200, seed=13).exceptAll(w1)
+        .withColumn("fetch_ms", F.unix_micros("warc_ts") % 1000)
+        .cache()
+    )
+    write_iceberg_table(w1, tbl, mode="overwrite")
+    write_iceberg_table(w2, tbl, mode="append")
+    meta = read_table_meta(tbl)
+    names = [f["name"] for f in meta["schema"]["fields"]]
+    assert names[-1] == "fetch_ms" and meta["last-column-id"] == 6
+    got = read_iceberg(spark, tbl)
+    assert got.columns == names
+    old = got.join(w1.select("url"), "url", "semi")
+    assert old.count() == 80
+    assert old.filter(F.col("fetch_ms").isNotNull()).count() == 0  # NULL-filled
+    new = got.join(w2.select("url"), "url", "semi")
+    assert new.filter(F.col("fetch_ms").isNull()).count() == 0
+    w1.unpersist(), w2.unpersist()
