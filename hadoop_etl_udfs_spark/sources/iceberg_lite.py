@@ -502,6 +502,76 @@ def read_iceberg(
     return df.select(*columns) if columns else df
 
 
+def expire_snapshots(path: str, keep_last: int = 1) -> dict:
+    """Iceberg's VACUUM / expire_snapshots: drop all but the most recent
+    ``keep_last`` snapshots from the table metadata and DELETE every data
+    file and manifest no retained snapshot references. Time travel to an
+    expired snapshot then fails (by design — that's what expiry means);
+    the current snapshot is always retained. Returns deletion counts.
+
+    Storage-reclaim semantics match Iceberg: an overwrite never frees bytes
+    until its predecessors expire. Like the writer, assumes a single
+    maintainer (no concurrent-commit arbitration on a local filesystem)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the current snapshot)")
+    meta = read_table_meta(path)
+    version = current_version(path)
+    snaps = meta.get("snapshots", [])
+    retained = snaps[-keep_last:]
+    expired = snaps[:-keep_last]
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_files": 0,
+                "deleted_manifests": 0}
+
+    def _live(snapshot_list):
+        files, manifests = set(), set()
+        for s in snapshot_list:
+            _, mlist = read_avro(s["manifest-list"])
+            for m in mlist:
+                manifests.add(m["manifest_path"])
+                _, entries = read_avro(m["manifest_path"])
+                for e in entries:
+                    if e["status"] != 2:
+                        files.add(e["data_file"]["file_path"])
+        return files, manifests
+
+    keep_files, keep_manifests = _live(retained)
+    drop_files, drop_manifests = _live(expired)
+    dead_files = drop_files - keep_files
+    dead_manifests = drop_manifests - keep_manifests
+    for f in dead_files:
+        if os.path.exists(f):
+            os.remove(f)
+    for m in dead_manifests:
+        if os.path.exists(m):
+            os.remove(m)
+    for s in expired:
+        if s["manifest-list"] not in {r["manifest-list"] for r in retained}:
+            if os.path.exists(s["manifest-list"]):
+                os.remove(s["manifest-list"])
+    retained_ids = {s["snapshot-id"] for s in retained}
+    new_meta = {
+        **meta,
+        "snapshots": retained,
+        "snapshot-log": [
+            e for e in meta.get("snapshot-log", [])
+            if e["snapshot-id"] in retained_ids
+        ],
+    }
+    new_version = version + 1
+    with open(
+        os.path.join(_meta_dir(path), f"v{new_version}.metadata.json"), "w"
+    ) as f:
+        json.dump(new_meta, f, indent=1)
+    with open(os.path.join(_meta_dir(path), "version-hint.text"), "w") as f:
+        f.write(str(new_version))
+    return {
+        "expired_snapshots": len(expired),
+        "deleted_files": len(dead_files),
+        "deleted_manifests": len(dead_manifests),
+    }
+
+
 def iceberg_added_files(
     path: str, from_snapshot_id: int, to_snapshot_id: int | None = None
 ) -> list[str]:

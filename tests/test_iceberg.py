@@ -181,6 +181,35 @@ def test_iceberg_column_subset_and_schema_guard(spark, tmp_path):
     assert read_table_meta(tbl)["current-snapshot-id"] == 1
 
 
+def test_iceberg_expire_snapshots_reclaims_and_protects(spark, tmp_path):
+    """expire_snapshots deletes exactly the data files/manifests only
+    expired snapshots reference; the current snapshot keeps reading, time
+    travel to the expired one fails, and files SHARED with a retained
+    snapshot (append lineage) survive."""
+    from hadoop_etl_udfs_spark.sources.iceberg_lite import expire_snapshots
+
+    tbl = str(tmp_path / "tbl")
+    w1 = synthesize_pages(spark, 150, seed=41).cache()
+    w2 = synthesize_pages(spark, 130, seed=42).cache()
+    w3 = synthesize_pages(spark, 300, seed=41).exceptAll(w1).cache()
+    write_iceberg_table(w1, tbl, mode="overwrite")      # snap 1
+    write_iceberg_table(w2, tbl, mode="overwrite")      # snap 2 (replaces)
+    write_iceberg_table(w3, tbl, mode="append")         # snap 3 = w2 + w3
+    stats = expire_snapshots(tbl, keep_last=1)
+    assert stats["expired_snapshots"] == 2
+    assert stats["deleted_files"] > 0                   # w1's files freed
+    # current still reads the full union; w1's rows are gone with snap 1
+    cur = read_iceberg(spark, tbl)
+    assert _fingerprint(cur) == _fingerprint(w2.unionAll(w3))
+    # time travel to an expired snapshot fails loud
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg(spark, tbl, snapshot_id=1)
+    # shared-lineage protection: snap 3 reuses snap 2's manifest, so w2's
+    # data files must have survived the expiry of snapshot 2
+    assert cur.count() == w2.count() + w3.count()
+    w1.unpersist(), w2.unpersist(), w3.unpersist()
+
+
 def test_iceberg_additive_schema_evolution(spark, tmp_path):
     """Iceberg's additive evolution: an append may ADD columns — the table
     schema grows with fresh field ids, pre-evolution data files read the
