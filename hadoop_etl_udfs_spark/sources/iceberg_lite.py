@@ -326,8 +326,16 @@ def write_iceberg_table(
     except FileNotFoundError:
         prev_meta, version, snapshot_id = None, 0, 1
 
-    # 1) data files (distributed parquet write, one subdir per snapshot)
+    # 1) data files (distributed parquet write, one subdir per snapshot).
+    # A commit that crashed between the data write and the metadata commit
+    # leaves an orphaned snap-<id> dir; the retry must not collide with it
+    # (orphans are reclaimed separately by remove_orphan_files, like
+    # Iceberg's own remove_orphan_files action)
     data_dir = os.path.join(path, "data", f"snap-{snapshot_id}")
+    attempt = 0
+    while os.path.exists(data_dir):
+        attempt += 1
+        data_dir = os.path.join(path, "data", f"snap-{snapshot_id}-r{attempt}")
     df.write.mode("errorifexists").parquet(data_dir)
 
     # 2) per-file stats: one distributed aggregate over the new files
@@ -354,7 +362,12 @@ def write_iceberg_table(
     fid = _field_id(schema_json, stats_col) if stats_col else None
     entries = []
     for uri, r in sorted(stats.items()):
-        local = uri[len("file:"):] if uri.startswith("file:") else uri
+        # input_file_name() yields file:///... URIs — normalize to a plain
+        # absolute path (abspath collapses the scheme's slashes) so manifest
+        # paths compare equal to os.path/glob paths everywhere downstream
+        local = os.path.abspath(
+            uri[len("file:"):] if uri.startswith("file:") else uri
+        )
         lower = upper = None
         if fid is not None and r["lo"] is not None:
             lower = [{"key": fid, "value": _bound_bytes(r["lo"])}]
@@ -570,6 +583,31 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
         "deleted_files": len(dead_files),
         "deleted_manifests": len(dead_manifests),
     }
+
+
+def remove_orphan_files(path: str) -> dict:
+    """Iceberg's remove_orphan_files: delete data files under ``data/``
+    that NO snapshot references — the leftovers of commits that crashed
+    between the data write and the metadata commit. Never touches
+    referenced files or metadata; safe to run any time (single-maintainer
+    assumption, as everywhere in this module)."""
+    meta = read_table_meta(path)
+    live: set[str] = set()
+    for s in meta.get("snapshots", []):
+        _, mlist = read_avro(s["manifest-list"])
+        for m in mlist:
+            _, entries = read_avro(m["manifest_path"])
+            for e in entries:
+                live.add(os.path.abspath(e["data_file"]["file_path"]))
+    removed = 0
+    for f in glob.glob(os.path.join(path, "data", "**"), recursive=True):
+        base = os.path.basename(f)
+        if base.startswith(("_", ".")):  # markers/CRCs, not data
+            continue
+        if os.path.isfile(f) and os.path.abspath(f) not in live:
+            os.remove(f)
+            removed += 1
+    return {"deleted_files": removed, "live_files": len(live)}
 
 
 def iceberg_added_files(

@@ -210,6 +210,34 @@ def test_iceberg_expire_snapshots_reclaims_and_protects(spark, tmp_path):
     w1.unpersist(), w2.unpersist(), w3.unpersist()
 
 
+def test_iceberg_crashed_commit_recovery_and_orphan_cleanup(spark, tmp_path):
+    """A commit that crashed between the data write and the metadata commit
+    leaves an orphaned data dir: the retry must not collide with it, a read
+    must not see its rows, and remove_orphan_files reclaims exactly it."""
+    import shutil as _sh
+
+    from hadoop_etl_udfs_spark.sources.iceberg_lite import remove_orphan_files
+
+    tbl = str(tmp_path / "tbl")
+    w1 = synthesize_pages(spark, 100, seed=51).cache()
+    write_iceberg_table(w1, tbl, mode="overwrite")  # snap 1
+    # simulate a crashed snap-2 commit: data written, no metadata
+    orphan = os.path.join(tbl, "data", "snap-2")
+    synthesize_pages(spark, 40, seed=52).write.parquet(orphan)
+    # a reader never sees the orphan (manifest-planned, not dir-listed)
+    assert read_iceberg(spark, tbl).count() == 100
+    # the retried commit lands beside the orphan instead of colliding
+    w2 = synthesize_pages(spark, 220, seed=51).exceptAll(w1).cache()
+    write_iceberg_table(w2, tbl, mode="append")     # snap 2 retry
+    assert _fingerprint(read_iceberg(spark, tbl)) == _fingerprint(w1.unionAll(w2))
+    # orphan cleanup removes the crashed dir's files, nothing live
+    stats = remove_orphan_files(tbl)
+    assert stats["deleted_files"] > 0
+    assert _fingerprint(read_iceberg(spark, tbl)) == _fingerprint(w1.unionAll(w2))
+    _sh.rmtree(orphan, ignore_errors=True)
+    w1.unpersist(), w2.unpersist()
+
+
 def test_iceberg_additive_schema_evolution(spark, tmp_path):
     """Iceberg's additive evolution: an append may ADD columns — the table
     schema grows with fresh field ids, pre-evolution data files read the
