@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": textstats.pii_redaction,
         "segment_dedup": textstats.segment_dedup,
         "cosine_topk_batch": similarity.cosine_topk_batch,
+        "dedup_clusters_star": dedup.dedup_clusters_star_checked,
     }
 
 
@@ -728,6 +729,8 @@ def oracle_sql() -> dict[str, str]:
         # pipelines over md5-derived hashes both engines compute
         "minhash_lsh_pairs_checked": _minhash_checked_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
+        # both component algorithms answer to the same transitive closure
+        "dedup_clusters_star": _dedup_clusters_sql(),
         "simhash_checked": _simhash_checked_sql(),
         # entropy() in DuckDB is Shannon log2 entropy over the value multiset
         # = the kernel's byte-histogram entropy; the double round mirrors the

@@ -264,12 +264,115 @@ def duplicate_clusters(
     )
 
 
+def _canon_edges(e: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical (lo, hi) form, no self-loops."""
+    return (
+        e.select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Kiveris et al. large-star: every node u links each LARGER neighbor to
+    min(Γ(u) ∪ {u}) — long tails collapse toward small labels."""
+    m = _sym(e).groupBy("u").agg(F.min("v").alias("mv"))
+    m = m.select("u", F.least("mv", F.col("u")).alias("m"))
+    return _canon_edges(
+        _sym(e).join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Kiveris et al. small-star: every node u rewires its SMALLER
+    neighbors (and itself) to their minimum — stars flatten to the true
+    component minimum."""
+    le = _sym(e).filter(F.col("v") < F.col("u"))
+    m = le.groupBy("u").agg(F.min("v").alias("m"))
+    children = (
+        le.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    selfs = m.select("u", F.col("m").alias("v"))
+    return _canon_edges(children.union(selfs))
+
+
+def duplicate_clusters_star(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+    2014) — the adversarial-diameter escape ``duplicate_clusters``' min-label
+    propagation documents: propagation needs O(diameter) rounds (a 200-node
+    chain = 200 rounds), star contraction needs O(log n) ALTERNATIONS
+    regardless of diameter, with the same join+min primitive per round.
+    Same output contract as ``duplicate_clusters``: (doc_id, cluster_rep =
+    component minimum, cluster_size) for every document in some pair."""
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = _canon_edges(raw).localCheckpoint()
+    # node universe from the RAW pairs: a self-paired doc is a singleton
+    # cluster of itself (canon drops the self-loop, not the node)
+    all_nodes = _sym(raw).select("u").distinct().localCheckpoint()
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        sig = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        cur = (sig["n"], sig["h"])
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters_star did not converge in {max_iter} "
+            "alternations — not expected for any graph of < 2^25 nodes"
+        )
+    # fixpoint edges are stars (component_min, child): children label to the
+    # center, centers label to themselves, and every original node is one
+    # of the two
+    labels = (
+        e.select(F.col("v").alias("x"), F.col("u").alias("rep"))
+        .union(
+            all_nodes.join(
+                e.select(F.col("v").alias("u")), "u", "left_anti"
+            ).select(F.col("u").alias("x"), F.col("u").alias("rep"))
+        )
+    )
+    sizes = labels.groupBy("rep").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "rep")
+        .select(
+            F.col("x").alias("doc_id"),
+            F.col("rep").alias("cluster_rep"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dedup_clusters_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: connected components over the oracle-checked MinHash
     candidate pairs — the full near-dup resolution pipeline (pairs ->
     clusters -> representative), value-verified against a DuckDB recursive
     CTE over the same md5 banding SQL."""
     return duplicate_clusters(minhash_lsh_pairs_checked(spark, sf_dir))
+
+
+def dedup_clusters_star_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the star-contraction algorithm over the SAME checked
+    pairs — both component algorithms are held to the same DuckDB
+    transitive-closure oracle."""
+    return duplicate_clusters_star(minhash_lsh_pairs_checked(spark, sf_dir))
 
 
 MAX_SHINGLE_DF = 50  # shingles in more docs than this are stopword phrases

@@ -142,6 +142,56 @@ def test_zone_map_int_stats_bound_all_values(vals):
     assert all(d["min"] <= v <= d["max"] for v in present)
 
 
+_AVRO_LEAVES = {
+    "boolean": st.booleans(),
+    "long": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "bytes": st.binary(max_size=40),
+    "string": st.text(max_size=40),
+}
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.sampled_from(sorted(_AVRO_LEAVES)),
+    st.integers(min_value=0, max_value=2),
+    st.data(),
+    st.booleans(),
+)
+def test_avro_lite_nested_values_roundtrip(leaf_t, depth, data, deflate):
+    """ANY nullable leaf values under ANY array-nesting depth (0-2) must
+    survive the container-file roundtrip bit-identically — the Iceberg
+    manifests (nested records + arrays + unions) ride on exactly this
+    codec, and a silent corruption there loses table files."""
+    import os
+    import tempfile
+
+    from hadoop_etl_udfs_spark.sources.avro_lite import read_avro, write_avro
+
+    field_type = ["null", leaf_t]
+    value_strat = st.one_of(st.none(), _AVRO_LEAVES[leaf_t])
+    for _ in range(depth):
+        field_type = {"type": "array", "items": field_type}
+        value_strat = st.lists(value_strat, max_size=4)
+    rows = data.draw(
+        st.lists(
+            st.fixed_dictionaries({"f": value_strat}), min_size=1, max_size=6
+        )
+    )
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "f", "type": field_type}],
+    }
+    p = tempfile.mktemp(suffix=".avro")
+    try:
+        write_avro(p, schema, rows, codec="deflate" if deflate else "null")
+        _, back = read_avro(p)
+        assert back == rows
+    finally:
+        if os.path.exists(p):
+            os.unlink(p)
+
+
 def test_zone_map_oversized_string_yields_no_stats():
     import pyarrow as pa
 
@@ -153,13 +203,17 @@ def test_zone_map_oversized_string_yields_no_stats():
 
 
 def test_duplicate_clusters_matches_union_find(spark):
-    """Property: on random graphs, min-label propagation agrees with a
-    plain driver-side union-find (component min as representative,
+    """Property: on random graphs, BOTH connected-components algorithms
+    (min-label propagation AND large-star/small-star contraction) agree
+    with a plain driver-side union-find (component min as representative,
     component size). Small example count — each case runs real Spark
     jobs — but seeds vary shape: sparse chains, dense blobs, self-loops."""
     import random
 
-    from hadoop_etl_udfs_spark.operators.dedup import duplicate_clusters
+    from hadoop_etl_udfs_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
 
     for seed in (0, 1, 2, 3):
         rng = random.Random(seed)
@@ -187,8 +241,34 @@ def test_duplicate_clusters_matches_union_find(spark):
             sizes[want_rep[x]] = sizes.get(want_rep[x], 0) + 1
 
         pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
-        got = {r["doc_id"]: r for r in duplicate_clusters(pairs).collect()}
-        assert set(got) == touched, seed
-        for x in touched:
-            assert got[x]["cluster_rep"] == want_rep[x], (seed, x)
-            assert got[x]["cluster_size"] == sizes[want_rep[x]], (seed, x)
+        for algo in (duplicate_clusters, duplicate_clusters_star):
+            got = {r["doc_id"]: r for r in algo(pairs).collect()}
+            assert set(got) == touched, (algo.__name__, seed)
+            for x in touched:
+                assert got[x]["cluster_rep"] == want_rep[x], (algo.__name__, seed, x)
+                assert got[x]["cluster_size"] == sizes[want_rep[x]], (
+                    algo.__name__, seed, x,
+                )
+
+
+def test_star_contraction_converges_on_adversarial_chain(spark):
+    """The case star contraction exists for: a 200-node path graph has
+    diameter 199 — min-label propagation would need ~200 rounds (it raises
+    at its max_iter), while large-star/small-star alternation collapses it
+    in O(log n) rounds and still labels every node with the chain minimum."""
+    import pytest as _pytest
+
+    from hadoop_etl_udfs_spark.operators.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    n = 200
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iter=8)
+    got = duplicate_clusters_star(chain, max_iter=25).collect()
+    assert len(got) == n
+    assert all(r["cluster_rep"] == 0 and r["cluster_size"] == n for r in got)
