@@ -37,10 +37,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     float_downcast, char_padding, string_functions, to_json_render —
     driver-green rounds 1-3, single built-in expressions with an in-gate
     superset for to_json_render), and the round-4 oracle-backed additions
-    awaiting rotation (pii_redaction, segment_dedup, cosine_topk_batch).
-    Everything past the cap is still oracle-checked every round by
-    tools/check_correctness.py, which covers ALL entries. Rationale
-    mirrored in COVERAGE.md."""
+    awaiting rotation (pii_redaction, segment_dedup, cosine_topk_batch,
+    dedup_clusters_star). Everything past the cap is still oracle-checked
+    every round by tools/check_correctness.py, which covers ALL entries.
+    Rationale mirrored in COVERAGE.md."""
     return {
         # ---- slots 1-50: oracle-backed (driver-evaluated) ----
         # --- reference-parity relational operators (SURVEY.md §2.2/§2.6) ---
@@ -104,7 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- Iceberg table format (spec-pure commit + manifest-planned
         #     read, sources/iceberg_lite.py) ---
         "iceberg_roundtrip": _iceberg_roundtrip,
-        # ---- slots 51-58: deliberately past the driver's 50-query cap ----
+        # ---- slot 51 onward: deliberately past the driver's 50-query cap ----
         # rows-only twins (value-covered by the in-gate *_checked twins):
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,       # rows-only (xxhash64)
         "simhash64": dedup.simhash64,                        # rows-only (xxhash64)

@@ -297,7 +297,9 @@ def main() -> None:
                 # LOW draw can only push the gate further away
                 need += [LOW_CORES, MID_CORES]
             if results[CPUS]["wall_s"] >= results[MID_CORES]["wall_s"]:
-                need += [CPUS]
+                # the high<mid sanity gate compares two minima too — both
+                # sides draw, for the same no-asymmetric-sampling reason
+                need += [MID_CORES, CPUS]
             if not need:
                 break
             for cores in dict.fromkeys(need):

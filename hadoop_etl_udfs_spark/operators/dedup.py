@@ -280,10 +280,11 @@ def _sym(e: DataFrame) -> DataFrame:
 def _large_star(e: DataFrame) -> DataFrame:
     """Kiveris et al. large-star: every node u links each LARGER neighbor to
     min(Γ(u) ∪ {u}) — long tails collapse toward small labels."""
-    m = _sym(e).groupBy("u").agg(F.min("v").alias("mv"))
+    sym = _sym(e)  # one symmetrized view feeds both the min and the rewire
+    m = sym.groupBy("u").agg(F.min("v").alias("mv"))
     m = m.select("u", F.least("mv", F.col("u")).alias("m"))
     return _canon_edges(
-        _sym(e).join(m, "u")
+        sym.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )

@@ -64,6 +64,11 @@ def partition_histogram(df: DataFrame) -> dict:
         )
         .collect()[0]
     )
+    if rows["n_partitions"] == 0:
+        raise ValueError(
+            "partition_histogram: the plan produced no partitions with rows "
+            "(empty input?) — spread statistics are undefined"
+        )
     return {
         "n_partitions": int(rows["n_partitions"]),
         "max_rows": int(rows["max_rows"]),

@@ -75,7 +75,16 @@ def read_pages(
         # table-format branch (the north star's input is an Iceberg table):
         # no Iceberg runtime jar here either, so dispatch to the spec-pure
         # metadata/manifest planner (sources/iceberg_lite.py); the schema
-        # comes from the table's own metadata, never from the caller
+        # comes from the table's own metadata, never from the caller —
+        # accepting-and-ignoring a caller schema would break the explicit-
+        # schema contract every other branch honors, so refuse it loudly
+        if schema is not None:
+            raise ValueError(
+                "read_pages(fmt='iceberg') resolves the schema from the "
+                "table's own metadata; an explicit schema= is not honored "
+                "on this branch — drop it (select/cast after the read to "
+                "reshape)"
+            )
         from .iceberg_lite import read_iceberg
 
         return read_iceberg(spark, path)

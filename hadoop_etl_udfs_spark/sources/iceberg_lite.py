@@ -657,7 +657,11 @@ def iceberg_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text"
     )
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    tbl = os.path.join(base, "iceberg_rt_docs")
+    # pid-scoped path: the returned DataFrame reads the table LAZILY, so it
+    # cannot be deleted here — a shared fixed path would let a concurrent
+    # gate run rmtree it mid-read. One small tmpfs table per process leaks
+    # until that process's next call (which reclaims it below).
+    tbl = os.path.join(base, f"iceberg_rt_docs_{os.getpid()}")
     shutil.rmtree(tbl, ignore_errors=True)
     write_iceberg_table(docs, tbl, mode="overwrite", stats_col="doc_id")
     return read_iceberg(spark, tbl).orderBy("doc_id")

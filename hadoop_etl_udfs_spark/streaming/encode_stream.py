@@ -74,8 +74,26 @@ def start_decode_stream(
     carries whole chunks and decodes with the grouped path (which also
     dedupes any replayed chunk WITHIN its batch). The file-source checkpoint
     guarantees each sink file is consumed exactly once, so an appended
-    (resume-style) sink streams out exactly once too."""
+    (resume-style) sink streams out exactly once too.
+
+    A COLUMN-PARTITIONED sink (``write_encoded(partition_by_column=True)``)
+    breaks that premise — a chunk's column rows live in different files, a
+    micro-batch boundary can split them, and decode_chunks would fill the
+    missing columns with NULL (its schema-evolution behavior) and append
+    silently-wrong rows FOREVER (exactly-once means no retry). Refuse it
+    loudly; that layout decodes via the batch paths."""
+    import glob as _glob
+    import os as _os
+
     from ..operators.encode import ENCODED_SCHEMA, decode_chunks
+
+    if _glob.glob(_os.path.join(lineage.chunks_path(sink_dir), "column=*")):
+        raise ValueError(
+            f"sink {sink_dir!r} is column-partitioned (column=*/ dirs): a "
+            "micro-batch boundary could tear chunks across files and decode "
+            "them as NULL-filled rows — stream-decode only the default "
+            "colocated layout; use batch decode_chunks for this sink"
+        )
 
     stream = (
         spark.readStream.schema(ENCODED_SCHEMA)

@@ -55,6 +55,12 @@ def main() -> None:
     args = p.parse_args()
     if not args.input and not args.synthesize:
         p.error("one of --input or --synthesize is required")
+    if args.input_format == "iceberg" and not args.input:
+        p.error("--input-format iceberg requires --input (a table path)")
+    if args.from_snapshot is not None and args.input_format != "iceberg":
+        p.error("--from-snapshot only applies with --input-format iceberg "
+                "(a plain parquet input has no snapshots — this flag being "
+                "silently ignored would re-encode the full input)")
 
     from pyspark.sql import SparkSession
 

@@ -192,6 +192,26 @@ def test_decode_stream_consumes_sink_exactly_once(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_decode_stream_refuses_column_partitioned_sink(spark, tmp_path):
+    """A column-partitioned sink tears chunks across files at micro-batch
+    boundaries and would stream out NULL-filled rows forever — the decode
+    stream must refuse it loudly, not decode it wrong."""
+    import pytest as _pytest
+
+    from hadoop_etl_udfs_spark.operators.encode import encode_pages
+    from hadoop_etl_udfs_spark.streaming.encode_stream import start_decode_stream
+
+    sink = str(tmp_path / "colsink")
+    pages = synthesize_pages(spark, 200, seed=61)
+    lineage.write_encoded(
+        encode_pages(pages), sink, mode="append", partition_by_column=True
+    )
+    with _pytest.raises(ValueError, match="column-partitioned"):
+        start_decode_stream(
+            spark, sink, str(tmp_path / "out"), str(tmp_path / "ckpt")
+        )
+
+
 def test_windowed_event_metrics_with_watermark(spark, sf_dir):
     import os as _os
     from pyspark.sql.types import StructType
