@@ -111,6 +111,38 @@ def test_iceberg_manifest_bounds_prune_files(spark, tmp_path):
     pages.unpersist()
 
 
+def test_iceberg_bounds_pruning_equals_unpruned_for_random_ranges(spark, tmp_path):
+    """For ANY range, the manifest-pruned scan + residual filter must equal
+    the unpruned scan + the same filter — pruning may only skip files that
+    cannot match. Ten seeded ranges (incl. degenerate and all-covering) on
+    one range-clustered table."""
+    import random
+
+    tbl = str(tmp_path / "tbl")
+    pages = synthesize_pages(spark, 1500, seed=71).cache()
+    write_iceberg_table(
+        pages.repartitionByRange(6, "warc_ts"), tbl,
+        mode="overwrite", stats_col="warc_ts",
+    )
+    b = pages.agg(
+        F.min(F.unix_micros("warc_ts")).alias("lo"),
+        F.max(F.unix_micros("warc_ts")).alias("hi"),
+    ).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    rng = random.Random(7)
+    spans = [(lo, hi), (lo, lo), (hi, hi), (hi + 1, hi + 2)] + [
+        tuple(sorted((rng.randint(lo, hi), rng.randint(lo, hi))))
+        for _ in range(6)
+    ]
+    full = read_iceberg(spark, tbl)
+    for a, c in spans:
+        resid = (F.unix_micros("warc_ts") >= a) & (F.unix_micros("warc_ts") <= c)
+        want = full.filter(resid).count()
+        got = read_iceberg(spark, tbl, where=("warc_ts", a, c)).filter(resid).count()
+        assert got == want, (a, c, got, want)
+    pages.unpersist()
+
+
 def test_iceberg_format_dispatch(spark, tmp_path):
     """S1/S2 dispatch: fmt="iceberg" routes read_pages through the
     metadata/manifest planner; schema comes from table metadata."""
