@@ -114,6 +114,66 @@ def start_decode_stream(
     )
 
 
+def iceberg_ingest_tick(
+    spark: SparkSession,
+    table_dir: str,
+    sink_dir: str,
+    codec: str = "auto",
+    salt_buckets: int = 8,
+    cluster_by: str | None = None,
+) -> dict:
+    """One cycle of the production ingestion daemon: poll the Iceberg
+    table for commits newer than the sink's watermark, encode-append
+    exactly that snapshot diff, advance the watermark. Returns what the
+    tick did (snapshot ids, rows seen, chunks before/after).
+
+    Exactly-once WITHOUT a transactional store: ticks are at-least-once
+    (a crash between the encode-append and the watermark write makes the
+    next tick re-read the same diff), but the encode skips chunks whose
+    content-addressed ids the sink manifest already holds — so replays
+    re-encode nothing and the sink converges to exactly-once regardless of
+    where a tick died. The watermark is just an optimization cursor, never
+    a correctness mechanism."""
+    import json as _json
+    import os as _os
+
+    from ..sources.iceberg_lite import (
+        read_iceberg,
+        read_iceberg_incremental,
+        read_table_meta,
+    )
+
+    wm_path = _os.path.join(sink_dir, "_iceberg_watermark.json")
+    last = 0
+    if _os.path.exists(wm_path):
+        with open(wm_path) as f:
+            last = _json.load(f)["snapshot_id"]
+    meta = read_table_meta(table_dir)
+    current = meta["current-snapshot-id"]
+    out = {"from_snapshot": last, "to_snapshot": current, "rows": 0}
+    if current == last:
+        return {**out, "noop": True}
+    diff = (
+        read_iceberg_incremental(spark, table_dir, last)
+        if last
+        else read_iceberg(spark, table_dir)
+    )
+    done = lineage.completed_chunk_ids(
+        spark, sink_dir, n_columns=len(diff.columns)
+    )
+    enc = encode_pages(
+        diff, codec=codec, salt_buckets=salt_buckets,
+        skip_chunk_ids=done, cluster_by=cluster_by,
+    )
+    lineage.write_encoded(enc, sink_dir, mode="append")
+    out["rows"] = diff.count()
+    out["chunks_skipped"] = len(done)
+    _os.makedirs(sink_dir, exist_ok=True)
+    with open(wm_path, "w") as f:
+        _json.dump({"snapshot_id": current}, f)
+    return {**out, "noop": False}
+
+
 def streaming_lineage_metrics(
     spark: SparkSession, out_dir: str
 ) -> DataFrame:

@@ -192,6 +192,51 @@ def test_decode_stream_consumes_sink_exactly_once(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_iceberg_ingest_tick_exactly_once_even_with_crashed_tick(spark, tmp_path):
+    """The ingestion daemon loop: each tick encodes exactly the Iceberg
+    snapshot diff; a tick that crashed AFTER the encode-append but BEFORE
+    the watermark write is replayed safely — the content-addressed skip-set
+    drops every already-committed chunk, so the sink converges to
+    exactly-once no matter where a tick died."""
+    import json as _json
+
+    from hadoop_etl_udfs_spark.operators.encode import verify_roundtrip
+    from hadoop_etl_udfs_spark.sources.iceberg_lite import write_iceberg_table
+    from hadoop_etl_udfs_spark.streaming.encode_stream import iceberg_ingest_tick
+
+    tbl = str(tmp_path / "tbl")
+    sink = str(tmp_path / "sink")
+    w1 = synthesize_pages(spark, 400, seed=81).cache()
+    w2 = synthesize_pages(spark, 900, seed=81).exceptAll(w1).cache()
+
+    write_iceberg_table(w1, tbl, mode="overwrite")
+    t1 = iceberg_ingest_tick(spark, tbl, sink)
+    assert not t1["noop"] and t1["rows"] == 400 and t1["to_snapshot"] == 1
+    # idle tick: no new commit -> noop, nothing written
+    assert iceberg_ingest_tick(spark, tbl, sink)["noop"]
+
+    write_iceberg_table(w2, tbl, mode="append")
+    t2 = iceberg_ingest_tick(spark, tbl, sink)
+    assert not t2["noop"] and t2["rows"] == w2.count()
+
+    # simulate the crash window: roll the watermark BACK to snapshot 1 (as
+    # if tick 2 died before writing it) and replay — every chunk skips
+    with open(f"{sink}/_iceberg_watermark.json", "w") as f:
+        _json.dump({"snapshot_id": 1}, f)
+    t3 = iceberg_ingest_tick(spark, tbl, sink)
+    assert not t3["noop"] and t3["rows"] == w2.count()
+
+    enc = lineage.read_encoded(spark, sink)
+    dupes = (
+        enc.groupBy("chunk_id", "column").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+    assert verify_roundtrip(w1.unionAll(w2), enc)["ok"]
+    # watermark restored to the table head; next tick is a noop again
+    assert iceberg_ingest_tick(spark, tbl, sink)["noop"]
+    w1.unpersist(), w2.unpersist()
+
+
 def test_decode_stream_refuses_column_partitioned_sink(spark, tmp_path):
     """A column-partitioned sink tears chunks across files at micro-batch
     boundaries and would stream out NULL-filled rows forever — the decode
