@@ -270,7 +270,7 @@ def write_iceberg_table(
     df: DataFrame,
     path: str,
     mode: str = "append",
-    stats_col: str | None = None,
+    stats_col: str | list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the Iceberg table at ``path``; returns the new
     snapshot id.
@@ -338,28 +338,34 @@ def write_iceberg_table(
         data_dir = os.path.join(path, "data", f"snap-{snapshot_id}-r{attempt}")
     df.write.mode("errorifexists").parquet(data_dir)
 
-    # 2) per-file stats: one distributed aggregate over the new files
+    # 2) per-file stats: one distributed aggregate over the new files.
+    # stats_col accepts a single column or a list — every stats column gets
+    # [min, max] bounds in the manifest and becomes a pruning predicate.
     scan = spark.read.parquet(data_dir)
+    stats_cols = (
+        [stats_col] if isinstance(stats_col, str)
+        else list(stats_col or [])
+    )
     aggs = [F.count("*").alias("n")]
-    if stats_col is not None:
-        t = dict((f.name, f.dataType.typeName()) for f in df.schema.fields)
-        if t.get(stats_col) in ("timestamp", "timestamp_ntz"):
-            c = F.unix_micros(F.col(stats_col))
-        elif t.get(stats_col) in ("long", "integer", "date"):
-            c = F.col(stats_col).cast("long")
+    t = dict((f.name, f.dataType.typeName()) for f in df.schema.fields)
+    for sc in stats_cols:
+        if t.get(sc) in ("timestamp", "timestamp_ntz"):
+            c = F.unix_micros(F.col(sc))
+        elif t.get(sc) in ("long", "integer", "date"):
+            c = F.col(sc).cast("long")
         else:
             raise ValueError(
-                f"stats_col {stats_col!r} must be long/int/timestamp/date, "
-                f"got {t.get(stats_col)!r}"
+                f"stats column {sc!r} must be long/int/timestamp/date, "
+                f"got {t.get(sc)!r}"
             )
-        aggs += [F.min(c).alias("lo"), F.max(c).alias("hi")]
+        aggs += [F.min(c).alias(f"lo_{sc}"), F.max(c).alias(f"hi_{sc}")]
     stats = {
         r["f"]: r
         for r in scan.groupBy(F.input_file_name().alias("f")).agg(*aggs).collect()
     }
 
     # 3) manifest file (one entry per data file, status=1 ADDED)
-    fid = _field_id(schema_json, stats_col) if stats_col else None
+    fids = {sc: _field_id(schema_json, sc) for sc in stats_cols}
     entries = []
     for uri, r in sorted(stats.items()):
         # input_file_name() yields file:///... URIs — normalize to a plain
@@ -368,10 +374,14 @@ def write_iceberg_table(
         local = os.path.abspath(
             uri[len("file:"):] if uri.startswith("file:") else uri
         )
-        lower = upper = None
-        if fid is not None and r["lo"] is not None:
-            lower = [{"key": fid, "value": _bound_bytes(r["lo"])}]
-            upper = [{"key": fid, "value": _bound_bytes(r["hi"])}]
+        lower = [
+            {"key": fids[sc], "value": _bound_bytes(r[f"lo_{sc}"])}
+            for sc in stats_cols if r[f"lo_{sc}"] is not None
+        ] or None
+        upper = [
+            {"key": fids[sc], "value": _bound_bytes(r[f"hi_{sc}"])}
+            for sc in stats_cols if r[f"hi_{sc}"] is not None
+        ] or None
         entries.append({
             "status": 1,
             "snapshot_id": snapshot_id,

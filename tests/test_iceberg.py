@@ -143,6 +143,49 @@ def test_iceberg_bounds_pruning_equals_unpruned_for_random_ranges(spark, tmp_pat
     pages.unpersist()
 
 
+def test_iceberg_multi_column_bounds_prune_independently(spark, tmp_path):
+    """stats_col accepts a list: each stats column carries its own manifest
+    bounds and prunes independently — here warc_ts (the range-cluster key)
+    prunes hard while a where on the uncorrelated second column keeps
+    everything, both value-consistent with the unpruned scan."""
+    tbl = str(tmp_path / "tbl")
+    pages = (
+        synthesize_pages(spark, 1200, seed=91)
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .cache()
+    )
+    write_iceberg_table(
+        pages.repartitionByRange(6, "warc_ts"), tbl,
+        mode="overwrite", stats_col=["warc_ts", "n_chars"],
+    )
+    b = pages.agg(
+        F.min(F.unix_micros("warc_ts")).alias("lo"),
+        F.max(F.unix_micros("warc_ts")).alias("hi"),
+        F.min("n_chars").alias("clo"),
+        F.max("n_chars").alias("chi"),
+    ).collect()[0]
+    cut = b["lo"] + (b["hi"] - b["lo"]) // 5
+    _, plan_ts = iceberg_data_files(tbl, where=("warc_ts", b["lo"], cut))
+    assert 0 < plan_ts["files_kept"] < plan_ts["files_total"]  # ts prunes
+    # n_chars is uniform across the range partitions: full-range where keeps
+    # all files, and an impossible range drops all
+    _, plan_nc = iceberg_data_files(tbl, where=("n_chars", b["clo"], b["chi"]))
+    assert plan_nc["files_kept"] == plan_nc["files_total"]
+    _, plan_none = iceberg_data_files(
+        tbl, where=("n_chars", b["chi"] + 1, b["chi"] + 2)
+    )
+    assert plan_none["files_kept"] == 0
+    # value consistency on the n_chars predicate
+    mid = (b["clo"] + b["chi"]) // 2
+    resid = F.col("n_chars") <= mid
+    want = read_iceberg(spark, tbl).filter(resid).count()
+    got = read_iceberg(
+        spark, tbl, where=("n_chars", b["clo"], mid)
+    ).filter(resid).count()
+    assert got == want
+    pages.unpersist()
+
+
 def test_iceberg_format_dispatch(spark, tmp_path):
     """S1/S2 dispatch: fmt="iceberg" routes read_pages through the
     metadata/manifest planner; schema comes from table metadata."""
