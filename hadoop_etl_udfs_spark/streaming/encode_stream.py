@@ -133,7 +133,13 @@ def iceberg_ingest_tick(
     content-addressed ids the sink manifest already holds — so replays
     re-encode nothing and the sink converges to exactly-once regardless of
     where a tick died. The watermark is just an optimization cursor, never
-    a correctness mechanism."""
+    a correctness mechanism.
+
+    Semantics: the sink is an append-only LOG of ingested rows, not a
+    mirror of the table — an OVERWRITE commit upstream ingests the new
+    snapshot's rows in full (its files are all "added") while previously
+    ingested rows stay in the sink; pair with the dedup/recluster batch
+    jobs if superseded history must be compacted away."""
     import json as _json
     import os as _os
 
