@@ -31,16 +31,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The driver evaluates the FIRST 50 entries (dict order) against the
     DuckDB oracle; the rest get no driver correctness row. Gate composition
     is therefore an explicit decision, not insertion order (round-3 verdict
-    item 1): slots 1-50 are all oracle-backed; the past-cap slots hold the
-    4 rows-only twins (their oracle evidence is the in-gate *_checked
-    twins), 5 deliberately sat-out scalar queries (hex_encode,
-    float_downcast, char_padding, string_functions, to_json_render —
-    driver-green rounds 1-3, single built-in expressions with an in-gate
-    superset for to_json_render), and the round-4 oracle-backed additions
-    awaiting rotation (pii_redaction, segment_dedup, cosine_topk_batch,
-    dedup_clusters_star). Everything past the cap is still oracle-checked
-    every round by tools/check_correctness.py, which covers ALL entries.
-    Rationale mirrored in COVERAGE.md."""
+    item 1): slots 1-50 are all oracle-backed. Round 5 rotated the four
+    round-4 additions IN (pii_redaction, segment_dedup, cosine_topk_batch,
+    dedup_clusters_star — r4 verdict item 3), displacing four long-stable
+    single-expression queries (url_decode_paths, date_functions,
+    null_normalization, complex_to_json_render — driver-green >=3 rounds,
+    each with pytest + replica coverage). Past-cap slots hold the 4
+    rows-only twins (their oracle evidence is the in-gate *_checked twins)
+    and the deliberately sat-out scalar queries. Everything past the cap is
+    still oracle-checked every round by tools/check_correctness.py, which
+    covers ALL entries. Rationale mirrored in COVERAGE.md."""
     return {
         # ---- slots 1-50: oracle-backed (driver-evaluated) ----
         # --- reference-parity relational operators (SURVEY.md §2.2/§2.6) ---
@@ -60,17 +60,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_order_stats": relational.rollup_order_stats,
         "global_top_k": relational.global_top_k,
         "semi_anti_join": relational.semi_anti_join,
-        "date_functions": relational.date_functions,
-        "null_normalization": relational.null_normalization,
         "scalar_subquery_filter": relational.scalar_subquery_filter,
-        "url_decode_paths": relational.url_decode_paths,
         "decimal_aggregation": relational.decimal_aggregation,
         # --- native complex types (P3/P4/F7 + union mapping) ---
         "complex_types_extract": relational.complex_types_extract,
         "json_indexed_paths": relational.json_indexed_paths,
         "json_quoted_paths": relational.json_quoted_paths,
-        "complex_to_json_render": relational.complex_to_json_render,
         "union_type_unwrap": relational.union_type_unwrap,
+        # --- round-4 operators rotated into the gate (r4 verdict item 3) ---
+        "pii_redaction": textstats.pii_redaction,
+        "segment_dedup": textstats.segment_dedup,
+        "cosine_topk_batch": similarity.cosine_topk_batch,
+        "dedup_clusters_star": dedup.dedup_clusters_star_checked,
         # --- text analysis (training-data ops) ---
         "text_stats": textstats.text_stats,
         "quality_scores": textstats.quality_scores,
@@ -110,17 +111,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64": dedup.simhash64,                        # rows-only (xxhash64)
         "multimodal_features": multimodal.multimodal_features_demo,  # rows-only
         "encode_documents_lineage": textstats.encode_documents_lineage,  # rows-only
-        # sat-out oracle queries (driver-green r1-r3; replica-gated each round):
+        # sat-out oracle queries (driver-green earlier rounds; replica-gated
+        # each round). The four r5 rotations OUT (url_decode_paths,
+        # date_functions, null_normalization, complex_to_json_render) are
+        # driver-green r1-r4 single-expression queries with pytest +
+        # replica coverage — see COVERAGE.md.
         "hex_encode": relational.hex_encode,
         "float_downcast": relational.float_downcast,
         "char_padding": relational.char_padding,
         "string_functions": relational.string_functions,
         "to_json_render": relational.to_json_render,
-        # round-4 additions (oracle-backed; replica-gated until rotated in):
-        "pii_redaction": textstats.pii_redaction,
-        "segment_dedup": textstats.segment_dedup,
-        "cosine_topk_batch": similarity.cosine_topk_batch,
-        "dedup_clusters_star": dedup.dedup_clusters_star_checked,
+        "url_decode_paths": relational.url_decode_paths,
+        "date_functions": relational.date_functions,
+        "null_normalization": relational.null_normalization,
+        "complex_to_json_render": relational.complex_to_json_render,
     }
 
 
@@ -965,8 +969,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # codec-independent lineage half: rows + exact input data bytes per
         # column (strings: sum of UTF-8 byte lengths; int64: 8 per row) —
-        # the Spark side derives the same quantities from the Arrow chunk
-        # footprints recorded in the lineage (see the operator docstring)
+        # the Spark side aggregates the data_bytes field the encode kernel
+        # records from the logical values (layout-independent by
+        # construction; see the operator docstring)
         "encode_documents_lineage_checked": """
             SELECT 'doc_id' AS "column", count(*) AS n_rows,
                    8 * count(*) AS data_bytes FROM documents

@@ -1,8 +1,12 @@
 """Benchmark harness (driver contract + north-rule scaling evidence).
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line (LAST stdout line — the driver keeps only a
+byte-bounded stdout tail, r4 verdict item 2):
     {"metric": "...", "value": <encode wall s at full cores>, "unit": "sec",
-     "queries": {...per-query seconds...}, "sf": <sf>, ...extra metrics}
+     "queries": {...per-query seconds...}, "sf": <sf>, "scaling": {...},
+     "compressed": {...}, "dedup_pipeline": {...}}
+The FULL evidence object (per-draw walls, kernel scaling, resume, salting,
+recluster, pruned decode) is written to BENCH/bench_sf<sf>_full_latest.json.
 
 North-rule evidence (BASELINE.json): the same encode job runs at two
 parallelism levels (local[8] and local[SPARK_GRAFT_CPUS]) on the same input;
@@ -38,6 +42,9 @@ SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
 # overhead-dominated and the scaling signal drowns in scheduler noise. 1.8M
 # docs (~3 GB) keeps the 2-core run ~30 s — compute-dominated at every level.
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(int(4 * 4_500_000 * SF))))
+# end-to-end dedup-pipeline corpus (r4 verdict item 6): a slice of the pages
+# table + planted near-dup variants. ~150k docs keeps the phase ~1 min.
+DEDUP_DOCS = int(os.environ.get("SPARK_GRAFT_DEDUP_DOCS", str(max(2000, N_DOCS // 12))))
 
 HEADLINE_QUERIES = [
     "q1_pricing_summary",
@@ -532,7 +539,88 @@ def main() -> None:
             }
         finally:
             spark.stop()
-        print(json.dumps(result))
+
+        # end-to-end near-dup pipeline (round-4 verdict item 6): candidate
+        # pairs -> star-contraction connected components -> representatives,
+        # timed as ONE pipeline over a DEDUP_DOCS-sized slice of the pages
+        # table. The synthetic corpus has no organic near-dups (0 candidate
+        # pairs measured), so every 4th sliced doc gets a PLANTED variant
+        # (one appended token — near-identical shingle set, so LSH must
+        # pair it with its source); the star contraction then resolves a
+        # real ~n/8-component graph and the O(log n) alternation count is
+        # measured, not asserted.
+        spark = _session(CPUS, shuffle_partitions=max(32, CPUS))
+        try:
+            from pyspark.sql import functions as F
+
+            from hadoop_etl_udfs_spark.operators.dedup import (
+                duplicate_clusters_star,
+                minhash_lsh_pairs_df,
+            )
+
+            stride = max(1, N_DOCS // DEDUP_DOCS)
+            base = (
+                _pages(spark, pages_path)
+                .select(F.xxhash64("url").alias("doc_id"), "text")
+                .filter(F.pmod(F.col("doc_id"), F.lit(stride)) == 0)
+            )
+            variants = base.filter(F.pmod("doc_id", F.lit(4)) == 0).select(
+                (F.col("doc_id") + F.lit(1_000_000_007)).alias("doc_id"),
+                F.concat("text", F.lit(" neardup variant marker")).alias("text"),
+            )
+            corpus = base.unionByName(variants).cache()
+            n_corpus = corpus.count()
+            dd_stats: dict = {}
+            t0 = time.time()
+            res = duplicate_clusters_star(
+                minhash_lsh_pairs_df(corpus), stats=dd_stats
+            )
+            res.write.format("noop").mode("overwrite").save()
+            dd_wall = round(time.time() - t0, 3)
+            n_clusters = res.agg(
+                F.countDistinct("cluster_rep").alias("n")
+            ).collect()[0]["n"]
+            result["dedup_pipeline"] = {
+                "n_docs": n_corpus,
+                "n_candidate_edges": dd_stats.get("n_edges"),
+                "cc_alternations": dd_stats.get("alternations"),
+                "n_clusters": n_clusters,
+                "wall_s": dd_wall,
+            }
+        finally:
+            spark.stop()
+
+        # full evidence object -> BENCH/ file; LAST stdout line is a COMPACT
+        # headline (round-4 verdict item 2: the driver keeps a byte-bounded
+        # tail of stdout, and r4's single grown JSON line outgrew it —
+        # BENCH_r04.json parsed: null). Everything the driver compares
+        # (per-query timings, scaling, compressed) fits the headline;
+        # draw-level evidence lives only in the BENCH/ file.
+        repo_dir = os.path.dirname(os.path.abspath(__file__))
+        os.makedirs(os.path.join(repo_dir, "BENCH"), exist_ok=True)
+        full_path = os.path.join(
+            repo_dir, "BENCH", f"bench_sf{SF}_full_latest.json"
+        )
+        with open(full_path, "w") as f:
+            json.dump(result, f, indent=1)
+        headline = {
+            "metric": result["metric"],
+            "value": result["value"],
+            "unit": "sec",
+            "queries": result["queries"],
+            "sf": SF,
+            "n_docs": N_DOCS,
+            "scaling": result["scaling"],
+            "compressed": result["compressed"],
+            "kernel_eff": {"low_mid": k_eff, "mid_high": k_eff_full},
+            "resume_exact_skip": result["resume"]["exact_skip"],
+            "pruned_scanned_fraction": result["pruned_decode"][
+                "scanned_fraction"
+            ],
+            "dedup_pipeline": result["dedup_pipeline"],
+            "full_evidence": "BENCH/bench_sf%s_full_latest.json" % SF,
+        }
+        print(json.dumps(headline))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
         shutil.rmtree(os.path.join(_SHM, "spark_bench_local"), ignore_errors=True)

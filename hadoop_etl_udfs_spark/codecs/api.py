@@ -141,6 +141,7 @@ class Encoded:
     n_rows: int
     bytes_in: int
     bytes_out: int
+    data_bytes: int  # exact LOGICAL value bytes — see encode_array docstring
     crc32: int
 
 
@@ -166,6 +167,22 @@ def encode_array(
     global_dict=None,
     cache_key: str | None = None,
 ) -> Encoded:
+    """Encode one column-chunk. Besides the physical accounting (``bytes_in``
+    = Arrow buffer footprint, ``bytes_out`` = packed payload size), the result
+    carries ``data_bytes``: the exact LOGICAL size of the chunk's values,
+    computed from the values themselves so it is invariant under Arrow layout
+    (slicing offsets, large vs regular string, materialized all-valid
+    validity buffers, buffer padding):
+
+    - varbytes (string/binary): sum of the non-null values' byte lengths —
+      ``lengths.sum()`` over the same array the codec consumes;
+    - fixed-width (int/date/timestamp/bool/float): 8 bytes per row (the
+      canonical int64 domain every kernel works in);
+    - decimal128: 16 bytes per row.
+
+    The reference's only write metric is the exact logical ``rowsExported``
+    count (HdfsSerDeExportService.java:90) — same principle: account what
+    was written, never infer it back from physical buffer sizes."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     typ = arr.type
@@ -176,6 +193,7 @@ def encode_array(
     dense = arr.drop_null() if valid is not None else arr
 
     if kind == "dec128":
+        data_bytes = 16 * n
         lo, hi = _decimal_words(dense)
         if codec == "auto":
             codec = "forbp"
@@ -194,6 +212,7 @@ def encode_array(
         )
     elif kind == "varbytes":
         lengths, data = arrow_to_varbytes(dense)
+        data_bytes = int(lengths.sum())
         if codec == "auto":
             from .selector import choose_bytes_codec
 
@@ -209,6 +228,7 @@ def encode_array(
             sections, cmeta = enc(lengths, data)
         crc = zlib.crc32(data.tobytes(), zlib.crc32(lengths.astype("<i8").tobytes()))
     else:
+        data_bytes = 8 * n
         values = _to_int64(dense)
         if kind == "float":
             if codec == "auto":
@@ -236,6 +256,7 @@ def encode_array(
         n_rows=n,
         bytes_in=bytes_in,
         bytes_out=len(payload),
+        data_bytes=data_bytes,
         crc32=crc,
     )
 

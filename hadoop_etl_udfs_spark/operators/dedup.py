@@ -110,7 +110,20 @@ def minhash_lsh_pairs(
     band bucket is under the cap. The bucket-size filter is an aggregate +
     re-join on the same (band, sig) key — co-partitioned with the pair join,
     NOT broadcast (the bucket list scales with the corpus)."""
-    sig = minhash_signatures(_docs(spark, sf_dir), n_perm, method=method)
+    return minhash_lsh_pairs_df(
+        _docs(spark, sf_dir), n_perm, band_rows, method, max_band_bucket
+    )
+
+
+def minhash_lsh_pairs_df(
+    docs: DataFrame, n_perm: int = N_PERM,
+    band_rows: int = BAND_ROWS, method: str = "xxhash64",
+    max_band_bucket: int = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` over an arbitrary (doc_id, text) DataFrame —
+    the composable form bench.py's end-to-end dedup-pipeline run feeds with
+    the 1.8M-doc synthesized pages table."""
+    sig = minhash_signatures(docs, n_perm, method=method)
     n_bands = n_perm // band_rows
     bands = F.array(
         *[
@@ -307,7 +320,7 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 def duplicate_clusters_star(
     pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b",
-    max_iter: int = 25,
+    max_iter: int = 25, stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
@@ -316,14 +329,18 @@ def duplicate_clusters_star(
     chain = 200 rounds), star contraction needs O(log n) ALTERNATIONS
     regardless of diameter, with the same join+min primitive per round.
     Same output contract as ``duplicate_clusters``: (doc_id, cluster_rep =
-    component minimum, cluster_size) for every document in some pair."""
+    component minimum, cluster_size) for every document in some pair.
+    ``stats``, when passed, receives {"alternations", "n_edges"} — bench.py
+    uses it to report the measured O(log n) round count."""
     raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = _canon_edges(raw).localCheckpoint()
+    if stats is not None:
+        stats["n_edges"] = e.count()
     # node universe from the RAW pairs: a self-paired doc is a singleton
     # cluster of itself (canon drops the self-loop, not the node)
     all_nodes = _sym(raw).select("u").distinct().localCheckpoint()
     prev = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()
         sig = e.agg(
             F.count("*").alias("n"),
@@ -331,6 +348,8 @@ def duplicate_clusters_star(
         ).collect()[0]
         cur = (sig["n"], sig["h"])
         if cur == prev:
+            if stats is not None:
+                stats["alternations"] = it + 1
             break
         prev = cur
     else:

@@ -38,7 +38,8 @@ from ..codecs.api import decode_array, encode_array
 
 ENCODED_SCHEMA = (
     "chunk_id long, column string, col_idx int, n_rows long, codec string, "
-    "bytes_in long, bytes_out long, crc32 long, meta string, stats string, "
+    "bytes_in long, bytes_out long, data_bytes long, crc32 long, "
+    "meta string, stats string, "
     "cluster_lo long, cluster_hi long, payload binary"
 )
 
@@ -53,6 +54,10 @@ _ENCODED_ARROW = pa.schema(
         ("codec", pa.string()),
         ("bytes_in", pa.int64()),
         ("bytes_out", pa.int64()),
+        # exact logical value bytes, computed IN the kernel from the values
+        # (codecs/api.py encode_array) — never inferred from buffer sizes,
+        # so it is invariant across Arrow layouts/writer sessions
+        ("data_bytes", pa.int64()),
         ("crc32", pa.int64()),
         ("meta", pa.string()),
         ("stats", pa.string()),
@@ -274,8 +279,8 @@ def encode_pages(
             cl_lo, cl_hi = cl if cl is not None else (None, None)
             rows = {k: [] for k in (
                 "chunk_id", "column", "col_idx", "n_rows", "codec",
-                "bytes_in", "bytes_out", "crc32", "meta", "stats",
-                "cluster_lo", "cluster_hi", "payload",
+                "bytes_in", "bytes_out", "data_bytes", "crc32", "meta",
+                "stats", "cluster_lo", "cluster_hi", "payload",
             )}
             for i, name in enumerate(batch.schema.names):
                 gd = gds.get(name)
@@ -294,6 +299,7 @@ def encode_pages(
                 rows["codec"].append(enc.codec)
                 rows["bytes_in"].append(enc.bytes_in)
                 rows["bytes_out"].append(enc.bytes_out)
+                rows["data_bytes"].append(enc.data_bytes)
                 rows["crc32"].append(enc.crc32)
                 rows["meta"].append(enc.meta)
                 rows["stats"].append(_col_stats(batch.column(i)))

@@ -59,6 +59,70 @@ def test_any_binary_chunk_roundtrips_auto(values):
     assert out.equals(arr)
 
 
+def _layout_variants(values, typ):
+    """The same logical values under four physically different Arrow layouts:
+    plain, non-zero slicing offset, large_* storage, and a materialized
+    (all-valid) validity buffer — the layout axes that broke round 4's
+    buffer-footprint inference in the driver's session (r4 verdict item 1)."""
+    plain = pa.array(values, type=typ)
+    pad = ["zz", "yy"] if pa.types.is_string(typ) else [b"zz", b"yy"] \
+        if pa.types.is_binary(typ) else [0, 1]
+    sliced = pa.array(list(pad) + list(values), type=typ).slice(len(pad))
+    variants = [plain, sliced]
+    if pa.types.is_string(typ):
+        variants.append(pa.array(values, type=pa.large_string()))
+    elif pa.types.is_binary(typ):
+        variants.append(pa.array(values, type=pa.large_binary()))
+    # materialized validity buffer with zero actual nulls
+    with_valid = pa.array(list(values) + [None], type=typ).slice(0, len(values))
+    variants.append(with_valid)
+    return variants
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=60)), min_size=1, max_size=120
+    )
+)
+def test_string_encode_invariant_across_arrow_layouts(values):
+    """encode/decode round-trips and the LOGICAL lineage accounting
+    (data_bytes, crc32, n_rows) must be identical whether a chunk arrives
+    plain, sliced, as large_string, or with an all-valid validity buffer —
+    the r4 driver-red row came from a layout-dependent byte inference."""
+    base = pa.array(values, type=pa.string())
+    expected_db = sum(len(v.encode("utf-8")) for v in values if v is not None)
+    ref = encode_array(base)
+    for arr in _layout_variants(values, pa.string()):
+        enc = encode_array(arr)
+        assert enc.data_bytes == expected_db
+        assert enc.n_rows == len(values)
+        assert enc.crc32 == ref.crc32
+        out = decode_array(enc.payload, enc.meta)
+        # decoded values equal the logical input regardless of source layout
+        assert out.cast(pa.string()).equals(base)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(), st.integers(min_value=-(2**40), max_value=2**40)
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_int64_encode_invariant_across_arrow_layouts(values):
+    base = pa.array(values, type=pa.int64())
+    ref = encode_array(base)
+    for arr in _layout_variants(values, pa.int64()):
+        enc = encode_array(arr)
+        assert enc.data_bytes == 8 * len(values)
+        assert enc.crc32 == ref.crc32
+        assert decode_array(enc.payload, enc.meta).equals(base)
+
+
 @settings(**_SETTINGS)
 @given(st.data())
 def test_bitpack_any_width(data):
