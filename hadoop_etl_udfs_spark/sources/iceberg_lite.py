@@ -28,7 +28,10 @@ The Avro container files use this repo's own spec-pure ``avro_lite`` codec
   the new files.
 
 Scope (documented subset, NOT a full Iceberg stack): format-version 1,
-unpartitioned spec, flat primitive schemas (the pages/documents shapes),
+unpartitioned or IDENTITY-partitioned specs (partition values recorded per
+file in manifests, plan-time partition pruning — the reference's Hive-style
+partition pruning, HdfsService.java:92-110, as a manifest walk), flat
+primitive schemas (the pages/documents shapes),
 parquet data files, optional per-file bounds on ONE stats column
 (long/timestamp), ADDITIVE schema evolution (appends may add columns —
 fresh field ids, pre-evolution files read NULL; drops and type changes
@@ -138,6 +141,29 @@ def _bound_value(b: bytes) -> int:
     return struct.unpack("<q", b)[0]
 
 
+def _parse_partition_values(
+    local_path: str, part_cols: list[str], col_types: dict[str, str]
+) -> dict:
+    """Identity partition values of a data file, from the ``_p_<col>=v``
+    path segments Spark's partitionBy wrote (values URL-escaped by Spark;
+    ``__HIVE_DEFAULT_PARTITION__`` = NULL), typed per the table schema."""
+    from urllib.parse import unquote
+
+    vals: dict = {}
+    for seg in local_path.split(os.sep):
+        k, eq, v = seg.partition("=")
+        if eq and k.startswith("_p_") and k[3:] in part_cols:
+            c = k[3:]
+            v = unquote(v)
+            if v == "__HIVE_DEFAULT_PARTITION__":
+                vals[c] = None
+            elif col_types.get(c) in ("long", "int"):
+                vals[c] = int(v)
+            else:
+                vals[c] = v
+    return vals
+
+
 # ------------------------------------------------------------ avro schemas
 
 def _kv_array(name: str, fid: int) -> dict:
@@ -161,10 +187,24 @@ def _kv_array(name: str, fid: int) -> dict:
     }
 
 
-def manifest_entry_schema() -> dict:
+_ICEBERG_TO_AVRO = {"string": "string", "long": "long", "int": "int"}
+
+
+def manifest_entry_schema(spec_fields: list[dict] | None = None) -> dict:
     """Avro schema of one manifest entry (spec §Manifests, v1 subset:
-    required core fields + optional column bounds; unpartitioned spec =
-    empty partition record r102)."""
+    required core fields + optional column bounds). The partition record
+    r102 is empty for the unpartitioned spec; with an identity partition
+    spec it carries one optional field per partition column (the partition
+    VALUES live in the manifest, which is what makes partition pruning a
+    plan-time manifest walk — the reference's PartitionPathFilter.java:33-82
+    pruned Hive directory paths the same way, one directory level per
+    partition column)."""
+    part_fields = [
+        {"name": f["name"],
+         "type": ["null", _ICEBERG_TO_AVRO[f["iceberg_type"]]],
+         "field-id": f["field-id"]}
+        for f in (spec_fields or [])
+    ]
     data_file = {
         "type": "record",
         "name": "r2",
@@ -172,7 +212,8 @@ def manifest_entry_schema() -> dict:
             {"name": "file_path", "type": "string", "field-id": 100},
             {"name": "file_format", "type": "string", "field-id": 101},
             {"name": "partition", "field-id": 102,
-             "type": {"type": "record", "name": "r102", "fields": []}},
+             "type": {"type": "record", "name": "r102",
+                      "fields": part_fields}},
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
             _kv_array("lower_bounds", 125),
@@ -212,13 +253,31 @@ def _meta_dir(path: str) -> str:
     return os.path.join(path, "metadata")
 
 
+def _atomic_write(dest: str, content: str) -> None:
+    """Temp-file + ``os.replace`` (atomic on POSIX): a crash mid-write can
+    never leave a torn/empty metadata file or version hint — readers see
+    the old committed state or the new one, nothing in between."""
+    tmp = f"{dest}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(content)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, dest)
+
+
 def current_version(path: str) -> int:
     """Committed metadata version from version-hint.text, falling back to
-    the highest v<N>.metadata.json present (the spec's recovery path)."""
+    the highest v<N>.metadata.json present (the spec's recovery path) —
+    also when the hint exists but is empty/corrupt (a torn write from a
+    pre-atomic-commit version of this module, or external damage)."""
     hint = os.path.join(_meta_dir(path), "version-hint.text")
     if os.path.exists(hint):
         with open(hint) as f:
-            return int(f.read().strip())
+            txt = f.read().strip()
+        try:
+            return int(txt)
+        except ValueError:
+            pass  # corrupt hint -> glob recovery below
     versions = [
         int(os.path.basename(p)[1:].split(".")[0])
         for p in glob.glob(os.path.join(_meta_dir(path), "v*.metadata.json"))
@@ -264,6 +323,21 @@ def _resolve_snapshot(meta: dict, snapshot_id: int | None) -> dict:
     )
 
 
+def _schema_for_snapshot(meta: dict, snap: dict) -> dict:
+    """The schema a snapshot was committed UNDER (Iceberg's snapshot-schema
+    semantics): time-traveling to a pre-evolution snapshot must return the
+    pre-evolution shape, not the current schema with phantom NULL columns.
+    Snapshots carry ``schema-id`` into the ``schemas`` list; snapshots from
+    before this field existed fall back to the current schema (documented
+    current-schema projection for legacy tables)."""
+    sid = snap.get("schema-id")
+    if sid is not None:
+        for s in meta.get("schemas", []):
+            if s.get("schema-id") == sid:
+                return s
+    return meta["schema"]
+
+
 # ------------------------------------------------------------------- write
 
 def write_iceberg_table(
@@ -271,6 +345,7 @@ def write_iceberg_table(
     path: str,
     mode: str = "append",
     stats_col: str | list[str] | None = None,
+    partition_by: str | list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the Iceberg table at ``path``; returns the new
     snapshot id.
@@ -285,11 +360,40 @@ def write_iceberg_table(
     in the manifest — computed DISTRIBUTEDLY (one groupBy-input_file_name
     aggregate over the freshly written files, not a driver loop over
     footers); readers prune files against them before any scan.
+
+    ``partition_by`` (string/long/int columns) declares an IDENTITY
+    partition spec: data files land under one directory per partition
+    value, the partition values are recorded per file in the manifest
+    entries (spec §Manifests r102), and readers prune files against them at
+    plan time (``iceberg_data_files(partition_filter=...)``) — the
+    reference's core read trick (Hive-style partition pruning,
+    HdfsService.java:92-110 + PartitionPathFilter.java:33-82) expressed as
+    a manifest walk. The partition source columns are KEPT in the data
+    files (spec-allowed for identity transforms), so the read path is
+    unchanged; the directory layout uses a ``_p_<col>=`` alias to keep
+    them there. Appends must use the table's current spec; an overwrite
+    may change it (a new spec-id becomes the default, as in Iceberg spec
+    evolution).
+
+    The metadata version and version-hint commit via temp-file +
+    ``os.replace`` — a crash mid-commit can never brick reads with a torn
+    hint (the spec's 'readers never see a half-committed table' claim made
+    true under kill -9).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
     schema_json = iceberg_schema_for(df.schema)
+    part_cols = (
+        [partition_by] if isinstance(partition_by, str)
+        else list(partition_by or [])
+    )
+    for c in part_cols:
+        if c not in df.columns:
+            raise ValueError(
+                f"partition_by column {c!r} not in DataFrame columns "
+                f"{df.columns}"
+            )
     try:
         prev_meta = read_table_meta(path)
         version = current_version(path)
@@ -322,9 +426,67 @@ def write_iceberg_table(
                     f"{prev_fields[f['name']]['type']!r} -> {f['type']!r}; "
                     "iceberg_lite does not rewrite column types"
                 )
-        schema_json = {"type": "struct", "schema-id": 0, "fields": evolved}
+        # snapshot-schema tracking (Iceberg's schemas list): an unevolved
+        # commit reuses the current schema + id; an evolved one appends a
+        # NEW schema with the next schema-id — snapshots record which one
+        # they were committed under, and time-travel reads resolve THAT
+        # schema (_schema_for_snapshot), not the current projection
+        prev_schemas = prev_meta.get("schemas") or [prev_meta["schema"]]
+        if evolved == prev_meta["schema"]["fields"]:
+            schema_json = prev_meta["schema"]
+            schemas = prev_schemas
+        else:
+            sid = max(s.get("schema-id", 0) for s in prev_schemas) + 1
+            schema_json = {"type": "struct", "schema-id": sid,
+                           "fields": evolved}
+            schemas = prev_schemas + [schema_json]
     except FileNotFoundError:
         prev_meta, version, snapshot_id = None, 0, 1
+        schemas = [schema_json]
+
+    # partition spec: identity transforms over schema field ids. Appends
+    # must match the table's current default spec (a silent mismatch would
+    # split the table across layouts); overwrite may introduce a new spec
+    # (fresh spec-id, like Iceberg partition-spec evolution).
+    spec_fields = [
+        {"name": c, "transform": "identity",
+         "source-id": _field_id(schema_json, c), "field-id": 1000 + i}
+        for i, c in enumerate(part_cols)
+    ]
+    col_types = {f["name"]: f["type"] for f in schema_json["fields"]}
+    for c in part_cols:
+        if col_types[c] not in _ICEBERG_TO_AVRO:
+            raise TypeError(
+                f"partition_by column {c!r} has type {col_types[c]!r}; "
+                f"identity specs support {sorted(_ICEBERG_TO_AVRO)}"
+            )
+    prev_specs = (prev_meta or {}).get("partition-specs") or [
+        {"spec-id": 0, "fields": []}
+    ]
+    this_spec = None
+    for sp in prev_specs:
+        if [f["name"] for f in sp["fields"]] == part_cols:
+            this_spec = sp
+            break
+    if this_spec is None:
+        if prev_meta is not None and mode == "append":
+            cur_spec = next(
+                sp for sp in prev_specs
+                if sp["spec-id"] == prev_meta.get("default-spec-id", 0)
+            )
+            raise ValueError(
+                f"append partition_by={part_cols} does not match the "
+                f"table's spec {[f['name'] for f in cur_spec['fields']]}; "
+                "appends must use the current spec (overwrite may re-spec)"
+            )
+        this_spec = {
+            "spec-id": max(sp["spec-id"] for sp in prev_specs) + 1
+            if prev_meta is not None else 0,
+            "fields": spec_fields,
+        }
+        specs = prev_specs + [this_spec] if prev_meta is not None else [this_spec]
+    else:
+        specs = prev_specs
 
     # 1) data files (distributed parquet write, one subdir per snapshot).
     # A commit that crashed between the data write and the metadata commit
@@ -336,7 +498,20 @@ def write_iceberg_table(
     while os.path.exists(data_dir):
         attempt += 1
         data_dir = os.path.join(path, "data", f"snap-{snapshot_id}-r{attempt}")
-    df.write.mode("errorifexists").parquet(data_dir)
+    if part_cols:
+        # directory layout on a _p_<col> ALIAS: partitionBy strips its
+        # columns from the data files, but identity-partitioned source
+        # columns may stay in the files per spec — keeping them means the
+        # read path (explicit-schema read of file lists) needs no
+        # manifest-constant fill-in
+        w = df
+        for c in part_cols:
+            w = w.withColumn(f"_p_{c}", F.col(c))
+        w.write.mode("errorifexists").partitionBy(
+            *[f"_p_{c}" for c in part_cols]
+        ).parquet(data_dir)
+    else:
+        df.write.mode("errorifexists").parquet(data_dir)
 
     # 2) per-file stats: one distributed aggregate over the new files.
     # stats_col accepts a single column or a list — every stats column gets
@@ -364,7 +539,8 @@ def write_iceberg_table(
         for r in scan.groupBy(F.input_file_name().alias("f")).agg(*aggs).collect()
     }
 
-    # 3) manifest file (one entry per data file, status=1 ADDED)
+    # 3) manifest file (one entry per data file, status=1 ADDED; identity
+    # partition values parsed from the _p_<col>= path segments Spark wrote)
     fids = {sc: _field_id(schema_json, sc) for sc in stats_cols}
     entries = []
     for uri, r in sorted(stats.items()):
@@ -388,7 +564,9 @@ def write_iceberg_table(
             "data_file": {
                 "file_path": local,
                 "file_format": "PARQUET",
-                "partition": {},
+                "partition": _parse_partition_values(
+                    local, part_cols, col_types
+                ),
                 "record_count": r["n"],
                 "file_size_in_bytes": os.path.getsize(local),
                 "lower_bounds": lower,
@@ -399,7 +577,12 @@ def write_iceberg_table(
     manifest_path = os.path.join(
         _meta_dir(path), f"manifest-{snapshot_id}.avro"
     )
-    write_avro(manifest_path, manifest_entry_schema(), entries)
+    mf_spec_fields = [
+        {"name": f["name"], "field-id": f["field-id"],
+         "iceberg_type": col_types[f["name"]]}
+        for f in this_spec["fields"]
+    ]
+    write_avro(manifest_path, manifest_entry_schema(mf_spec_fields), entries)
 
     # 4) manifest list: previous manifests carried forward on append
     manifests = []
@@ -410,7 +593,7 @@ def write_iceberg_table(
     manifests.append({
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": this_spec["spec-id"],
         "added_snapshot_id": snapshot_id,
     })
     list_path = os.path.join(_meta_dir(path), f"snap-{snapshot_id}.avro")
@@ -423,6 +606,7 @@ def write_iceberg_table(
         "timestamp-ms": now_ms,
         "summary": {"operation": mode},
         "manifest-list": list_path,
+        "schema-id": schema_json.get("schema-id", 0),
     }
     meta = {
         "format-version": FORMAT_VERSION,
@@ -433,11 +617,11 @@ def write_iceberg_table(
         "last-updated-ms": now_ms,
         "last-column-id": max(f["id"] for f in schema_json["fields"]),
         "schema": schema_json,
-        "schemas": [schema_json],
-        "current-schema-id": 0,
-        "partition-spec": [],
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "default-spec-id": 0,
+        "schemas": schemas,
+        "current-schema-id": schema_json.get("schema-id", 0),
+        "partition-spec": this_spec["fields"],
+        "partition-specs": specs,
+        "default-spec-id": this_spec["spec-id"],
         "properties": {},
         "current-snapshot-id": snapshot_id,
         "snapshots": (prev_meta.get("snapshots", []) if prev_meta else [])
@@ -446,12 +630,16 @@ def write_iceberg_table(
         + [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
     }
     new_version = version + 1
-    with open(
-        os.path.join(_meta_dir(path), f"v{new_version}.metadata.json"), "w"
-    ) as f:
-        json.dump(meta, f, indent=1)
-    with open(os.path.join(_meta_dir(path), "version-hint.text"), "w") as f:
-        f.write(str(new_version))
+    # commit order: metadata file first, hint last, both atomic — a crash
+    # anywhere leaves either the old committed version fully readable or
+    # the new one (never a torn hint / half metadata; ADVICE r4)
+    _atomic_write(
+        os.path.join(_meta_dir(path), f"v{new_version}.metadata.json"),
+        json.dumps(meta, indent=1),
+    )
+    _atomic_write(
+        os.path.join(_meta_dir(path), "version-hint.text"), str(new_version)
+    )
     return snapshot_id
 
 
@@ -461,16 +649,27 @@ def iceberg_data_files(
     path: str,
     snapshot_id: int | None = None,
     where: tuple[str, int, int] | None = None,
+    partition_filter: dict | None = None,
 ) -> tuple[list[str], dict]:
     """Plan a scan: resolve the snapshot, walk its manifest list, return
     live data-file paths (+ planning stats). ``where=(col, lo, hi)`` keeps
     only files whose stored [lower, upper] bounds overlap [lo, hi]; files
-    without bounds are conservatively kept. Driver-side over manifest files
-    only — the same planner/data split as real Iceberg clients."""
+    without bounds are conservatively kept. ``partition_filter`` maps
+    identity-partition columns to an allowed value (or list of values):
+    OR within a column, AND across columns — the reference's OR-of-AND
+    partition predicate shape (PartitionPathFilter.java:33-82) evaluated
+    against the partition values stored in manifest entries; files from an
+    unpartitioned spec (no stored value) are conservatively kept.
+    Driver-side over manifest files only — the same planner/data split as
+    real Iceberg clients."""
     meta = read_table_meta(path)
     snap = _resolve_snapshot(meta, snapshot_id)
     _, manifests = read_avro(snap["manifest-list"])
     fid = _field_id(meta["schema"], where[0]) if where else None
+    pf = {
+        c: (set(v) if isinstance(v, (list, tuple, set)) else {v})
+        for c, v in (partition_filter or {}).items()
+    }
     files: list[str] = []
     total = kept = 0
     for m in manifests:
@@ -480,6 +679,12 @@ def iceberg_data_files(
                 continue
             total += 1
             d = e["data_file"]
+            part = d.get("partition") or {}
+            if pf and any(
+                c in part and part[c] not in allowed
+                for c, allowed in pf.items()
+            ):
+                continue
             if fid is not None:
                 lo = next(
                     (kv["value"] for kv in (d["lower_bounds"] or [])
@@ -509,15 +714,22 @@ def read_iceberg(
     snapshot_id: int | None = None,
     columns: list[str] | None = None,
     where: tuple[str, int, int] | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Iceberg table -> DataFrame. Schema comes from the table metadata
-    (never inferred — SURVEY.md §1.4); ``snapshot_id`` time-travels;
-    ``where=(col, lo, hi)`` prunes data files at PLAN time via manifest
-    bounds (epoch-µs for timestamp columns) — the residual row filter is
-    the caller's, exactly like Iceberg + Spark divide the work."""
+    (never inferred — SURVEY.md §1.4) and, when ``snapshot_id``
+    time-travels, from THAT snapshot's schema (``schemas`` +
+    per-snapshot schema-id): a pre-evolution read returns the
+    pre-evolution shape, matching Iceberg's snapshot-schema semantics
+    (ADVICE r4). ``where=(col, lo, hi)`` prunes data files at PLAN time
+    via manifest bounds (epoch-µs for timestamp columns);
+    ``partition_filter={col: value-or-list}`` prunes via the identity
+    partition values in the manifests — the residual row filter is the
+    caller's, exactly like Iceberg + Spark divide the work."""
     meta = read_table_meta(path)
-    files, _ = iceberg_data_files(path, snapshot_id, where)
-    ddl = ddl_for_iceberg_schema(meta["schema"], columns=None)
+    snap = _resolve_snapshot(meta, snapshot_id)
+    files, _ = iceberg_data_files(path, snapshot_id, where, partition_filter)
+    ddl = ddl_for_iceberg_schema(_schema_for_snapshot(meta, snap))
     if not files:
         df = spark.createDataFrame([], ddl)
     else:
@@ -582,12 +794,13 @@ def expire_snapshots(path: str, keep_last: int = 1) -> dict:
         ],
     }
     new_version = version + 1
-    with open(
-        os.path.join(_meta_dir(path), f"v{new_version}.metadata.json"), "w"
-    ) as f:
-        json.dump(new_meta, f, indent=1)
-    with open(os.path.join(_meta_dir(path), "version-hint.text"), "w") as f:
-        f.write(str(new_version))
+    _atomic_write(
+        os.path.join(_meta_dir(path), f"v{new_version}.metadata.json"),
+        json.dumps(new_meta, indent=1),
+    )
+    _atomic_write(
+        os.path.join(_meta_dir(path), "version-hint.text"), str(new_version)
+    )
     return {
         "expired_snapshots": len(expired),
         "deleted_files": len(dead_files),
@@ -647,10 +860,39 @@ def read_iceberg_incremental(
     diff skips every chunk."""
     meta = read_table_meta(path)
     files = iceberg_added_files(path, from_snapshot_id, to_snapshot_id)
-    ddl = ddl_for_iceberg_schema(meta["schema"])
+    # schema of the TO side (the snapshot whose rows are being consumed)
+    to_snap = _resolve_snapshot(meta, to_snapshot_id)
+    ddl = ddl_for_iceberg_schema(_schema_for_snapshot(meta, to_snap))
     if not files:
         return spark.createDataFrame([], ddl)
     return spark.read.schema(ddl).parquet(*files)
+
+
+def read_iceberg_file_diff(
+    spark: SparkSession,
+    path: str,
+    seen_files,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """DataFrame over the live data files NOT in ``seen_files`` — the
+    watermark-EXPIRY recovery path of the ingestion loop (ADVICE r4): when
+    the from-snapshot has been expired by expire_snapshots,
+    ``read_iceberg_incremental`` can no longer resolve it, but a recorded
+    ingested-file set still identifies exactly the new rows, because
+    Iceberg data files are immutable and their paths are stable
+    identities. Reading the same file set an incremental read would have
+    selected also reproduces the same chunking, keeping the sink
+    exactly-once (a FULL-table re-read would re-shuffle old+new rows into
+    different chunks and duplicate rows, defeating the skip set)."""
+    meta = read_table_meta(path)
+    snap = _resolve_snapshot(meta, to_snapshot_id)
+    files, _ = iceberg_data_files(path, to_snapshot_id)
+    seen = set(seen_files)
+    new = [f for f in files if f not in seen]
+    ddl = ddl_for_iceberg_schema(_schema_for_snapshot(meta, snap))
+    if not new:
+        return spark.createDataFrame([], ddl)
+    return spark.read.schema(ddl).parquet(*new)
 
 
 # -------------------------------------------------------- driver contract

@@ -133,7 +133,12 @@ def iceberg_ingest_tick(
     content-addressed ids the sink manifest already holds — so replays
     re-encode nothing and the sink converges to exactly-once regardless of
     where a tick died. The watermark is just an optimization cursor, never
-    a correctness mechanism.
+    a correctness mechanism. It records the snapshot id AND that snapshot's
+    live file list: if maintenance (expire_snapshots) expires the watermark
+    snapshot, the tick recovers by replaying exactly the files not yet
+    ingested (immutable-file identity) — same rows, same chunking,
+    exactly-once preserved. A legacy watermark without a file list cannot
+    recover from expiry and raises (hand-reset the watermark file then).
 
     Semantics: the sink is an append-only LOG of ingested rows, not a
     mirror of the table — an OVERWRITE commit upstream ingests the new
@@ -144,26 +149,42 @@ def iceberg_ingest_tick(
     import os as _os
 
     from ..sources.iceberg_lite import (
+        iceberg_data_files,
         read_iceberg,
+        read_iceberg_file_diff,
         read_iceberg_incremental,
         read_table_meta,
     )
 
     wm_path = _os.path.join(sink_dir, "_iceberg_watermark.json")
-    last = 0
+    last, seen_files = 0, None
     if _os.path.exists(wm_path):
         with open(wm_path) as f:
-            last = _json.load(f)["snapshot_id"]
+            wm = _json.load(f)
+        last = wm["snapshot_id"]
+        seen_files = wm.get("files")
     meta = read_table_meta(table_dir)
     current = meta["current-snapshot-id"]
     out = {"from_snapshot": last, "to_snapshot": current, "rows": 0}
     if current == last:
         return {**out, "noop": True}
-    diff = (
-        read_iceberg_incremental(spark, table_dir, last)
-        if last
-        else read_iceberg(spark, table_dir)
-    )
+    if last:
+        try:
+            diff = read_iceberg_incremental(spark, table_dir, last)
+        except ValueError as exc:
+            if "not found" not in str(exc) or seen_files is None:
+                raise
+            # the watermark snapshot was expired by expire_snapshots (the
+            # maintenance job). Recover via the recorded ingested-FILE set:
+            # Iceberg data files are immutable, so replaying exactly the
+            # unseen files reproduces the rows AND the chunking an
+            # incremental read would have produced — the skip set keeps the
+            # sink exactly-once. (A full-table re-read would shuffle
+            # old+new rows into DIFFERENT chunks and duplicate rows.)
+            diff = read_iceberg_file_diff(spark, table_dir, seen_files)
+            out["watermark_expired_file_diff"] = True
+    else:
+        diff = read_iceberg(spark, table_dir)
     done = lineage.completed_chunk_ids(
         spark, sink_dir, n_columns=len(diff.columns)
     )
@@ -175,8 +196,12 @@ def iceberg_ingest_tick(
     out["rows"] = diff.count()
     out["chunks_skipped"] = len(done)
     _os.makedirs(sink_dir, exist_ok=True)
+    # the watermark records the snapshot AND its live file list: the file
+    # set is the expiry-proof recovery cursor (one path per data file —
+    # same O(n_files) scale as the manifests themselves)
+    files_cur, _ = iceberg_data_files(table_dir, current)
     with open(wm_path, "w") as f:
-        _json.dump({"snapshot_id": current}, f)
+        _json.dump({"snapshot_id": current, "files": files_cur}, f)
     return {**out, "noop": False}
 
 

@@ -33,10 +33,9 @@ def main() -> None:
     if not args.output and not args.verify_against:
         p.error("nothing to do: pass --output and/or --verify-against")
 
-    from pyspark.sql import SparkSession
+    from hadoop_etl_udfs_spark.session import get_job_spark
 
-    spark = SparkSession.builder.appName("decode_job").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark = get_job_spark("decode_job")
 
     from hadoop_etl_udfs_spark.operators.encode import (
         decode_chunks,

@@ -62,10 +62,9 @@ def main() -> None:
                 "(a plain parquet input has no snapshots — this flag being "
                 "silently ignored would re-encode the full input)")
 
-    from pyspark.sql import SparkSession
+    from hadoop_etl_udfs_spark.session import get_job_spark
 
-    spark = SparkSession.builder.appName("encode_job").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark = get_job_spark("encode_job")
 
     from hadoop_etl_udfs_spark.operators.encode import encode_pages
     from hadoop_etl_udfs_spark.plans import globaldict, lineage

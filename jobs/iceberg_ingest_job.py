@@ -30,11 +30,13 @@ def main() -> None:
     p.add_argument("--cluster-by", default=None)
     args = p.parse_args()
 
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.builder.appName("iceberg_ingest").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
     sys.path.insert(0, ".")
+    # get_job_spark pins the Arrow batch size (= chunk size) so a cron tick
+    # and a batch encode_job chunk identical input identically — identical
+    # content-addressed chunk ids, full resume-skip overlap (r4 item 3)
+    from hadoop_etl_udfs_spark.session import get_job_spark
+
+    spark = get_job_spark("iceberg_ingest")
     from hadoop_etl_udfs_spark.streaming.encode_stream import iceberg_ingest_tick
 
     salt = (

@@ -43,10 +43,9 @@ def main() -> None:
                    help="lay the new sink out as column=<name>/ directories")
     args = p.parse_args()
 
-    from pyspark.sql import SparkSession
+    from hadoop_etl_udfs_spark.session import get_job_spark
 
-    spark = SparkSession.builder.appName("recluster_job").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark = get_job_spark("recluster_job")
 
     from pyspark.sql import functions as F
 

@@ -337,3 +337,82 @@ def test_iceberg_additive_schema_evolution(spark, tmp_path):
     new = got.join(w2.select("url"), "url", "semi")
     assert new.filter(F.col("fetch_ms").isNull()).count() == 0
     w1.unpersist(), w2.unpersist()
+
+
+def test_iceberg_identity_partition_spec_prunes_and_reads_exact(spark, tmp_path):
+    """Identity partition spec (r4 verdict item 5): partition values are
+    recorded in manifest entries and prune files at PLAN time — the
+    reference's Hive-style partition pruning (HdfsService.java:92-110,
+    PartitionPathFilter.java:33-82) as a manifest walk — while reads stay
+    value-exact (partition source columns remain in the data files)."""
+    tbl = str(tmp_path / "tbl")
+    pages = synthesize_pages(spark, 300, seed=21).cache()
+    write_iceberg_table(pages, tbl, mode="overwrite", partition_by="lang")
+    meta = read_table_meta(tbl)
+    spec = meta["partition-specs"][meta["default-spec-id"]]
+    assert [f["name"] for f in spec["fields"]] == ["lang"]
+    assert spec["fields"][0]["transform"] == "identity"
+
+    langs = [r["lang"] for r in pages.select("lang").distinct().collect()]
+    pick = sorted(langs)[0]
+    files_all, st_all = iceberg_data_files(tbl)
+    files_pr, st_pr = iceberg_data_files(tbl, partition_filter={"lang": pick})
+    assert st_pr["files_kept"] < st_pr["files_total"] == st_all["files_total"]
+    # pruned read == row filter on the full table, value-exact
+    pruned = read_iceberg(spark, tbl, partition_filter={"lang": pick})
+    expect = pages.filter(F.col("lang") == pick)
+    assert _fingerprint(pruned) == _fingerprint(expect)
+    # OR-of-AND shape: a value LIST keeps the union of both partitions
+    two = sorted(langs)[:2]
+    pr2 = read_iceberg(spark, tbl, partition_filter={"lang": two})
+    assert _fingerprint(pr2) == _fingerprint(pages.filter(F.col("lang").isin(two)))
+    # full read unchanged
+    assert _fingerprint(read_iceberg(spark, tbl)) == _fingerprint(pages)
+    # appends must match the table's spec — a silent layout split is a bug
+    with pytest.raises(ValueError, match="must use the current spec"):
+        write_iceberg_table(pages.limit(10), tbl, mode="append")
+    write_iceberg_table(pages.limit(10), tbl, mode="append", partition_by="lang")
+    pages.unpersist()
+
+
+def test_iceberg_time_travel_uses_snapshot_schema(spark, tmp_path):
+    """Time travel to a pre-evolution snapshot returns the PRE-evolution
+    shape (Iceberg's snapshot-schema semantics, ADVICE r4) — not the
+    current schema with phantom all-NULL columns."""
+    tbl = str(tmp_path / "tbl")
+    w1 = synthesize_pages(spark, 60, seed=31).cache()
+    w2 = (
+        synthesize_pages(spark, 150, seed=31).exceptAll(w1)
+        .withColumn("fetch_ms", F.unix_micros("warc_ts") % 1000)
+        .cache()
+    )
+    s1 = write_iceberg_table(w1, tbl, mode="overwrite")
+    write_iceberg_table(w2, tbl, mode="append")
+    old = read_iceberg(spark, tbl, snapshot_id=s1)
+    assert old.columns == w1.columns  # no fetch_ms on the historical read
+    assert _fingerprint(old) == _fingerprint(w1)
+    cur = read_iceberg(spark, tbl)
+    assert cur.columns == w1.columns + ["fetch_ms"]
+    w1.unpersist(), w2.unpersist()
+
+
+def test_iceberg_corrupt_version_hint_recovers(spark, tmp_path):
+    """Commits are atomic (temp + os.replace), and even an externally
+    corrupted/empty version hint must not brick reads: current_version
+    falls back to the max committed metadata version (ADVICE r4)."""
+    from hadoop_etl_udfs_spark.sources.iceberg_lite import current_version
+
+    tbl = str(tmp_path / "tbl")
+    pages = synthesize_pages(spark, 50, seed=41).cache()
+    write_iceberg_table(pages, tbl, mode="overwrite")
+    write_iceberg_table(pages.limit(5), tbl, mode="append")
+    hint = os.path.join(tbl, "metadata", "version-hint.text")
+    with open(hint, "w") as f:
+        f.write("")  # torn hint (crash mid-write in a non-atomic world)
+    assert current_version(tbl) == 2
+    assert read_iceberg(spark, tbl).count() == 55
+    # the next commit repairs the hint
+    write_iceberg_table(pages.limit(3), tbl, mode="append")
+    with open(hint) as f:
+        assert f.read().strip() == "3"
+    pages.unpersist()

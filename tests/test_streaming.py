@@ -400,3 +400,93 @@ def test_streaming_dedup_drops_in_watermark_duplicates(spark, tmp_path):
     assert sorted(fps) == sorted(set(fps))
     assert len(set(fps)) == 3
     assert got.filter(F.col("doc_id") >= 10).count() == 0  # replays dropped
+
+
+def test_ingest_tick_survives_expired_watermark_snapshot(spark, tmp_path):
+    """Running the documented maintenance job (expire_snapshots) against an
+    ingested table must not brick the ingestion daemon (ADVICE r4): when
+    the watermark snapshot has been expired, the tick recovers via the
+    recorded ingested-file set (immutable-file identity), replaying exactly
+    the unseen files — same rows, same chunking, sink stays duplicate-free
+    and complete. (A full-table re-read would NOT be safe: old+new rows
+    would shuffle into different chunks and duplicate — this test caught
+    exactly that in an earlier fallback design.)"""
+    from hadoop_etl_udfs_spark.operators.encode import verify_roundtrip
+    from hadoop_etl_udfs_spark.sources.iceberg_lite import (
+        expire_snapshots,
+        write_iceberg_table,
+    )
+    from hadoop_etl_udfs_spark.streaming.encode_stream import iceberg_ingest_tick
+
+    tbl = str(tmp_path / "tbl")
+    sink = str(tmp_path / "sink")
+    w1 = synthesize_pages(spark, 300, seed=91).cache()
+    w2 = synthesize_pages(spark, 700, seed=91).exceptAll(w1).cache()
+
+    write_iceberg_table(w1, tbl, mode="overwrite")
+    t1 = iceberg_ingest_tick(spark, tbl, sink)
+    assert not t1["noop"] and t1["to_snapshot"] == 1
+    write_iceberg_table(w2, tbl, mode="append")
+    write_iceberg_table(w2.limit(0), tbl, mode="append")  # snap 3 (empty)
+    # maintenance expires the watermark snapshot (1) — only snap 3 is kept
+    assert expire_snapshots(tbl, keep_last=1)["expired_snapshots"] == 2
+
+    t2 = iceberg_ingest_tick(spark, tbl, sink)
+    assert not t2["noop"]
+    assert t2.get("watermark_expired_file_diff") is True
+    enc = lineage.read_encoded(spark, sink)
+    dupes = (
+        enc.groupBy("chunk_id", "column").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+    assert verify_roundtrip(w1.unionAll(w2), enc)["ok"]
+    # watermark advanced to the head; next tick is a clean noop
+    assert iceberg_ingest_tick(spark, tbl, sink)["noop"]
+    w1.unpersist(), w2.unpersist()
+
+
+def test_tick_and_batch_encode_share_chunk_ids(spark, tmp_path):
+    """The ingestion tick and a batch encode of the same Iceberg table must
+    produce IDENTICAL content-addressed chunk ids (r4 verdict item 4): a
+    sink fed by both entry points then has full resume-skip overlap. The
+    session half of the guarantee is get_job_spark, which pins the Arrow
+    batch size (= chunk size) for spark-submit jobs to the same
+    DEFAULT_CHUNK_ROWS every API session uses."""
+    import inspect
+
+    from hadoop_etl_udfs_spark.operators.encode import encode_pages
+    from hadoop_etl_udfs_spark.session import DEFAULT_CHUNK_ROWS, get_job_spark
+    from hadoop_etl_udfs_spark.sources.iceberg_lite import (
+        read_iceberg,
+        write_iceberg_table,
+    )
+    from hadoop_etl_udfs_spark.streaming.encode_stream import iceberg_ingest_tick
+
+    tbl = str(tmp_path / "tbl")
+    pages = synthesize_pages(spark, 500, seed=77).cache()
+    write_iceberg_table(pages, tbl, mode="overwrite")
+
+    sink_tick = str(tmp_path / "sink_tick")
+    iceberg_ingest_tick(spark, tbl, sink_tick)
+    sink_batch = str(tmp_path / "sink_batch")
+    enc = encode_pages(read_iceberg(spark, tbl), salt_buckets=8)
+    lineage.write_encoded(enc, sink_batch, mode="overwrite")
+
+    ids_tick = {
+        r["chunk_id"]
+        for r in lineage.read_manifest(spark, sink_tick).select("chunk_id").collect()
+    }
+    ids_batch = {
+        r["chunk_id"]
+        for r in lineage.read_manifest(spark, sink_batch).select("chunk_id").collect()
+    }
+    assert ids_tick == ids_batch and ids_tick
+    # the job-session helper pins the Arrow batch size jobs encode with
+    sig = inspect.signature(get_job_spark)
+    assert sig.parameters["chunk_rows"].default == DEFAULT_CHUNK_ROWS
+    assert "maxRecordsPerBatch" in inspect.getsource(get_job_spark)
+    import jobs.iceberg_ingest_job as _ij
+    import jobs.encode_job as _ej
+    assert "get_job_spark" in inspect.getsource(_ij)
+    assert "get_job_spark" in inspect.getsource(_ej)
+    pages.unpersist()

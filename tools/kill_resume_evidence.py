@@ -98,13 +98,19 @@ def main() -> None:
         f for f in os.listdir(os.path.join(out_a, "chunks"))
         if f.endswith(".parquet")
     ]
-    # the kill lands either BEFORE the job commit (no committed files, only
-    # _temporary — nothing is reader-visible) or AFTER it (files committed,
-    # _temporary cleaned) — both are legitimate crash points with their own
-    # postcondition, and which one occurs is a race by construction
+    # the kill lands BEFORE the job commit (no committed files, only
+    # _temporary — nothing reader-visible, resume skips 0), AFTER it (all
+    # files committed, resume skips all), or MID-commit (SIGKILL during the
+    # file-promotion loop: some chunks committed, resume legitimately skips
+    # those and re-encodes the rest). All three are legitimate crash points
+    # and which occurs is a race by construction — the always-true
+    # postcondition is 0 <= skipped <= total, verified bit-identical, zero
+    # duplicate chunk rows (ADVICE r4: the two-extremes check misclassified
+    # a partially promoted sink as FAIL even though the final sink was
+    # perfect)
     pre_commit = len(committed) == 0
     report["kill_during_write"] = {
-        "kill_landed": "pre_commit" if pre_commit else "post_commit",
+        "kill_landed": "pre_commit" if pre_commit else "post_or_mid_commit",
         "committed_files_at_kill": len(committed),
         "temporary_dir_present": os.path.isdir(tmp_dir),
     }
@@ -112,9 +118,8 @@ def main() -> None:
     report["kill_during_write"]["resume"] = resume
     report["kill_during_write"]["verify"] = _verify(out_a, args.docs)
     report["kill_during_write"]["postcondition_ok"] = (
-        resume["chunks_skipped"] == 0
-        if pre_commit
-        else resume["chunks_skipped"] == resume["chunks"]
+        0 <= resume["chunks_skipped"] <= resume["chunks"]
+        and (resume["chunks_skipped"] == 0 if pre_commit else True)
     )
 
     # (b) clean completion, then restart: every chunk must skip
