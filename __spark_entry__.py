@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_functions": relational.date_functions,
         "null_normalization": relational.null_normalization,
         "complex_to_json_render": relational.complex_to_json_render,
+        # round-5 addition (oracle-backed; replica-gated, past-cap):
+        "iceberg_partitioned_read": _iceberg_partitioned_read,
     }
 
 
@@ -132,6 +134,14 @@ def _iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_etl_udfs_spark.sources.iceberg_lite import iceberg_roundtrip_docs
 
     return iceberg_roundtrip_docs(spark, sf_dir)
+
+
+def _iceberg_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_etl_udfs_spark.sources.iceberg_lite import (
+        iceberg_partitioned_read_docs,
+    )
+
+    return iceberg_partitioned_read_docs(spark, sf_dir)
 
 
 # SQL fragments shared between Spark builders and DuckDB oracles ------------
@@ -1049,6 +1059,14 @@ def oracle_sql() -> dict[str, str]:
         # equality proves the commit+plan+scan path loses/alters nothing
         "iceberg_roundtrip": """
             SELECT doc_id, lang, text FROM documents ORDER BY doc_id
+        """,
+        # partition-pruned read: the Spark side keeps only the lang
+        # partitions via manifest partition values; the oracle applies the
+        # equivalent row filter on the raw table — equality proves the
+        # pruned plan loses/adds nothing
+        "iceberg_partitioned_read": """
+            SELECT doc_id, lang, text FROM documents
+            WHERE lang IN ('en', 'de') ORDER BY doc_id
         """,
         "ngram_jaccard_pairs": f"""
             WITH docs_w AS (
