@@ -564,11 +564,21 @@ def main() -> None:
                 .select(F.xxhash64("url").alias("doc_id"), "text")
                 .filter(F.pmod(F.col("doc_id"), F.lit(stride)) == 0)
             )
-            variants = base.filter(F.pmod("doc_id", F.lit(4)) == 0).select(
+            # variant selection re-hashes the id — pmod on the RAW id would
+            # correlate with the stride filter (multiples of `stride` are
+            # all multiples of 4) and plant a variant on EVERY doc
+            h = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8))
+            v1 = base.filter(h < 2).select(
                 (F.col("doc_id") + F.lit(1_000_000_007)).alias("doc_id"),
                 F.concat("text", F.lit(" neardup variant marker")).alias("text"),
             )
-            corpus = base.unionByName(variants).cache()
+            # a second variant for half of those: 3-node clusters exercise
+            # the contraction beyond trivial pairs
+            v2 = base.filter(h < 1).select(
+                (F.col("doc_id") + F.lit(2_000_000_011)).alias("doc_id"),
+                F.concat("text", F.lit(" neardup second variant")).alias("text"),
+            )
+            corpus = base.unionByName(v1).unionByName(v2).cache()
             n_corpus = corpus.count()
             dd_stats: dict = {}
             t0 = time.time()
