@@ -463,30 +463,37 @@ def write_iceberg_table(
     prev_specs = (prev_meta or {}).get("partition-specs") or [
         {"spec-id": 0, "fields": []}
     ]
-    this_spec = None
-    for sp in prev_specs:
-        if [f["name"] for f in sp["fields"]] == part_cols:
-            this_spec = sp
-            break
-    if this_spec is None:
-        if prev_meta is not None and mode == "append":
-            cur_spec = next(
-                sp for sp in prev_specs
-                if sp["spec-id"] == prev_meta.get("default-spec-id", 0)
-            )
+    if prev_meta is not None and mode == "append":
+        # appends must use the CURRENT default spec — matching any
+        # historical spec (e.g. the pre-re-spec one) would silently split
+        # the table's layout
+        cur_spec = next(
+            sp for sp in prev_specs
+            if sp["spec-id"] == prev_meta.get("default-spec-id", 0)
+        )
+        if [f["name"] for f in cur_spec["fields"]] != part_cols:
             raise ValueError(
                 f"append partition_by={part_cols} does not match the "
                 f"table's spec {[f['name'] for f in cur_spec['fields']]}; "
                 "appends must use the current spec (overwrite may re-spec)"
             )
-        this_spec = {
-            "spec-id": max(sp["spec-id"] for sp in prev_specs) + 1
-            if prev_meta is not None else 0,
-            "fields": spec_fields,
-        }
-        specs = prev_specs + [this_spec] if prev_meta is not None else [this_spec]
+        this_spec, specs = cur_spec, prev_specs
     else:
-        specs = prev_specs
+        this_spec = None
+        for sp in prev_specs:
+            if [f["name"] for f in sp["fields"]] == part_cols:
+                this_spec = sp
+                break
+        if this_spec is None:
+            this_spec = {
+                "spec-id": max(sp["spec-id"] for sp in prev_specs) + 1
+                if prev_meta is not None else 0,
+                "fields": spec_fields,
+            }
+            specs = prev_specs + [this_spec] \
+                if prev_meta is not None else [this_spec]
+        else:
+            specs = prev_specs
 
     # 1) data files (distributed parquet write, one subdir per snapshot).
     # A commit that crashed between the data write and the metadata commit

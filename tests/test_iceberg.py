@@ -416,3 +416,23 @@ def test_iceberg_corrupt_version_hint_recovers(spark, tmp_path):
     with open(hint) as f:
         assert f.read().strip() == "3"
     pages.unpersist()
+
+
+def test_iceberg_overwrite_respec_then_append_uses_new_spec(spark, tmp_path):
+    """An overwrite may change the partition spec (new default spec-id);
+    subsequent appends must match the NEW default — matching a historical
+    spec (e.g. the original unpartitioned one) would silently split the
+    table's layout."""
+    tbl = str(tmp_path / "tbl")
+    pages = synthesize_pages(spark, 120, seed=51).cache()
+    write_iceberg_table(pages, tbl, mode="overwrite")            # spec 0: []
+    write_iceberg_table(pages, tbl, mode="overwrite", partition_by="lang")
+    meta = read_table_meta(tbl)
+    assert meta["default-spec-id"] == 1
+    assert [f["name"] for f in meta["partition-spec"]] == ["lang"]
+    # append matching the OLD unpartitioned spec must now fail loud
+    with pytest.raises(ValueError, match="must use the current spec"):
+        write_iceberg_table(pages.limit(5), tbl, mode="append")
+    write_iceberg_table(pages.limit(5), tbl, mode="append", partition_by="lang")
+    assert read_iceberg(spark, tbl).count() == 125
+    pages.unpersist()
