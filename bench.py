@@ -568,14 +568,17 @@ def main() -> None:
             # correlate with the stride filter (multiples of `stride` are
             # all multiples of 4) and plant a variant on EVERY doc
             h = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8))
+            # variant ids are REHASHED, not offset: doc_id + constant can
+            # overflow int64 on full-range xxhash64 ids, which ANSI mode
+            # turns into a hard ARITHMETIC_OVERFLOW mid-bench
             v1 = base.filter(h < 2).select(
-                (F.col("doc_id") + F.lit(1_000_000_007)).alias("doc_id"),
+                F.xxhash64(F.col("doc_id"), F.lit(1)).alias("doc_id"),
                 F.concat("text", F.lit(" neardup variant marker")).alias("text"),
             )
             # a second variant for half of those: 3-node clusters exercise
             # the contraction beyond trivial pairs
             v2 = base.filter(h < 1).select(
-                (F.col("doc_id") + F.lit(2_000_000_011)).alias("doc_id"),
+                F.xxhash64(F.col("doc_id"), F.lit(2)).alias("doc_id"),
                 F.concat("text", F.lit(" neardup second variant")).alias("text"),
             )
             corpus = base.unionByName(v1).unionByName(v2).cache()

@@ -15,6 +15,19 @@ from pyspark.sql import SparkSession
 DEFAULT_CHUNK_ROWS = 65536
 
 
+def _engine_confs(builder, chunk_rows: int):
+    """The confs that affect CHUNK CONTENT and value semantics — shared by
+    every session builder (API/bench AND spark-submit jobs). A conf added
+    here reaches both; adding one to only one builder would silently fork
+    chunk ids between entry points again (the r4 10k-vs-65536 bug class)."""
+    return (
+        builder
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(chunk_rows))
+    )
+
+
 def get_spark(
     app_name: str = "hadoop_etl_udfs_spark",
     cores: int | None = None,
@@ -24,15 +37,15 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = _engine_confs(
+        SparkSession.builder.master(f"local[{cores}]").appName(app_name),
+        chunk_rows,
+    )
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(chunk_rows))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
@@ -55,12 +68,8 @@ def get_job_spark(
     ids for identical input, silently losing resume-skip overlap between a
     cron tick and a batch encode of the same data (r4 verdict, What's
     wrong #3)."""
-    spark = (
-        SparkSession.builder.appName(app_name)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(chunk_rows))
-        .getOrCreate()
-    )
+    spark = _engine_confs(
+        SparkSession.builder.appName(app_name), chunk_rows
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

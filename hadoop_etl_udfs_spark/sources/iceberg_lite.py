@@ -551,11 +551,19 @@ def write_iceberg_table(
     fids = {sc: _field_id(schema_json, sc) for sc in stats_cols}
     entries = []
     for uri, r in sorted(stats.items()):
-        # input_file_name() yields file:///... URIs — normalize to a plain
-        # absolute path (abspath collapses the scheme's slashes) so manifest
-        # paths compare equal to os.path/glob paths everywhere downstream
+        # input_file_name() yields PERCENT-ENCODED file:///... URIs —
+        # normalize to a plain absolute path (abspath collapses the
+        # scheme's slashes) and unquote ONCE so manifest paths compare
+        # equal to on-disk os.path/glob paths everywhere downstream.
+        # The single unquote matters with partition_by: a value like
+        # 'a b' or 'x=y' puts Hive-escaped bytes in the dir name, which
+        # the URI encodes a second time ('%' -> '%25'); one decode
+        # recovers exactly the on-disk name, and _parse_partition_values'
+        # own unquote then recovers the logical value.
+        from urllib.parse import unquote as _unquote
+
         local = os.path.abspath(
-            uri[len("file:"):] if uri.startswith("file:") else uri
+            _unquote(uri[len("file:"):] if uri.startswith("file:") else uri)
         )
         lower = [
             {"key": fids[sc], "value": _bound_bytes(r[f"lo_{sc}"])}

@@ -198,10 +198,15 @@ def iceberg_ingest_tick(
     _os.makedirs(sink_dir, exist_ok=True)
     # the watermark records the snapshot AND its live file list: the file
     # set is the expiry-proof recovery cursor (one path per data file —
-    # same O(n_files) scale as the manifests themselves)
+    # same O(n_files) scale as the manifests themselves). Written
+    # atomically: the list spans many write syscalls, and a tick killed
+    # mid-write must not leave a torn JSON that bricks every later tick.
+    from ..sources.iceberg_lite import _atomic_write
+
     files_cur, _ = iceberg_data_files(table_dir, current)
-    with open(wm_path, "w") as f:
-        _json.dump({"snapshot_id": current, "files": files_cur}, f)
+    _atomic_write(
+        wm_path, _json.dumps({"snapshot_id": current, "files": files_cur})
+    )
     return {**out, "noop": False}
 
 

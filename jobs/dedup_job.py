@@ -34,7 +34,8 @@ def main() -> None:
                    choices=["parquet", "iceberg"])
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
-    p.add_argument("--max-band-bucket", type=int, default=None)
+    p.add_argument("--max-band-bucket", type=int, default=None,
+                   help="band-bucket size cap (default: operator constant)")
     args = p.parse_args()
 
     sys.path.insert(0, ".")
@@ -62,9 +63,11 @@ def main() -> None:
     n_docs = docs.count()
     stats: dict = {}
     t0 = time.time()
-    pairs = minhash_lsh_pairs_df(
-        docs, max_band_bucket=args.max_band_bucket or MAX_BAND_BUCKET
+    cap = (
+        MAX_BAND_BUCKET if args.max_band_bucket is None
+        else args.max_band_bucket
     )
+    pairs = minhash_lsh_pairs_df(docs, max_band_bucket=cap)
     labels = duplicate_clusters_star(pairs, stats=stats)
     labels.write.mode("overwrite").parquet(args.output)
     wall = round(time.time() - t0, 3)

@@ -436,3 +436,28 @@ def test_iceberg_overwrite_respec_then_append_uses_new_spec(spark, tmp_path):
     write_iceberg_table(pages.limit(5), tbl, mode="append", partition_by="lang")
     assert read_iceberg(spark, tbl).count() == 125
     pages.unpersist()
+
+
+def test_iceberg_partition_values_with_special_chars(spark, tmp_path):
+    """Partition values containing spaces / '=' / '%' survive the
+    URI-encoding round trip: Spark Hive-escapes them in directory names,
+    input_file_name() percent-encodes the URI a second time — one decode
+    at manifest-write time recovers the on-disk path, and the parser's own
+    unquote recovers the logical value. (Pre-fix this crashed the commit
+    with FileNotFoundError on getsize.)"""
+    from pyspark.sql import Row
+
+    tbl = str(tmp_path / "tbl")
+    rows = [
+        Row(doc_id=i, tag=t, text=f"doc {i}")
+        for i, t in enumerate(["plain", "a b", "x=y", "p%q", "a/b"] * 4)
+    ]
+    df = spark.createDataFrame(rows)
+    write_iceberg_table(df, tbl, mode="overwrite", partition_by="tag")
+    got = read_iceberg(spark, tbl)
+    assert _fingerprint(got) == _fingerprint(df)
+    # pruning by an awkward value keeps exactly that partition
+    pr = read_iceberg(spark, tbl, partition_filter={"tag": "x=y"})
+    assert _fingerprint(pr) == _fingerprint(df.filter(F.col("tag") == "x=y"))
+    files_pr, st = iceberg_data_files(tbl, partition_filter={"tag": "a b"})
+    assert 0 < st["files_kept"] < st["files_total"]

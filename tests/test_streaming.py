@@ -481,10 +481,15 @@ def test_tick_and_batch_encode_share_chunk_ids(spark, tmp_path):
         for r in lineage.read_manifest(spark, sink_batch).select("chunk_id").collect()
     }
     assert ids_tick == ids_batch and ids_tick
-    # the job-session helper pins the Arrow batch size jobs encode with
+    # the job-session helper pins the Arrow batch size jobs encode with,
+    # through the SAME shared conf block every API session uses
+    from hadoop_etl_udfs_spark.session import _engine_confs, get_spark
+
     sig = inspect.signature(get_job_spark)
     assert sig.parameters["chunk_rows"].default == DEFAULT_CHUNK_ROWS
-    assert "maxRecordsPerBatch" in inspect.getsource(get_job_spark)
+    assert "maxRecordsPerBatch" in inspect.getsource(_engine_confs)
+    assert "_engine_confs" in inspect.getsource(get_job_spark)
+    assert "_engine_confs" in inspect.getsource(get_spark)
     import jobs.iceberg_ingest_job as _ij
     import jobs.encode_job as _ej
     assert "get_job_spark" in inspect.getsource(_ij)

@@ -109,8 +109,19 @@ def main() -> None:
     # a partially promoted sink as FAIL even though the final sink was
     # perfect)
     pre_commit = len(committed) == 0
+    # a COMPLETED commit is distinguishable from a mid-commit kill by the
+    # _SUCCESS marker: completed -> the identical restart must skip ALL
+    # chunks (the resume contract); mid-commit (files promoted but no
+    # marker) -> any 0..total skip count is legitimate, the bit-identical
+    # verify + zero duplicates below is the invariant that must hold
+    commit_complete = os.path.exists(
+        os.path.join(out_a, "chunks", "_SUCCESS")
+    )
     report["kill_during_write"] = {
-        "kill_landed": "pre_commit" if pre_commit else "post_or_mid_commit",
+        "kill_landed": (
+            "pre_commit" if pre_commit
+            else "post_commit" if commit_complete else "mid_commit"
+        ),
         "committed_files_at_kill": len(committed),
         "temporary_dir_present": os.path.isdir(tmp_dir),
     }
@@ -118,8 +129,11 @@ def main() -> None:
     report["kill_during_write"]["resume"] = resume
     report["kill_during_write"]["verify"] = _verify(out_a, args.docs)
     report["kill_during_write"]["postcondition_ok"] = (
-        0 <= resume["chunks_skipped"] <= resume["chunks"]
-        and (resume["chunks_skipped"] == 0 if pre_commit else True)
+        resume["chunks_skipped"] == 0
+        if pre_commit
+        else resume["chunks_skipped"] == resume["chunks"]
+        if commit_complete
+        else 0 <= resume["chunks_skipped"] <= resume["chunks"]
     )
 
     # (b) clean completion, then restart: every chunk must skip
