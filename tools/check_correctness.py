@@ -22,6 +22,56 @@ TABLES = [
 ]
 
 
+# Canonical type lattice for the oracle/engine TYPE contract (round 6).
+# Spark dtype strings (df.dtypes) and DuckDB type strings (rel.types) both
+# map into one family; families must match per column or the query FAILS.
+# HUGEINT/UHUGEINT/DECIMAL(38,0) map to a dedicated "hugeint" family that
+# matches nothing on the Spark side — DuckDB's pandas conversion renders
+# them float64 against Spark's int64, the exact hash-only driver mismatch
+# that stayed hidden for two rounds behind normalize()'s int/float
+# string-collapse (judge diagnosis, round 5).
+_INT_TYPES = {"tinyint", "smallint", "int", "integer", "bigint",
+              "byte", "short", "long",
+              "utinyint", "usmallint", "uinteger", "ubigint"}
+_FLOAT_TYPES = {"float", "real", "double"}
+_STRING_TYPES = {"string", "varchar", "text", "char"}
+_BINARY_TYPES = {"binary", "blob", "varbinary", "bytea"}
+
+
+def type_family(type_str: str) -> str:
+    t = str(type_str).strip().lower()
+    if t in ("hugeint", "uhugeint") or t.replace(" ", "") == "decimal(38,0)":
+        return "hugeint"
+    base = t.split("(")[0].split("<")[0].strip()
+    if base in _INT_TYPES:
+        return "int"
+    if base in _FLOAT_TYPES:
+        return "float"
+    if base == "decimal" or base == "numeric":
+        return "decimal"
+    if base in _STRING_TYPES:
+        return "string"
+    if base in _BINARY_TYPES:
+        return "binary"
+    if base in ("boolean", "bool"):
+        return "bool"
+    if base == "date":
+        return "date"
+    if base.startswith("timestamp"):
+        return "timestamp"
+    if base in ("array", "list") or t.endswith("[]"):
+        return "array"
+    if base == "map":
+        return "map"
+    if base in ("struct", "row"):
+        return "struct"
+    return base
+
+
+def type_families(cols: list[str], types: list) -> dict[str, str]:
+    return {c: type_family(t) for c, t in zip(cols, types)}
+
+
 def normalize(v):
     if v is None:
         return "NULL"
@@ -70,6 +120,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sfam = type_families(scols, [t for _, t in sdf.dtypes])
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:200]}")
@@ -82,21 +133,30 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = [d[0] for d in rel.description]
+            ofam = type_families(ocols, rel.types)
             orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:200]}")
             failures += 1
             continue
         ok_cols = sorted(scols) == sorted(ocols)
+        type_diffs = {
+            c: (sfam.get(c), ofam.get(c))
+            for c in scols
+            if c in ofam and sfam.get(c) != ofam.get(c)
+        } if ok_cols else {}
+        ok_types = ok_cols and not type_diffs
         ok_count = len(srows) == len(orows)
         ms_s = row_multiset(scols, srows)
         ms_o = row_multiset(ocols, orows)
         ok_vals = ms_s == ms_o
-        status = "OK  " if (ok_cols and ok_count and ok_vals) else "FAIL"
+        status = ("OK  " if (ok_cols and ok_types and ok_count and ok_vals)
+                  else "FAIL")
         if status == "FAIL":
             failures += 1
         print(f"{status}  {name}: rows {len(srows)}/{len(orows)} "
               f"cols={'OK' if ok_cols else f'{sorted(scols)} vs {sorted(ocols)}'} "
+              f"types={'OK' if ok_types else type_diffs} "
               f"vals={'OK' if ok_vals else 'MISMATCH'} ({time.time()-t0:.1f}s)")
         if not ok_vals and ok_cols:
             diff_s = {k: v for k, v in ms_s.items() if ms_o.get(k) != v}
