@@ -124,6 +124,23 @@ def minhash_lsh_pairs_df(
     the composable form bench.py's end-to-end dedup-pipeline run feeds with
     the 1.8M-doc synthesized pages table."""
     sig = minhash_signatures(docs, n_perm, method=method)
+    return lsh_band_pairs(sig, n_perm, band_rows, method, max_band_bucket)
+
+
+def lsh_band_pairs(
+    sig: DataFrame, n_perm: int = N_PERM,
+    band_rows: int = BAND_ROWS, method: str = "xxhash64",
+    max_band_bucket: int = MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Band-explode + capped bucket self-join over a PRECOMPUTED signature
+    DataFrame (``minhash_signatures`` output: doc_id, mh0..mh{n_perm-1}).
+
+    Split out of :func:`minhash_lsh_pairs_df` (round 6) so callers that need
+    per-stage cost attribution — bench.py's dedup-pipeline entry times
+    signature computation, band-pair generation, and CC contraction as
+    separate materializations — can checkpoint the signature stage between
+    the two. Semantics are unchanged: composing this with
+    ``minhash_signatures`` is exactly ``minhash_lsh_pairs_df``."""
     n_bands = n_perm // band_rows
     bands = F.array(
         *[

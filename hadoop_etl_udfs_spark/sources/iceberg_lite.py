@@ -51,6 +51,7 @@ import glob
 import hashlib
 import json
 import os
+import re
 import struct
 import time
 
@@ -142,26 +143,100 @@ def _bound_value(b: bytes) -> int:
 
 
 def _parse_partition_values(
-    local_path: str, part_cols: list[str], col_types: dict[str, str]
+    local_path: str, part_types: dict[str, str]
 ) -> dict:
-    """Identity partition values of a data file, from the ``_p_<col>=v``
-    path segments Spark's partitionBy wrote (values URL-escaped by Spark;
-    ``__HIVE_DEFAULT_PARTITION__`` = NULL), typed per the table schema."""
+    """Partition values of a data file, from the ``_p_<name>=v`` path
+    segments Spark's partitionBy wrote (values URL-escaped by Spark;
+    ``__HIVE_DEFAULT_PARTITION__`` = NULL), typed per ``part_types``
+    (partition FIELD name -> the field's Iceberg result type — the source
+    column type for identity, int/date ordinals for day/month)."""
     from urllib.parse import unquote
 
     vals: dict = {}
     for seg in local_path.split(os.sep):
         k, eq, v = seg.partition("=")
-        if eq and k.startswith("_p_") and k[3:] in part_cols:
+        if eq and k.startswith("_p_") and k[3:] in part_types:
             c = k[3:]
             v = unquote(v)
             if v == "__HIVE_DEFAULT_PARTITION__":
                 vals[c] = None
-            elif col_types.get(c) in ("long", "int"):
+            elif part_types[c] in ("long", "int", "date"):
                 vals[c] = int(v)
             else:
                 vals[c] = v
     return vals
+
+
+# partition transforms (Iceberg spec §Partition Transforms, v1 subset):
+# identity plus the two time transforms natural for crawl data laid out by
+# capture time — day (days from 1970-01-01, result type date) and month
+# (months from 1970-01, result type int). The reference parses typed
+# partition values out of Hive paths the same way
+# (HdfsSerDeImportService.java:519-566); here the transform is declared in
+# the table spec and evaluated once at write time.
+_TIME_TRANSFORMS = ("day", "month")
+_TRANSFORM_RESULT_TYPE = {"day": "date", "month": "int"}
+_TRANSFORM_SOURCE_TYPES = {"timestamp", "timestamptz", "date"}
+
+
+def _parse_partition_by(partition_by) -> list[dict]:
+    """``partition_by`` entries -> partition field descriptors.
+
+    A plain column name declares an identity transform; ``day(col)`` /
+    ``month(col)`` declare the time transforms. Each descriptor carries the
+    partition FIELD name (Iceberg convention: ``<col>_day`` etc.), the
+    transform, and the source column."""
+    cols = (
+        [partition_by] if isinstance(partition_by, str)
+        else list(partition_by or [])
+    )
+    out = []
+    for c in cols:
+        m = re.fullmatch(r"(\w+)\s*\(\s*(\w+)\s*\)", c.strip())
+        if m:
+            tr, src = m.group(1).lower(), m.group(2)
+            if tr not in _TIME_TRANSFORMS:
+                raise ValueError(
+                    f"unsupported partition transform {tr!r} in {c!r}; "
+                    f"supported: identity (bare column), {_TIME_TRANSFORMS}"
+                )
+            out.append({"name": f"{src}_{tr}", "transform": tr, "src": src})
+        else:
+            out.append(
+                {"name": c.strip(), "transform": "identity", "src": c.strip()}
+            )
+    return out
+
+
+def _transform_expr(tr: str, src: str):
+    """Spark expression computing a partition transform of ``src``.
+
+    Day/month ordinals follow the spec (days since 1970-01-01 / months
+    since 1970-01); timestamps are interpreted in the session timezone
+    (UTC in every session this repo builds — session.py pins it)."""
+    if tr == "identity":
+        return F.col(src)
+    if tr == "day":
+        return F.datediff(F.col(src).cast("date"), F.lit("1970-01-01"))
+    if tr == "month":
+        return (F.year(src) - F.lit(1970)) * F.lit(12) + F.month(src) - F.lit(1)
+    raise ValueError(f"unknown transform {tr!r}")
+
+
+def day_ordinal(d: str) -> int:
+    """'YYYY-MM-DD' -> the day transform's stored value (days from epoch) —
+    for building ``partition_filter`` values against day-partitioned
+    tables."""
+    import datetime as _dt
+
+    return (_dt.date.fromisoformat(d) - _dt.date(1970, 1, 1)).days
+
+
+def month_ordinal(m: str) -> int:
+    """'YYYY-MM' -> the month transform's stored value (months from
+    1970-01)."""
+    y, mo = m.split("-")
+    return (int(y) - 1970) * 12 + int(mo) - 1
 
 
 # ------------------------------------------------------------ avro schemas
@@ -187,7 +262,11 @@ def _kv_array(name: str, fid: int) -> dict:
     }
 
 
-_ICEBERG_TO_AVRO = {"string": "string", "long": "long", "int": "int"}
+# partition-value storage types in the manifest's r102 record; the day
+# transform's result type is date, stored as its int ordinal (Avro's
+# logical date representation)
+_ICEBERG_TO_AVRO = {"string": "string", "long": "long", "int": "int",
+                    "date": "int"}
 
 
 def manifest_entry_schema(spec_fields: list[dict] | None = None) -> dict:
@@ -256,13 +335,20 @@ def _meta_dir(path: str) -> str:
 def _atomic_write(dest: str, content: str) -> None:
     """Temp-file + ``os.replace`` (atomic on POSIX): a crash mid-write can
     never leave a torn/empty metadata file or version hint — readers see
-    the old committed state or the new one, nothing in between."""
+    the old committed state or the new one, nothing in between. The parent
+    directory is fsynced after the replace so the RENAME itself is durable
+    across power loss, not just process kills (ADVICE r5)."""
     tmp = f"{dest}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         f.write(content)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, dest)
+    dfd = os.open(os.path.dirname(dest) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def current_version(path: str) -> int:
@@ -307,6 +393,13 @@ def iceberg_snapshots(path: str) -> list[dict]:
     ]
 
 
+class SnapshotNotFoundError(ValueError):
+    """A requested snapshot id is absent from the table metadata — e.g.
+    expired by ``expire_snapshots``. A dedicated type (ADVICE r5) so the
+    ingest tick's expiry-recovery path catches exactly this condition,
+    not any ValueError whose message happens to contain 'not found'."""
+
+
 def _resolve_snapshot(meta: dict, snapshot_id: int | None) -> dict:
     snaps = meta.get("snapshots", [])
     if not snaps:
@@ -317,7 +410,7 @@ def _resolve_snapshot(meta: dict, snapshot_id: int | None) -> dict:
     for s in snaps:
         if s["snapshot-id"] == snapshot_id:
             return s
-    raise ValueError(
+    raise SnapshotNotFoundError(
         f"snapshot {snapshot_id} not found; have "
         f"{[s['snapshot-id'] for s in snaps]}"
     )
@@ -361,19 +454,26 @@ def write_iceberg_table(
     aggregate over the freshly written files, not a driver loop over
     footers); readers prune files against them before any scan.
 
-    ``partition_by`` (string/long/int columns) declares an IDENTITY
-    partition spec: data files land under one directory per partition
-    value, the partition values are recorded per file in the manifest
-    entries (spec §Manifests r102), and readers prune files against them at
-    plan time (``iceberg_data_files(partition_filter=...)``) — the
+    ``partition_by`` declares the partition spec: a bare column name
+    (string/long/int) is an IDENTITY transform; ``"day(col)"`` /
+    ``"month(col)"`` (timestamp/date source) are the spec's time
+    transforms — the idiomatic Iceberg layout for crawl data keyed by
+    capture time, stored as day/month ordinals (spec §Partition
+    Transforms). Data files land under one directory per partition value,
+    the values are recorded per file in the manifest entries (spec
+    §Manifests r102), and readers prune files against them at plan time
+    (``iceberg_data_files(partition_filter=...)`` — ``day_ordinal`` /
+    ``month_ordinal`` build filter values for transformed fields) — the
     reference's core read trick (Hive-style partition pruning,
-    HdfsService.java:92-110 + PartitionPathFilter.java:33-82) expressed as
-    a manifest walk. The partition source columns are KEPT in the data
-    files (spec-allowed for identity transforms), so the read path is
-    unchanged; the directory layout uses a ``_p_<col>=`` alias to keep
-    them there. Appends must use the table's current spec; an overwrite
-    may change it (a new spec-id becomes the default, as in Iceberg spec
-    evolution).
+    HdfsService.java:92-110 + PartitionPathFilter.java:33-82, typed
+    partition-value parse HdfsSerDeImportService.java:519-566) expressed
+    as a manifest walk. The partition SOURCE columns are KEPT in the data
+    files, so the read path is unchanged; the directory layout uses a
+    ``_p_<name>=`` alias to keep them there. Appends must use the table's
+    current spec (names AND transforms); an overwrite may change it (a new
+    spec-id becomes the default, as in Iceberg spec evolution). Identity
+    string partition values must not be '' — Spark's Hive layout conflates
+    '' with NULL, so the write raises before committing (ADVICE r5).
 
     The metadata version and version-hint commit via temp-file +
     ``os.replace`` — a crash mid-commit can never brick reads with a torn
@@ -384,15 +484,12 @@ def write_iceberg_table(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     spark = df.sparkSession
     schema_json = iceberg_schema_for(df.schema)
-    part_cols = (
-        [partition_by] if isinstance(partition_by, str)
-        else list(partition_by or [])
-    )
-    for c in part_cols:
-        if c not in df.columns:
+    part_fields = _parse_partition_by(partition_by)
+    for pf_ in part_fields:
+        if pf_["src"] not in df.columns:
             raise ValueError(
-                f"partition_by column {c!r} not in DataFrame columns "
-                f"{df.columns}"
+                f"partition_by column {pf_['src']!r} not in DataFrame "
+                f"columns {df.columns}"
             )
     try:
         prev_meta = read_table_meta(path)
@@ -444,22 +541,47 @@ def write_iceberg_table(
         prev_meta, version, snapshot_id = None, 0, 1
         schemas = [schema_json]
 
-    # partition spec: identity transforms over schema field ids. Appends
-    # must match the table's current default spec (a silent mismatch would
-    # split the table across layouts); overwrite may introduce a new spec
-    # (fresh spec-id, like Iceberg partition-spec evolution).
+    # partition spec: identity + day/month transforms over schema field
+    # ids. Appends must match the table's current default spec (a silent
+    # mismatch would split the table across layouts); overwrite may
+    # introduce a new spec (fresh spec-id, like Iceberg partition-spec
+    # evolution).
     spec_fields = [
-        {"name": c, "transform": "identity",
-         "source-id": _field_id(schema_json, c), "field-id": 1000 + i}
-        for i, c in enumerate(part_cols)
+        {"name": pf_["name"], "transform": pf_["transform"],
+         "source-id": _field_id(schema_json, pf_["src"]),
+         "field-id": 1000 + i}
+        for i, pf_ in enumerate(part_fields)
     ]
     col_types = {f["name"]: f["type"] for f in schema_json["fields"]}
-    for c in part_cols:
-        if col_types[c] not in _ICEBERG_TO_AVRO:
+    for pf_ in part_fields:
+        src_t = col_types[pf_["src"]]
+        if pf_["transform"] == "identity":
+            if src_t not in _ICEBERG_TO_AVRO:
+                raise TypeError(
+                    f"partition_by column {pf_['src']!r} has type "
+                    f"{src_t!r}; identity specs support "
+                    f"{sorted(_ICEBERG_TO_AVRO)}"
+                )
+        elif src_t not in _TRANSFORM_SOURCE_TYPES:
             raise TypeError(
-                f"partition_by column {c!r} has type {col_types[c]!r}; "
-                f"identity specs support {sorted(_ICEBERG_TO_AVRO)}"
+                f"{pf_['transform']}() partition transform needs a "
+                f"timestamp/date source column; {pf_['src']!r} is {src_t!r}"
             )
+    # partition FIELD name -> stored value type (source type for identity,
+    # the transform's result type otherwise)
+    part_types = {
+        pf_["name"]: (
+            col_types[pf_["src"]] if pf_["transform"] == "identity"
+            else _TRANSFORM_RESULT_TYPE[pf_["transform"]]
+        )
+        for pf_ in part_fields
+    }
+    spec_key = [(pf_["name"], pf_["transform"]) for pf_ in part_fields]
+
+    def _sp_key(sp: dict) -> list[tuple[str, str]]:
+        return [(f["name"], f.get("transform", "identity"))
+                for f in sp["fields"]]
+
     prev_specs = (prev_meta or {}).get("partition-specs") or [
         {"spec-id": 0, "fields": []}
     ]
@@ -471,17 +593,17 @@ def write_iceberg_table(
             sp for sp in prev_specs
             if sp["spec-id"] == prev_meta.get("default-spec-id", 0)
         )
-        if [f["name"] for f in cur_spec["fields"]] != part_cols:
+        if _sp_key(cur_spec) != spec_key:
             raise ValueError(
-                f"append partition_by={part_cols} does not match the "
-                f"table's spec {[f['name'] for f in cur_spec['fields']]}; "
+                f"append partition_by={spec_key} does not match the "
+                f"table's spec {_sp_key(cur_spec)}; "
                 "appends must use the current spec (overwrite may re-spec)"
             )
         this_spec, specs = cur_spec, prev_specs
     else:
         this_spec = None
         for sp in prev_specs:
-            if [f["name"] for f in sp["fields"]] == part_cols:
+            if _sp_key(sp) == spec_key:
                 this_spec = sp
                 break
         if this_spec is None:
@@ -505,17 +627,20 @@ def write_iceberg_table(
     while os.path.exists(data_dir):
         attempt += 1
         data_dir = os.path.join(path, "data", f"snap-{snapshot_id}-r{attempt}")
-    if part_cols:
-        # directory layout on a _p_<col> ALIAS: partitionBy strips its
-        # columns from the data files, but identity-partitioned source
-        # columns may stay in the files per spec — keeping them means the
-        # read path (explicit-schema read of file lists) needs no
-        # manifest-constant fill-in
+    if part_fields:
+        # directory layout on a _p_<name> ALIAS: partitionBy strips its
+        # columns from the data files, but partition SOURCE columns may
+        # stay in the files per spec — keeping them means the read path
+        # (explicit-schema read of file lists) needs no manifest-constant
+        # fill-in. Transformed fields are computed here, once, at write.
         w = df
-        for c in part_cols:
-            w = w.withColumn(f"_p_{c}", F.col(c))
+        for pf_ in part_fields:
+            w = w.withColumn(
+                f"_p_{pf_['name']}",
+                _transform_expr(pf_["transform"], pf_["src"]),
+            )
         w.write.mode("errorifexists").partitionBy(
-            *[f"_p_{c}" for c in part_cols]
+            *[f"_p_{pf_['name']}" for pf_ in part_fields]
         ).parquet(data_dir)
     else:
         df.write.mode("errorifexists").parquet(data_dir)
@@ -541,13 +666,42 @@ def write_iceberg_table(
                 f"got {t.get(sc)!r}"
             )
         aggs += [F.min(c).alias(f"lo_{sc}"), F.max(c).alias(f"hi_{sc}")]
+    # empty-string guard (ADVICE r5): Spark's partitionBy writes
+    # __HIVE_DEFAULT_PARTITION__ for BOTH null and '' values, so an
+    # empty-string identity partition value would be recorded as NULL in
+    # the manifest and partition_filter={'col': ''} would silently prune
+    # files that contain it. The source columns are kept in the data
+    # files, so the check piggybacks on the stats aggregate (no extra
+    # job) and the raise lands BEFORE the metadata commit — the orphaned
+    # snap dir is reclaimed by remove_orphan_files, the standard
+    # crashed-commit path.
+    id_str_parts = [
+        pf_["src"] for pf_ in part_fields
+        if pf_["transform"] == "identity"
+        and col_types[pf_["src"]] == "string"
+    ]
+    for c in id_str_parts:
+        aggs.append(F.max(F.col(c) == F.lit("")).alias(f"emptyp_{c}"))
     stats = {
         r["f"]: r
         for r in scan.groupBy(F.input_file_name().alias("f")).agg(*aggs).collect()
     }
+    empty_cols = sorted({
+        c for c in id_str_parts
+        for r in stats.values() if r[f"emptyp_{c}"]
+    })
+    if empty_cols:
+        raise ValueError(
+            f"partition_by column(s) {empty_cols} contain empty-string "
+            "values: Spark's Hive directory layout conflates '' with NULL "
+            "(__HIVE_DEFAULT_PARTITION__), so the manifest would record "
+            "them as NULL and pruned reads would silently drop their rows "
+            "— filter or recode '' before writing (no snapshot was "
+            "committed)"
+        )
 
-    # 3) manifest file (one entry per data file, status=1 ADDED; identity
-    # partition values parsed from the _p_<col>= path segments Spark wrote)
+    # 3) manifest file (one entry per data file, status=1 ADDED; partition
+    # values parsed from the _p_<name>= path segments Spark wrote)
     fids = {sc: _field_id(schema_json, sc) for sc in stats_cols}
     entries = []
     for uri, r in sorted(stats.items()):
@@ -579,9 +733,7 @@ def write_iceberg_table(
             "data_file": {
                 "file_path": local,
                 "file_format": "PARQUET",
-                "partition": _parse_partition_values(
-                    local, part_cols, col_types
-                ),
+                "partition": _parse_partition_values(local, part_types),
                 "record_count": r["n"],
                 "file_size_in_bytes": os.path.getsize(local),
                 "lower_bounds": lower,
@@ -594,7 +746,7 @@ def write_iceberg_table(
     )
     mf_spec_fields = [
         {"name": f["name"], "field-id": f["field-id"],
-         "iceberg_type": col_types[f["name"]]}
+         "iceberg_type": part_types[f["name"]]}
         for f in this_spec["fields"]
     ]
     write_avro(manifest_path, manifest_entry_schema(mf_spec_fields), entries)

@@ -149,6 +149,7 @@ def iceberg_ingest_tick(
     import os as _os
 
     from ..sources.iceberg_lite import (
+        SnapshotNotFoundError,
         iceberg_data_files,
         read_iceberg,
         read_iceberg_file_diff,
@@ -171,8 +172,11 @@ def iceberg_ingest_tick(
     if last:
         try:
             diff = read_iceberg_incremental(spark, table_dir, last)
-        except ValueError as exc:
-            if "not found" not in str(exc) or seen_files is None:
+        except SnapshotNotFoundError:
+            # typed catch (ADVICE r5): exactly the expired-snapshot
+            # condition routes to recovery — any other ValueError
+            # propagates, message wording notwithstanding
+            if seen_files is None:
                 raise
             # the watermark snapshot was expired by expire_snapshots (the
             # maintenance job). Recover via the recorded ingested-FILE set:

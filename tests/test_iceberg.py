@@ -461,3 +461,129 @@ def test_iceberg_partition_values_with_special_chars(spark, tmp_path):
     assert _fingerprint(pr) == _fingerprint(df.filter(F.col("tag") == "x=y"))
     files_pr, st = iceberg_data_files(tbl, partition_filter={"tag": "a b"})
     assert 0 < st["files_kept"] < st["files_total"]
+
+
+def test_iceberg_day_transform_partition_prunes_and_reads_exact(spark, tmp_path):
+    """day(warc_ts) time-transform partition spec (r5 verdict item 7): the
+    idiomatic Iceberg layout for crawl data keyed by capture time (spec
+    §Partition Transforms). Day ordinals are recorded in manifest entries,
+    prune files at PLAN time, and reads stay value-exact — the table-format
+    analogue of the reference's typed partition-value parse
+    (HdfsSerDeImportService.java:519-566)."""
+    from hadoop_etl_udfs_spark.sources.iceberg_lite import day_ordinal
+
+    tbl = str(tmp_path / "tbl")
+    # the synthetic crawl spans <1 min of warc_ts — spread it over 4 days
+    # so the day transform has multiple partitions to prune between
+    pages = (
+        synthesize_pages(spark, 400, seed=23)
+        .withColumn(
+            "warc_ts",
+            F.timestamp_micros(
+                F.unix_micros("warc_ts")
+                + F.pmod(F.xxhash64("url"), F.lit(4)) * F.lit(86_400_000_000)
+            ),
+        )
+        .cache()
+    )
+    write_iceberg_table(
+        pages, tbl, mode="overwrite", partition_by="day(warc_ts)"
+    )
+    meta = read_table_meta(tbl)
+    spec = meta["partition-specs"][meta["default-spec-id"]]
+    assert [(f["name"], f["transform"]) for f in spec["fields"]] == [
+        ("warc_ts_day", "day")
+    ]
+    days = sorted(
+        r["d"]
+        for r in pages.select(
+            F.datediff(F.col("warc_ts").cast("date"), F.lit("1970-01-01"))
+            .alias("d")
+        ).distinct().collect()
+    )
+    assert len(days) > 1  # the synthetic corpus spans multiple days
+    pick = days[0]
+    _, st = iceberg_data_files(tbl, partition_filter={"warc_ts_day": pick})
+    assert 0 < st["files_kept"] < st["files_total"]
+    pruned = read_iceberg(spark, tbl, partition_filter={"warc_ts_day": pick})
+    expect = pages.filter(
+        F.datediff(F.col("warc_ts").cast("date"), F.lit("1970-01-01")) == pick
+    )
+    assert _fingerprint(pruned) == _fingerprint(expect)
+    # day_ordinal builds the same stored value from a date string
+    iso = (
+        pages.select(F.date_format(F.col("warc_ts").cast("date"), "yyyy-MM-dd")
+                     .alias("s")).orderBy("s").first()["s"]
+    )
+    assert day_ordinal(iso) == pick
+    # full read unchanged; appends must match name AND transform
+    assert _fingerprint(read_iceberg(spark, tbl)) == _fingerprint(pages)
+    with pytest.raises(ValueError, match="must use the current spec"):
+        write_iceberg_table(
+            pages.limit(10), tbl, mode="append", partition_by="month(warc_ts)"
+        )
+    write_iceberg_table(
+        pages.limit(10), tbl, mode="append", partition_by="day(warc_ts)"
+    )
+    pages.unpersist()
+
+
+def test_iceberg_month_transform_and_ordinal_helpers(spark, tmp_path):
+    """month() transform stores months-from-1970-01 ordinals; the helpers
+    translate human dates to stored filter values."""
+    from pyspark.sql import Row
+
+    from hadoop_etl_udfs_spark.sources.iceberg_lite import (
+        day_ordinal,
+        month_ordinal,
+    )
+
+    assert day_ordinal("1970-01-01") == 0
+    assert day_ordinal("1970-02-01") == 31
+    assert month_ordinal("1970-01") == 0
+    assert month_ordinal("2024-03") == (2024 - 1970) * 12 + 2
+
+    tbl = str(tmp_path / "tbl")
+    import datetime as dt
+
+    rows = [
+        Row(doc_id=i, ts=dt.datetime(2024, 1 + (i % 3), 5, 12, 0, 0))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows)
+    write_iceberg_table(df, tbl, mode="overwrite", partition_by="month(ts)")
+    pick = month_ordinal("2024-02")
+    _, st = iceberg_data_files(tbl, partition_filter={"ts_month": pick})
+    assert 0 < st["files_kept"] < st["files_total"]
+    pr = read_iceberg(spark, tbl, partition_filter={"ts_month": pick})
+    assert _fingerprint(pr) == _fingerprint(
+        df.filter(F.month("ts") == 2)
+    )
+    # a non-time column rejects time transforms loudly
+    with pytest.raises(TypeError, match="timestamp/date source"):
+        write_iceberg_table(
+            df, str(tmp_path / "bad"), mode="overwrite",
+            partition_by="day(doc_id)",
+        )
+
+
+def test_iceberg_empty_string_partition_value_rejected(spark, tmp_path):
+    """Spark's Hive layout writes __HIVE_DEFAULT_PARTITION__ for BOTH null
+    and '' — indistinguishable in the manifest, so a pruned read for ''
+    would silently drop rows (ADVICE r5). The write must raise BEFORE the
+    metadata commit, leaving no new snapshot."""
+    from pyspark.sql import Row
+
+    tbl = str(tmp_path / "tbl")
+    ok = spark.createDataFrame(
+        [Row(doc_id=i, tag=f"t{i % 3}") for i in range(12)]
+    )
+    write_iceberg_table(ok, tbl, mode="overwrite", partition_by="tag")
+    n_snaps = len(iceberg_snapshots(tbl))
+    bad = spark.createDataFrame(
+        [Row(doc_id=99, tag="")] + [Row(doc_id=i, tag="x") for i in range(3)]
+    )
+    with pytest.raises(ValueError, match="empty-string"):
+        write_iceberg_table(bad, tbl, mode="append", partition_by="tag")
+    assert len(iceberg_snapshots(tbl)) == n_snaps  # nothing committed
+    assert _fingerprint(read_iceberg(spark, tbl)) == _fingerprint(ok)

@@ -41,6 +41,25 @@ def _run_to_completion(out: str, docs: int) -> dict:
     return json.loads(line)
 
 
+def _visible_complete_chunks(out: str) -> int:
+    """Chunk ids the resume run WILL skip: complete (all-columns-present)
+    chunks reader-visible in the sink right now, counted with the SAME
+    lineage function the engine's skip-set uses. Taken between kill and
+    resume, this pins the mid-commit postcondition to an exact equality
+    (ADVICE r5: '0 <= skipped <= chunks' was tautological)."""
+    sys.path.insert(0, REPO)
+    from hadoop_etl_udfs_spark.plans import lineage
+    from hadoop_etl_udfs_spark.session import get_spark
+    from hadoop_etl_udfs_spark.sources.pages import PAGES_SCHEMA
+
+    n_columns = len(PAGES_SCHEMA.split(","))
+    spark = get_spark(app_name="kill_precount", cores=8)
+    try:
+        return len(lineage.completed_chunk_ids(spark, out, n_columns))
+    finally:
+        spark.stop()
+
+
 def _verify(out: str, docs: int) -> dict:
     sys.path.insert(0, REPO)
     from hadoop_etl_udfs_spark.operators.encode import verify_roundtrip
@@ -117,23 +136,29 @@ def main() -> None:
     commit_complete = os.path.exists(
         os.path.join(out_a, "chunks", "_SUCCESS")
     )
+    # exact skip prediction, measured BEFORE the resume run: the complete
+    # chunk ids already reader-visible in the sink are precisely what the
+    # resume's skip-set will contain — an equality in every branch
+    # (pre_commit: 0 visible; post_commit: all; mid_commit: however many
+    # files the promotion loop got through). Replaces the tautological
+    # mid-commit range check (ADVICE r5).
+    visible_chunks = _visible_complete_chunks(out_a)
     report["kill_during_write"] = {
         "kill_landed": (
             "pre_commit" if pre_commit
             else "post_commit" if commit_complete else "mid_commit"
         ),
         "committed_files_at_kill": len(committed),
+        "complete_chunks_visible_at_kill": visible_chunks,
         "temporary_dir_present": os.path.isdir(tmp_dir),
     }
     resume = _run_to_completion(out_a, args.docs)
     report["kill_during_write"]["resume"] = resume
     report["kill_during_write"]["verify"] = _verify(out_a, args.docs)
     report["kill_during_write"]["postcondition_ok"] = (
-        resume["chunks_skipped"] == 0
-        if pre_commit
-        else resume["chunks_skipped"] == resume["chunks"]
-        if commit_complete
-        else 0 <= resume["chunks_skipped"] <= resume["chunks"]
+        resume["chunks_skipped"] == visible_chunks
+        and (not pre_commit or visible_chunks == 0)
+        and (not commit_complete or visible_chunks == resume["chunks"])
     )
 
     # (b) clean completion, then restart: every chunk must skip
