@@ -244,7 +244,14 @@ def duplicate_clusters(
     MapReduce and Beyond", SoCC 2014) — same join primitive, O(log n)
     rounds. Only documents that appear in some pair are returned
     (singletons need no dedup decision)."""
-    e = pairs.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    # materialize the pairs projection ONCE: `pairs` is usually a lazy
+    # minhash/band-join plan, and the symmetrizing union below would
+    # otherwise evaluate that whole upstream twice inside one job (union
+    # branches share no exchange) — measured 7x on the bench's 205k-doc
+    # pipeline before the round-6 fix
+    e = pairs.select(
+        F.col(src).alias("x"), F.col(dst).alias("y")
+    ).localCheckpoint()
     edges = (
         e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
         .distinct()
@@ -349,7 +356,14 @@ def duplicate_clusters_star(
     component minimum, cluster_size) for every document in some pair.
     ``stats``, when passed, receives {"alternations", "n_edges"} — bench.py
     uses it to report the measured O(log n) round count."""
-    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # materialize the pairs projection ONCE at entry: the canon-edge
+    # checkpoint and the node-universe job below would otherwise EACH
+    # re-evaluate the caller's lazy upstream (typically the full
+    # minhash/band-join pipeline) — 3 evaluations total, measured 7x on
+    # the bench's 205k-doc pipeline before the round-6 fix
+    raw = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint()
     e = _canon_edges(raw).localCheckpoint()
     if stats is not None:
         stats["n_edges"] = e.count()

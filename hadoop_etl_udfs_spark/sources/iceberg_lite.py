@@ -55,6 +55,9 @@ import re
 import struct
 import time
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -168,58 +171,208 @@ def _parse_partition_values(
 
 
 # partition transforms (Iceberg spec §Partition Transforms, v1 subset):
-# identity plus the two time transforms natural for crawl data laid out by
+# identity; the two time transforms natural for crawl data laid out by
 # capture time — day (days from 1970-01-01, result type date) and month
-# (months from 1970-01, result type int). The reference parses typed
-# partition values out of Hive paths the same way
-# (HdfsSerDeImportService.java:519-566); here the transform is declared in
-# the table spec and evaluated once at write time.
+# (months from 1970-01, result type int); bucket[N] (spec murmur3_x86_32
+# seed-0 hash mod N — the layout for point-lookup pruning on a high-
+# cardinality key like host); and truncate[W] (prefix/floor binning).
+# The reference parses typed partition values out of Hive paths the same
+# way (HdfsSerDeImportService.java:519-566); here the transform is
+# declared in the table spec and evaluated once at write time.
 _TIME_TRANSFORMS = ("day", "month")
 _TRANSFORM_RESULT_TYPE = {"day": "date", "month": "int"}
 _TRANSFORM_SOURCE_TYPES = {"timestamp", "timestamptz", "date"}
+# bucket hashes the value's spec byte form (long ordinals little-endian,
+# strings UTF-8); truncate bins longs by floor(v/W)*W and strings by
+# W-char prefix
+_BUCKET_SOURCE_TYPES = {"long", "int", "string", "date",
+                        "timestamp", "timestamptz"}
+_TRUNCATE_SOURCE_TYPES = {"long", "int", "string"}
 
 
 def _parse_partition_by(partition_by) -> list[dict]:
     """``partition_by`` entries -> partition field descriptors.
 
     A plain column name declares an identity transform; ``day(col)`` /
-    ``month(col)`` declare the time transforms. Each descriptor carries the
-    partition FIELD name (Iceberg convention: ``<col>_day`` etc.), the
-    transform, and the source column."""
+    ``month(col)`` the time transforms; ``bucket(N, col)`` /
+    ``truncate(W, col)`` the parameterized transforms (Iceberg SQL
+    argument order). Each descriptor carries the partition FIELD name
+    (Iceberg convention: ``<col>_day``, ``<col>_bucket``, ``<col>_trunc``),
+    the transform's spec serialization (``bucket[N]``), its param, and the
+    source column."""
     cols = (
         [partition_by] if isinstance(partition_by, str)
         else list(partition_by or [])
     )
     out = []
     for c in cols:
-        m = re.fullmatch(r"(\w+)\s*\(\s*(\w+)\s*\)", c.strip())
+        m = re.fullmatch(r"(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)", c.strip())
         if m:
-            tr, src = m.group(1).lower(), m.group(2)
-            if tr not in _TIME_TRANSFORMS:
+            tr, param, src = m.group(1).lower(), m.group(2), m.group(3)
+            if tr in _TIME_TRANSFORMS:
+                if param is not None:
+                    raise ValueError(f"{tr}() takes no parameter: {c!r}")
+                out.append({"name": f"{src}_{tr}", "transform": tr,
+                            "param": None, "src": src})
+            elif tr in ("bucket", "truncate"):
+                if param is None or int(param) <= 0:
+                    raise ValueError(
+                        f"{tr}() needs a positive parameter, e.g. "
+                        f"'{tr}(16, {src})': {c!r}"
+                    )
+                suffix = "bucket" if tr == "bucket" else "trunc"
+                out.append({
+                    "name": f"{src}_{suffix}",
+                    "transform": f"{tr}[{int(param)}]",
+                    "param": int(param), "src": src,
+                })
+            else:
                 raise ValueError(
                     f"unsupported partition transform {tr!r} in {c!r}; "
-                    f"supported: identity (bare column), {_TIME_TRANSFORMS}"
+                    f"supported: identity (bare column), {_TIME_TRANSFORMS}, "
+                    "bucket(N, col), truncate(W, col)"
                 )
-            out.append({"name": f"{src}_{tr}", "transform": tr, "src": src})
         else:
-            out.append(
-                {"name": c.strip(), "transform": "identity", "src": c.strip()}
-            )
+            out.append({"name": c.strip(), "transform": "identity",
+                        "param": None, "src": c.strip()})
     return out
 
 
-def _transform_expr(tr: str, src: str):
+# --- spec bucket hash: murmur3_x86_32, seed 0 (Iceberg spec Appendix B).
+# Vectorized numpy kernels — longs as two uint32 blocks of the 8-byte
+# little-endian form; strings as UTF-8 bytes with masked per-block rounds
+# (a chunk-level loop over the batch's max block count, never per row).
+_MM_C1 = np.uint32(0xCC9E2D51)
+_MM_C2 = np.uint32(0x1B873593)
+
+
+def _mm_rotl(x, r: int):
+    return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+
+def _mm_mix(h, k):
+    k = k * _MM_C1
+    k = _mm_rotl(k, 15)
+    k = k * _MM_C2
+    h = h ^ k
+    h = _mm_rotl(h, 13)
+    return h * np.uint32(5) + np.uint32(0xE6546B64)
+
+
+def _mm_fmix(h):
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> np.uint32(16))
+    return h
+
+
+def _murmur3_long(v: "np.ndarray") -> "np.ndarray":
+    """murmur3_x86_32(little_endian_8bytes(v), seed=0) -> int32 array.
+    Spec vectors: 34 -> 2017239379, 17486 (date) -> -653330422,
+    1510871468000000 (ts µs) -> -2047944441."""
+    u = np.ascontiguousarray(v, dtype=np.int64).view(np.uint64)
+    h = np.zeros(u.shape, dtype=np.uint32)
+    h = _mm_mix(h, (u & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    h = _mm_mix(h, (u >> np.uint64(32)).astype(np.uint32))
+    h = h ^ np.uint32(8)
+    return _mm_fmix(h).view(np.int32)
+
+
+def _murmur3_bytes(vals: list) -> "np.ndarray":
+    """murmur3_x86_32(bytes, seed=0) -> int32 array, batch-vectorized.
+    Spec vector: b'iceberg' -> 1210000089."""
+    n = len(vals)
+    lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
+    nblk = (int(lens.max()) + 3) // 4 if n else 0
+    h = np.zeros(n, dtype=np.uint32)
+    if nblk:
+        buf = np.zeros((n, nblk * 4), dtype=np.uint8)
+        for i, v in enumerate(vals):  # batch fill, write-time only
+            buf[i, : len(v)] = np.frombuffer(v, dtype=np.uint8)
+        blocks = buf.view(np.uint32).reshape(n, nblk)
+        full = lens // 4
+        for j in range(nblk):
+            m = full > j
+            if not m.any():
+                break
+            h = np.where(m, _mm_mix(h, blocks[:, j]), h)
+        tail = lens % 4
+        tmask = np.array([0, 0xFF, 0xFFFF, 0xFFFFFF], dtype=np.uint32)[tail]
+        tk = blocks[np.arange(n), np.minimum(full, nblk - 1)] & tmask
+        tk = tk * _MM_C1
+        tk = _mm_rotl(tk, 15)
+        tk = tk * _MM_C2
+        h = np.where(tail > 0, h ^ tk, h)
+    h = h ^ lens.astype(np.uint32)
+    return _mm_fmix(h).view(np.int32)
+
+
+def bucket_value(v, n: int) -> int:
+    """The ``bucket[n]`` transform of a single value — for building
+    ``partition_filter`` values against bucket-partitioned tables. ``v``
+    is an int (long/date-ordinal/timestamp-µs source) or str (UTF-8)."""
+    if isinstance(v, str):
+        hv = int(_murmur3_bytes([v.encode("utf-8")])[0])
+    else:
+        hv = int(_murmur3_long(np.array([int(v)]))[0])
+    return (hv & 0x7FFFFFFF) % n
+
+
+def _bucket_udf(n: int, is_string: bool):
+    """Arrow-batched pandas UDF computing the spec bucket transform at
+    write time (int result; NULL in -> NULL out)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _b(s: pd.Series) -> pd.Series:
+        mask = s.isna()
+        if is_string:
+            hv = _murmur3_bytes(
+                [b"" if m else x.encode("utf-8") for x, m in zip(s, mask)]
+            )
+        else:
+            hv = _murmur3_long(s.fillna(0).to_numpy(dtype=np.int64))
+        out = (hv.astype(np.int64) & 0x7FFFFFFF) % n
+        res = pd.Series(out, index=s.index, dtype="Int32")
+        res[mask] = None
+        return res
+
+    return _b
+
+
+def _transform_expr(tr: str, src: str, param: int | None = None,
+                    src_type: str | None = None):
     """Spark expression computing a partition transform of ``src``.
 
     Day/month ordinals follow the spec (days since 1970-01-01 / months
     since 1970-01); timestamps are interpreted in the session timezone
-    (UTC in every session this repo builds — session.py pins it)."""
+    (UTC in every session this repo builds — session.py pins it).
+    bucket[N] hashes the spec byte form via the vectorized murmur3 kernel
+    (long ordinals for int/long/date/timestamp sources, UTF-8 for
+    strings); truncate[W] is pure JVM (`v - pmod(v, W)` floors negatives
+    per spec; W-char prefix for strings)."""
     if tr == "identity":
         return F.col(src)
     if tr == "day":
         return F.datediff(F.col(src).cast("date"), F.lit("1970-01-01"))
     if tr == "month":
         return (F.year(src) - F.lit(1970)) * F.lit(12) + F.month(src) - F.lit(1)
+    if tr.startswith("bucket["):
+        if src_type == "string":
+            return _bucket_udf(param, True)(F.col(src))
+        if src_type in ("timestamp", "timestamptz"):
+            ord_col = F.unix_micros(F.col(src))
+        elif src_type == "date":
+            ord_col = F.datediff(F.col(src), F.lit("1970-01-01")).cast("long")
+        else:
+            ord_col = F.col(src).cast("long")
+        return _bucket_udf(param, False)(ord_col)
+    if tr.startswith("truncate["):
+        if src_type == "string":
+            return F.substring(F.col(src), 1, param)
+        return F.col(src) - F.pmod(F.col(src), F.lit(param))
     raise ValueError(f"unknown transform {tr!r}")
 
 
@@ -555,27 +708,47 @@ def write_iceberg_table(
     col_types = {f["name"]: f["type"] for f in schema_json["fields"]}
     for pf_ in part_fields:
         src_t = col_types[pf_["src"]]
-        if pf_["transform"] == "identity":
+        tr = pf_["transform"]
+        if tr == "identity":
             if src_t not in _ICEBERG_TO_AVRO:
                 raise TypeError(
                     f"partition_by column {pf_['src']!r} has type "
                     f"{src_t!r}; identity specs support "
                     f"{sorted(_ICEBERG_TO_AVRO)}"
                 )
-        elif src_t not in _TRANSFORM_SOURCE_TYPES:
-            raise TypeError(
-                f"{pf_['transform']}() partition transform needs a "
-                f"timestamp/date source column; {pf_['src']!r} is {src_t!r}"
-            )
-    # partition FIELD name -> stored value type (source type for identity,
-    # the transform's result type otherwise)
-    part_types = {
-        pf_["name"]: (
-            col_types[pf_["src"]] if pf_["transform"] == "identity"
-            else _TRANSFORM_RESULT_TYPE[pf_["transform"]]
-        )
-        for pf_ in part_fields
-    }
+        elif tr in _TIME_TRANSFORMS:
+            if src_t not in _TRANSFORM_SOURCE_TYPES:
+                raise TypeError(
+                    f"{tr}() partition transform needs a "
+                    f"timestamp/date source column; {pf_['src']!r} is {src_t!r}"
+                )
+        elif tr.startswith("bucket["):
+            if src_t not in _BUCKET_SOURCE_TYPES:
+                raise TypeError(
+                    f"bucket() partition transform supports "
+                    f"{sorted(_BUCKET_SOURCE_TYPES)} sources; "
+                    f"{pf_['src']!r} is {src_t!r}"
+                )
+        elif tr.startswith("truncate["):
+            if src_t not in _TRUNCATE_SOURCE_TYPES:
+                raise TypeError(
+                    f"truncate() partition transform supports "
+                    f"{sorted(_TRUNCATE_SOURCE_TYPES)} sources; "
+                    f"{pf_['src']!r} is {src_t!r}"
+                )
+
+    def _result_type(pf_: dict) -> str:
+        tr = pf_["transform"]
+        if tr == "identity" or tr.startswith("truncate["):
+            return col_types[pf_["src"]]
+        if tr.startswith("bucket["):
+            return "int"
+        return _TRANSFORM_RESULT_TYPE[tr]
+
+    # partition FIELD name -> stored value type (source type for identity
+    # and truncate, int for bucket, the transform's result type for
+    # day/month)
+    part_types = {pf_["name"]: _result_type(pf_) for pf_ in part_fields}
     spec_key = [(pf_["name"], pf_["transform"]) for pf_ in part_fields]
 
     def _sp_key(sp: dict) -> list[tuple[str, str]]:
@@ -637,7 +810,8 @@ def write_iceberg_table(
         for pf_ in part_fields:
             w = w.withColumn(
                 f"_p_{pf_['name']}",
-                _transform_expr(pf_["transform"], pf_["src"]),
+                _transform_expr(pf_["transform"], pf_["src"],
+                                pf_["param"], col_types[pf_["src"]]),
             )
         w.write.mode("errorifexists").partitionBy(
             *[f"_p_{pf_['name']}" for pf_ in part_fields]
@@ -675,9 +849,13 @@ def write_iceberg_table(
     # job) and the raise lands BEFORE the metadata commit — the orphaned
     # snap dir is reclaimed by remove_orphan_files, the standard
     # crashed-commit path.
+    # identity AND truncate of a string both emit '' exactly when the
+    # source is '' (a W-char prefix of a non-empty string is non-empty),
+    # so the same source-column check covers both
     id_str_parts = [
         pf_["src"] for pf_ in part_fields
-        if pf_["transform"] == "identity"
+        if (pf_["transform"] == "identity"
+            or pf_["transform"].startswith("truncate["))
         and col_types[pf_["src"]] == "string"
     ]
     for c in id_str_parts:
