@@ -1,0 +1,160 @@
+"""Training-corpus curation operators: stratified quota sampling,
+token-budget shard packing, and best-in-cluster dedup resolution.
+
+These are the decision layers a large-scale training-data pipeline runs
+AFTER the measurement operators (quality/lang/dedup evidence elsewhere in
+this package): pick the data mix, lay it out into bounded shards, and
+choose WHICH copy of a near-dup cluster survives. Everything here is
+deterministic (hash-driven, no rand()) so reruns are reproducible and the
+driver's DuckDB oracle can verify values end-to-end.
+
+Scale notes (100 TB / 1000-executor framing):
+- ``stratified_sample`` is a pure scan-stage filter — zero shuffle, the
+  per-language quota is a broadcast-sized literal map.
+- ``pack_corpus_shards`` is the classic DISTRIBUTED PREFIX SUM: a global
+  ``sum() OVER (ORDER BY ...)`` window would drag the whole corpus into
+  one task, so the cumsum is computed per hash-bucket (one narrow
+  shuffle + per-bucket window) and stitched with an O(buckets) driver
+  cumsum of bucket totals — the only driver-side data is one row per
+  bucket.
+- ``dedup_keep_best`` adds one cluster-keyed shuffle on top of the CC
+  labels; clusters are near-dup groups (tiny), so the window inside each
+  is bounded.
+
+Reference anchor: the reference has no curation layer (it stops at
+import/export, HdfsSerDeImportService.java); these extend the engine
+toward the training-data pipeline the task brief names as first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from .dedup import _hash64, duplicate_clusters_star, minhash_lsh_pairs_df
+
+# --- stratified sampling -------------------------------------------------
+# per-language keep fractions in parts-per-million: the training-mix knob.
+# Hash-gated (md5-derived, seed below) so membership is a pure function of
+# doc_id — growing the corpus never resamples old docs.
+SAMPLE_PPM = {"en": 500_000, "de": 800_000, "fr": 650_000,
+              "es": 650_000, "zh": 900_000}
+SAMPLE_DEFAULT_PPM = 250_000
+SAMPLE_SEED = 7
+_PPM = 1_000_000
+
+# --- shard packing --------------------------------------------------------
+PACK_BUDGET_TOKENS = 2048   # max tokens per training shard (greedy)
+PACK_BUCKETS = 64           # prefix-sum fan-out; >= cluster cores at scale
+PACK_SEED = 11
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample of the documents table.
+
+    Keep a document iff ``md5_hash(doc_id, seed) % 1e6 < ppm(lang)`` —
+    a scan-stage expression with ZERO shuffle at any scale, and stable
+    under corpus growth (old docs never flip). The fractions are the
+    training-mix policy; unlisted languages fall to the default quota."""
+    docs = _docs(spark, sf_dir)
+    gate = F.pmod(_hash64([F.col("doc_id")], SAMPLE_SEED, "md5"), F.lit(_PPM))
+    ppm = F.lit(SAMPLE_DEFAULT_PPM)
+    for lg, p in sorted(SAMPLE_PPM.items()):
+        ppm = F.when(F.col("lang") == lg, F.lit(p)).otherwise(ppm)
+    return (
+        docs.select("doc_id", "lang", gate.alias("gate"), ppm.alias("ppm"))
+        .filter(F.col("gate") < F.col("ppm"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def pack_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget shard packing via a DISTRIBUTED prefix sum.
+
+    Documents are laid out in a deterministic global order — (hash
+    bucket, md5 hash, doc_id) — and assigned to the shard their running
+    token offset falls into: ``shard_id = floor(offset / budget)`` where
+    ``offset`` is the cumulative token count BEFORE the document. A doc
+    straddling a boundary stays in its starting shard (shards may
+    slightly overrun, never undershoot), which is the standard greedy
+    packing contract.
+
+    The naive plan — ``sum() OVER (ORDER BY ...)`` with no PARTITION BY —
+    funnels the entire corpus through ONE task and is exactly the
+    single-partition window this repo's plan audits forbid. Instead:
+    within-bucket window cumsums run fully parallel after one narrow
+    shuffle, bucket TOTALS (one row per bucket) come to the driver, their
+    running offsets go back as a broadcast join — O(PACK_BUCKETS) driver
+    data regardless of corpus size."""
+    docs = _docs(spark, sf_dir)
+    h = _hash64([F.col("doc_id")], PACK_SEED, "md5")
+    base = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        h.alias("h"),
+        F.pmod(h, F.lit(PACK_BUCKETS)).alias("bucket"),
+    )
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("cum_in_bucket", F.sum("n_tokens").over(win))
+    totals = sorted(
+        (r["bucket"], r["t"])
+        for r in base.groupBy("bucket").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for b, t in totals:
+        offsets.append((b, acc))
+        acc += t
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "bucket int, bucket_offset long")
+    )
+    return (
+        within.join(off_df, "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(
+                (F.col("bucket_offset") + F.col("cum_in_bucket")
+                 - F.col("n_tokens")) / F.lit(PACK_BUDGET_TOKENS)
+            ).alias("shard_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-in-cluster near-dup resolution: the dedup DECISION step.
+
+    ``duplicate_clusters_star`` labels every document in a near-dup pair
+    with its component; this picks the survivor PER CLUSTER by highest
+    quality score (ties: smallest doc_id) instead of the naive smallest-id
+    rep — what a real pipeline wants when near-dups differ in quality
+    (boilerplate-stripped vs raw copies). Output: one row per clustered
+    document with its cluster rep, size, quality, and the keep verdict.
+
+    md5-derived hashes end-to-end so the DuckDB oracle reproduces the
+    exact pipeline (same convention as ``dedup_clusters_star_checked``)."""
+    docs = _docs(spark, sf_dir)
+    clusters = duplicate_clusters_star(minhash_lsh_pairs_df(docs, method="md5"))
+    q = docs.select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("cluster_rep")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .withColumn("keep", (rn == 1).cast("int"))
+        .select("doc_id", "cluster_rep", "cluster_size", "quality", "keep")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,142 @@
+"""Training-corpus curation operators (operators/curation.py): stratified
+quota sampling, token-budget shard packing (distributed prefix sum), and
+best-in-cluster dedup resolution. Driver-facing value agreement is oracle-
+checked via check_correctness; these tests pin the operator INVARIANTS and
+planted-data behaviors the synthetic corpus can't prove."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_etl_udfs_spark.operators import curation
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stratified_sample_deterministic_and_growth_stable(spark, tmp_path):
+    """Membership is a pure function of doc_id: identical across runs, and
+    sampling a SUBSET corpus yields exactly the subset of the full sample
+    (growing the corpus never resamples old docs)."""
+    full = {r["doc_id"] for r in curation.stratified_sample(spark, SF_DIR).collect()}
+    again = {r["doc_id"] for r in curation.stratified_sample(spark, SF_DIR).collect()}
+    assert full == again and len(full) > 0
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    half.write.parquet(str(tmp_path / "documents.parquet"))
+    sub = {
+        r["doc_id"]
+        for r in curation.stratified_sample(spark, str(tmp_path)).collect()
+    }
+    assert sub == {d for d in full if d % 2 == 0}
+
+
+def test_stratified_sample_respects_language_quotas(spark):
+    """Per-language keep rates track the configured ppm — the md5 gate is
+    uniform, so at 500 docs each language lands within a generous
+    binomial-noise band of its quota."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in
+            curation.stratified_sample(spark, SF_DIR)
+            .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lg, tot in totals.items():
+        frac = curation.SAMPLE_PPM.get(lg, curation.SAMPLE_DEFAULT_PPM) / 1e6
+        got = kept.get(lg, 0) / tot
+        # 4 sigma of binomial noise at n=tot
+        sigma = (frac * (1 - frac) / tot) ** 0.5
+        assert abs(got - frac) < 4 * sigma + 0.02, (lg, got, frac, tot)
+
+
+def test_pack_corpus_shards_matches_naive_global_prefix_sum(spark):
+    """The two-level (bucket window + stitched offsets) prefix sum equals
+    the naive single-ordering cumsum — computed independently in pandas
+    over the same (bucket, h, doc_id) total order."""
+    got = curation.pack_corpus_shards(spark, SF_DIR).toPandas()
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from hadoop_etl_udfs_spark.functions import text as T
+    from hadoop_etl_udfs_spark.operators.dedup import _hash64
+
+    h = _hash64([F.col("doc_id")], curation.PACK_SEED, "md5")
+    raw = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        h.alias("h"),
+        F.pmod(h, F.lit(curation.PACK_BUCKETS)).alias("bucket"),
+    ).toPandas()
+    raw = raw.sort_values(["bucket", "h", "doc_id"]).reset_index(drop=True)
+    raw["start"] = raw["n_tokens"].cumsum() - raw["n_tokens"]
+    raw["shard_id"] = raw["start"] // curation.PACK_BUDGET_TOKENS
+
+    merged = got.merge(raw[["doc_id", "shard_id"]], on="doc_id",
+                       suffixes=("", "_naive"))
+    assert len(merged) == len(got) == len(raw)
+    assert (merged["shard_id"] == merged["shard_id_naive"]).all()
+
+
+def test_pack_corpus_shards_greedy_budget_invariants(spark):
+    """Shards are contiguous from 0; every shard's token sum stays under
+    budget + its largest doc (greedy overrun bound); totals add up."""
+    got = curation.pack_corpus_shards(spark, SF_DIR).toPandas()
+    shards = sorted(got["shard_id"].unique())
+    assert shards[0] == 0
+    assert shards == list(range(len(shards)))  # no gaps (docs < budget)
+    per = got.groupby("shard_id")["n_tokens"].agg(["sum", "max"])
+    # greedy segment bound: a doc overrunning a boundary extends its own
+    # shard and shortens the next, so every non-last shard's token sum
+    # lies within one max-doc of the budget on either side
+    mx = got["n_tokens"].max()
+    b = curation.PACK_BUDGET_TOKENS
+    assert (per["sum"][:-1] >= b - mx).all() and (per["sum"][:-1] <= b + mx).all()
+    assert per["sum"].sum() == got["n_tokens"].sum()
+
+
+def test_dedup_keep_best_prefers_quality_on_planted_near_dups(spark, tmp_path):
+    """Planted near-dup cluster where the naive smallest-id rep is the LOW
+    quality copy: keep_best must pick the high-quality one instead, emit
+    exactly one keep per cluster, and label sizes correctly."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while many other "
+        "common words fill this perfectly ordinary sentence. it continues "
+        "with more of the usual text, and the final words are here."
+    )
+    # doc 0: near-dup with a trailing punctuation blob — one extra token,
+    #        so it shares almost every word shingle with doc 1, but the
+    #        punct_ratio quality penalty trips (low quality)
+    # doc 1: clean copy with one word changed (same shingle mass -> same
+    #        cluster, high quality)
+    # doc 2: unrelated singleton (no pair -> absent from output)
+    rows = [
+        (0, base + " " + ";;;!!???::::....,,,," * 5, "en"),
+        (1, base.replace("ordinary", "everyday"), "en"),
+        (2, "totally different content about ships and harbors and tides "
+            "that shares nothing with the fox sentence at all beyond common "
+            "the and words appearing throughout this unrelated passage.", "en"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in
+           curation.dedup_keep_best(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1}  # the singleton needs no decision
+    assert out[0]["cluster_size"] == out[1]["cluster_size"] == 2
+    assert out[0]["cluster_rep"] == out[1]["cluster_rep"] == 0
+    assert out[1]["quality"] > out[0]["quality"]
+    assert out[1]["keep"] == 1 and out[0]["keep"] == 0
+
+
+def test_dedup_keep_best_one_survivor_per_cluster(spark):
+    """On the real corpus: exactly one keep per cluster, and the survivor
+    is argmax(quality, tie -> min doc_id) within its cluster."""
+    df = curation.dedup_keep_best(spark, SF_DIR).toPandas()
+    if df.empty:
+        pytest.skip("no near-dup pairs at this SF")
+    per = df.groupby("cluster_rep")
+    assert (per["keep"].sum() == 1).all()
+    for _, g in per:
+        best = g.sort_values(["quality", "doc_id"],
+                             ascending=[False, True]).iloc[0]
+        assert g.loc[g["keep"] == 1, "doc_id"].iloc[0] == best["doc_id"]
