@@ -121,6 +121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": curation.stratified_sample,
         "pack_corpus_shards": curation.pack_corpus_shards,
         "dedup_keep_best": curation.dedup_keep_best,
+        # round-6 flist (byte-stream-split) codec path over the embeddings
+        # table, codec-independent lineage half oracle-checked:
+        "encode_embeddings_lineage_checked":
+            similarity.encode_embeddings_lineage_checked,
         # rows-only twins (value-covered by the in-gate *_checked twins):
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,       # rows-only (xxhash64)
         "simhash64": dedup.simhash64,                        # rows-only (xxhash64)
@@ -859,6 +863,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cluster_rep, cluster_size, quality,
                    CAST(rn = 1 AS INT) AS keep
             FROM j ORDER BY doc_id
+        """,
+        # embeddings-table encode lineage: 4 bytes per float element for
+        # the list<float> column, 8/row fixed-width; every branch CAST to
+        # BIGINT (sum() would type HUGEINT — the r5 driver-hash lesson)
+        "encode_embeddings_lineage_checked": """
+            SELECT 'embedding' AS "column", count(*) AS n_rows,
+                   CAST(4 * sum(len(embedding)) AS BIGINT) AS data_bytes
+            FROM embeddings
+            UNION ALL
+            SELECT 'label', count(*), CAST(8 * count(*) AS BIGINT)
+            FROM embeddings
+            UNION ALL
+            SELECT 'vec_id', count(*), CAST(8 * count(*) AS BIGINT)
+            FROM embeddings
+            ORDER BY "column"
         """,
         # checked twins of the xxhash64 near-dup operators: identical
         # pipelines over md5-derived hashes both engines compute

@@ -18,7 +18,7 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-from . import dictenc, forbp, fsst, raw, rle
+from . import bss, dictenc, forbp, fsst, raw, rle
 from .frame import pack_sections, unpack_sections
 from .varbytes import arrow_to_varbytes, is_varbytes, varbytes_to_arrow
 
@@ -43,6 +43,13 @@ def type_to_str(typ: pa.DataType) -> str:
 def str_to_type(s: str) -> pa.DataType:
     if s in _SIMPLE_TYPES:
         return _SIMPLE_TYPES[s]
+    if s.startswith("list<") and s.endswith(">"):
+        # child field name varies by producer ("item" from pa.list_,
+        # "element" from Spark's Arrow batches); nullability suffix too
+        inner = s[len("list<"):-1]
+        _, _, child = inner.partition(": ")
+        child = child.removesuffix(" not null")
+        return pa.list_(str_to_type(child))
     if s.startswith("decimal128("):
         p, sc = s[len("decimal128(") : -1].split(",")
         return pa.decimal128(int(p), int(sc))
@@ -68,7 +75,28 @@ def _kind(typ: pa.DataType) -> str:
         return "float"
     if pa.types.is_decimal(typ):
         return "dec128"
+    if (pa.types.is_list(typ) or pa.types.is_large_list(typ)) \
+            and pa.types.is_floating(typ.value_type):
+        return "flist"
     raise ValueError(f"unsupported chunk type: {typ}")
+
+
+def _flist_parts(dense: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Null-free list<float> array -> (per-row lengths int64, flattened
+    child values in the child's own dtype). Null ELEMENTS inside vectors
+    are rejected loud — a silent 0-fill would corrupt embeddings."""
+    child = dense.flatten()
+    if child.null_count:
+        raise ValueError(
+            "float-vector chunk has NULL elements inside vectors; "
+            "flist codecs encode whole vectors (row-level NULL is fine)"
+        )
+    lengths = np.asarray(dense.value_lengths(), dtype=np.int64)
+    np_dtype = np.float32 if child.type == pa.float32() else np.float64
+    values = np.ascontiguousarray(
+        child.to_numpy(zero_copy_only=False), dtype=np_dtype
+    )
+    return lengths, values
 
 
 def _decimal_words(dense: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -185,6 +213,8 @@ def encode_array(
     was written, never infer it back from physical buffer sizes."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_large_list(arr.type):
+        arr = arr.cast(pa.list_(arr.type.value_type))
     typ = arr.type
     kind = _kind(typ)
     n = len(arr)
@@ -209,6 +239,22 @@ def encode_array(
             cmeta = {"n": len(lo)}
         crc = zlib.crc32(
             hi.astype("<i8").tobytes(), zlib.crc32(lo.astype("<i8").tobytes())
+        )
+    elif kind == "flist":
+        lengths, values = _flist_parts(dense)
+        # logical value bytes: the flattened float payload (itemsize per
+        # element) — same values-only principle as the other kinds
+        data_bytes = int(values.nbytes)
+        if codec == "auto":
+            codec = "bss"
+        if codec == "bss":
+            sections, cmeta = bss.encode_flist(lengths, values)
+        elif codec == "raw":
+            sections, cmeta = bss.encode_flist_raw(lengths, values)
+        else:
+            raise ValueError(f"codec {codec} unsupported for flist chunks")
+        crc = zlib.crc32(
+            values.tobytes(), zlib.crc32(lengths.astype("<i8").tobytes())
         )
     elif kind == "varbytes":
         lengths, data = arrow_to_varbytes(dense)
@@ -297,6 +343,27 @@ def decode_array(payload: bytes, meta: str, global_dict=None) -> pa.Array:
             typ, n, [validity_buf, pa.py_buffer(full.tobytes())]
         )
 
+    if kind == "flist":
+        lengths, values = bss.decode_flist(sections, m["m"])
+        child = pa.array(values, type=typ.value_type)
+        if valid is None:
+            offsets = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(lengths, out=offsets[1:])
+            return pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), child
+            )
+        full_lengths = np.zeros(n, dtype=np.int64)
+        full_lengths[valid] = lengths
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(full_lengths, out=offsets[1:])
+        validity_buf = pa.py_buffer(
+            np.packbits(valid, bitorder="little").tobytes()
+        )
+        return pa.Array.from_buffers(
+            typ, n, [validity_buf, pa.py_buffer(offsets.tobytes())],
+            children=[child],
+        )
+
     if kind == "varbytes":
         dec = _BYTES_CODECS[codec][1]
         lengths, data = (
@@ -337,6 +404,11 @@ def verify_crc(arr: pa.Array, expected_crc: int) -> bool:
         lo, hi = _decimal_words(dense)
         crc = zlib.crc32(
             hi.astype("<i8").tobytes(), zlib.crc32(lo.astype("<i8").tobytes())
+        )
+    elif _kind(arr.type) == "flist":
+        lengths, values = _flist_parts(dense)
+        crc = zlib.crc32(
+            values.tobytes(), zlib.crc32(lengths.astype("<i8").tobytes())
         )
     else:
         crc = zlib.crc32(_to_int64(dense).astype("<i8").tobytes())

@@ -154,6 +154,12 @@ def _hash_column(h, arr: pa.Array) -> None:
         lengths, data = arrow_to_varbytes(dense)
         h.update(lengths.astype("<i8").tobytes())
         h.update(data.tobytes())
+    elif kind == "flist":
+        from ..codecs.api import _flist_parts
+
+        lengths, values = _flist_parts(dense)
+        h.update(lengths.astype("<i8").tobytes())
+        h.update(values.tobytes())
     elif kind == "dec128":
         lo, hi = _decimal_words(dense)
         h.update(lo.astype("<i8").tobytes())
@@ -210,6 +216,7 @@ def encode_pages(
     shuffle: bool = True,
     global_dicts: dict | None = None,
     cluster_by: str | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """pages DataFrame -> encoded column-chunk DataFrame.
 
@@ -251,7 +258,31 @@ def encode_pages(
                 "domain (timestamp/date/int/boolean)"
             )
     if shuffle:
-        if salt_buckets == "adaptive":
+        if partition_cols:
+            # table-agnostic layout (round 6): the default salted
+            # partitioning keys on the PAGES columns (url host, lang); any
+            # other table declares its own co-location key here. Same
+            # contract: explicit partition count (AQE coalescing would
+            # serialize the CPU stage), salt bounds one key's skew, the
+            # within-partition sort makes chunking deterministic for
+            # resume's content-addressed skip-set.
+            missing = [c for c in partition_cols if c not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"partition_cols {missing} not in input columns "
+                    f"{df.columns}"
+                )
+            if salt_buckets == "adaptive":
+                raise ValueError(
+                    "salt_buckets='adaptive' keys on the pages url host; "
+                    "with explicit partition_cols pass an int fan-out"
+                )
+            n = df.sparkSession.sparkContext.defaultParallelism * 2
+            salt = F.pmod(F.xxhash64(*partition_cols), F.lit(salt_buckets))
+            df = df.repartition(n, *partition_cols, salt).sortWithinPartitions(
+                *partition_cols
+            )
+        elif salt_buckets == "adaptive":
             from ..plans.salting import salted_partitioning_adaptive
 
             df = salted_partitioning_adaptive(df)

@@ -382,3 +382,37 @@ def cosine_topk_ivf(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def encode_embeddings_lineage_checked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The chunk encoder applied to the EMBEDDINGS table — the round-6
+    flist/byte-stream-split codec path (codecs/bss.py) driven end-to-end,
+    with its codec-independent lineage half oracle-checked.
+
+    Per column: total rows and exact logical ``data_bytes`` recorded IN the
+    encode kernel from the values themselves — 4 bytes per float element
+    for the list<float> embedding column (``values.nbytes`` of the
+    flattened child), 8 per row for the fixed-width columns. DuckDB
+    recomputes the same quantities from the raw table
+    (``4 * sum(len(embedding))``, ``8 * count(*)``), every branch CAST to
+    BIGINT (the r5 HUGEINT lesson). Same exact-logical-accounting
+    principle as encode_documents_lineage_checked
+    (HdfsSerDeExportService.java:90)."""
+    from .encode import encode_pages
+
+    emb = (
+        _emb(spark, sf_dir)
+        .repartition(4, F.pmod(F.xxhash64("vec_id"), F.lit(4)))
+        .sortWithinPartitions("vec_id")
+    )
+    enc = encode_pages(emb, shuffle=False)
+    return (
+        enc.groupBy("column")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("data_bytes").alias("data_bytes"),
+        )
+        .orderBy("column")
+    )

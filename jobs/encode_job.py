@@ -51,6 +51,11 @@ def main() -> None:
     p.add_argument("--cluster-by", default=None,
                    help="numeric-domain column whose per-chunk [min,max] is "
                         "stamped on every chunk row (scan-level zone maps)")
+    p.add_argument("--partition-cols", default=None,
+                   help="comma-separated co-location key for NON-pages "
+                        "tables (e.g. 'vec_id' for embeddings): shuffles on "
+                        "these columns + salt instead of the pages-specific "
+                        "url-host layout, so the job encodes ANY table")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args()
     if not args.input and not args.synthesize:
@@ -111,6 +116,9 @@ def main() -> None:
         skip_chunk_ids=done,
         global_dicts=gds or None,
         cluster_by=args.cluster_by,
+        partition_cols=(
+            args.partition_cols.split(",") if args.partition_cols else None
+        ),
     )
     lineage.write_encoded(enc, args.output, mode="append")
     wall = time.time() - t0

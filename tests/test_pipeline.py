@@ -477,3 +477,77 @@ def test_colocated_decode_rejects_wrong_sink_arity(spark, tmp_path):
     # over-specified arity is loud too (groups never complete)
     with pytest.raises(Exception, match="arrived incomplete"):
         decode_chunks_colocated(enc, schema=schema6, n_columns=7).collect()
+
+
+def test_embeddings_table_encodes_and_decodes_bit_identical(spark):
+    """The round-6 flist path through the FULL Spark pipeline: the
+    embeddings table (list<float> column) chunk-encodes via
+    byte-stream-split (codecs/bss.py), lands in the standard encoded
+    schema, and decodes bit-identically — including a schema-evolution
+    read that requests only a column subset."""
+    from pyspark.sql import functions as F
+
+    from hadoop_etl_udfs_spark.operators.encode import (
+        decode_chunks,
+        encode_pages,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = emb.repartition(8, F.pmod(F.xxhash64("vec_id"), F.lit(8)))
+    enc = encode_pages(src, shuffle=False).cache()
+    codecs_used = {
+        r["column"]: r["codec"]
+        for r in enc.select("column", "codec").distinct().collect()
+    }
+    assert codecs_used["embedding"] == "bss"
+
+    full_schema = "vec_id bigint, embedding array<float>, label int"
+    dec = decode_chunks(enc, schema=full_schema)
+    a = src.orderBy("vec_id").collect()
+    b = dec.orderBy("vec_id").collect()
+    assert a == b
+
+    # column-subset read skips the other chunks' payloads
+    sub = decode_chunks(enc, schema="vec_id bigint, embedding array<float>")
+    assert sub.columns == ["vec_id", "embedding"]
+    assert sub.count() == emb.count()
+    one = sub.orderBy("vec_id").first()
+    want = emb.orderBy("vec_id").first()
+    assert one["embedding"] == want["embedding"]
+    enc.unpersist()
+
+
+def test_encode_partition_cols_generic_table_deterministic_resume(spark):
+    """partition_cols (round 6) makes the standard shuffle path
+    table-agnostic: the embeddings table encodes with shuffle=True keyed
+    on vec_id, decodes bit-identically, and chunking is DETERMINISTIC —
+    a second identical run produces the same content-addressed chunk ids,
+    so resume's skip-set skips everything."""
+    from pyspark.sql import functions as F
+
+    from hadoop_etl_udfs_spark.operators.encode import (
+        decode_chunks,
+        encode_pages,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    enc1 = encode_pages(emb, partition_cols=["vec_id"]).cache()
+    ids1 = {r["chunk_id"] for r in enc1.select("chunk_id").distinct().collect()}
+    enc2 = encode_pages(emb, partition_cols=["vec_id"])
+    ids2 = {r["chunk_id"] for r in enc2.select("chunk_id").distinct().collect()}
+    assert ids1 == ids2 and len(ids1) > 1
+    # resume semantics: skipping the full id set encodes nothing
+    enc3 = encode_pages(emb, partition_cols=["vec_id"], skip_chunk_ids=ids1)
+    assert enc3.count() == 0
+
+    dec = decode_chunks(
+        enc1, schema="vec_id bigint, embedding array<float>, label int"
+    )
+    assert dec.orderBy("vec_id").collect() == emb.orderBy("vec_id").collect()
+    # loud rejects
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="partition_cols"):
+        encode_pages(emb, partition_cols=["nope"])
+    with _pytest.raises(ValueError, match="adaptive"):
+        encode_pages(emb, partition_cols=["vec_id"], salt_buckets="adaptive")
+    enc1.unpersist()

@@ -336,3 +336,31 @@ def test_star_contraction_converges_on_adversarial_chain(spark):
     got = duplicate_clusters_star(chain, max_iter=25).collect()
     assert len(got) == n
     assert all(r["cluster_rep"] == 0 and r["cluster_size"] == n for r in got)
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.floats(width=32, allow_nan=False),
+                min_size=0, max_size=24,
+            ),
+        ),
+        min_size=0, max_size=60,
+    ),
+    st.sampled_from(["bss", "raw", "auto"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_any_float_list_chunk_roundtrips(values, codec):
+    """flist chunks: any mix of row nulls / empty / ragged float32 vectors
+    roundtrips bit-identically under every flist codec (NaN excluded only
+    because pa.Array.equals treats NaN != NaN; the codec is a byte
+    permutation and never inspects values)."""
+    arr = pa.array(values, type=pa.list_(pa.float32()))
+    e = encode_array(arr, codec=codec)
+    d = decode_array(e.payload, e.meta)
+    assert d.equals(arr)
+    assert verify_crc(d, e.crc32)
+    total = sum(len(v) for v in values if v is not None)
+    assert e.data_bytes == 4 * total
