@@ -125,6 +125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table, codec-independent lineage half oracle-checked:
         "encode_embeddings_lineage_checked":
             similarity.encode_embeddings_lineage_checked,
+        # search over the engine's own compressed sink — oracle is the SAME
+        # SQL as cosine_topk (decode is bit-identical), so agreement proves
+        # encode→decode→search end-to-end:
+        "cosine_topk_over_encoded": similarity.cosine_topk_over_encoded,
         # rows-only twins (value-covered by the in-gate *_checked twins):
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,       # rows-only (xxhash64)
         "simhash64": dedup.simhash64,                        # rows-only (xxhash64)
@@ -425,6 +429,16 @@ def _resize_oracle_sql() -> str:
             FROM documents ORDER BY doc_id
     """
 
+
+_COSINE_TOPK_SQL = """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding, q.embedding), 4)
+                       AS cos_sim
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+            ORDER BY cos_sim DESC, e.vec_id ASC
+            LIMIT 10
+        """
 
 _TOKCOUNT = "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
 _FINGERPRINT = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
@@ -943,15 +957,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
-        "cosine_topk": """
-            SELECT e.vec_id,
-                   round(list_cosine_similarity(e.embedding, q.embedding), 4)
-                       AS cos_sim
-            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-            WHERE e.vec_id <> 0
-            ORDER BY cos_sim DESC, e.vec_id ASC
-            LIMIT 10
-        """,
+        "cosine_topk": _COSINE_TOPK_SQL,
+        # the over-encoded variant decodes the engine's own chunk sink
+        # first; decode is bit-identical, so the SAME oracle must agree —
+        # that agreement is the end-to-end encode→decode→search proof
+        "cosine_topk_over_encoded": _COSINE_TOPK_SQL,
         "complex_types_extract": """
             WITH built AS (
                 SELECT event_id,

@@ -416,3 +416,39 @@ def encode_embeddings_lineage_checked(
         )
         .orderBy("column")
     )
+
+
+def cosine_topk_over_encoded(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Similarity search OVER THE ENGINE'S OWN COMPRESSED SINK: encode the
+    embeddings table through the flist/byte-stream-split chunk path, decode
+    ONLY the (vec_id, embedding) columns back, and run the exact cosine
+    top-k on the decoded vectors.
+
+    The decode is bit-identical by construction (codecs/bss.py is a byte
+    permutation; CRC-verified roundtrip), so this query's oracle is the
+    SAME SQL as cosine_topk over the raw table — value agreement proves the
+    whole encode→decode→search composition end-to-end, which is the
+    engine's reason to exist: query the compressed corpus, get the raw
+    corpus's answers."""
+    from .encode import decode_chunks, encode_pages
+
+    emb = _emb(spark, sf_dir)
+    enc = encode_pages(emb, partition_cols=["vec_id"])
+    dec = decode_chunks(enc, schema="vec_id bigint, embedding array<float>")
+    q = dec.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return (
+        dec.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            F.round(
+                cosine_sim(F.col("embedding"), F.col("q_embedding")), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
