@@ -96,20 +96,46 @@ _ICEBERG_TO_DDL = {
 def iceberg_schema_for(df_schema) -> dict:
     """Spark StructType -> Iceberg schema JSON (spec §Schemas; sequential
     field ids starting at 1, all fields optional — matching Spark's
-    nullable-by-default semantics)."""
+    nullable-by-default semantics). Arrays of primitives map to the spec's
+    list type (element-ids allocated after all field ids, spec-unique)."""
     fields = []
+    next_el = len(df_schema.fields) + 1
     for i, f in enumerate(df_schema.fields, start=1):
         t = f.dataType.typeName()
-        if t not in _SPARK_TO_ICEBERG:
+        if t == "array":
+            et = f.dataType.elementType.typeName()
+            if et not in _SPARK_TO_ICEBERG:
+                raise ValueError(
+                    f"iceberg_lite cannot map array element type {et!r} "
+                    f"(field {f.name!r}) — supported elements: "
+                    f"{sorted(_SPARK_TO_ICEBERG)}"
+                )
+            typ: dict | str = {
+                "type": "list", "element-id": next_el,
+                "element": _SPARK_TO_ICEBERG[et],
+                "element-required": not f.dataType.containsNull,
+            }
+            next_el += 1
+        elif t not in _SPARK_TO_ICEBERG:
             raise ValueError(
                 f"iceberg_lite cannot map Spark type {t!r} (field "
                 f"{f.name!r}) — supported: {sorted(_SPARK_TO_ICEBERG)}"
             )
+        else:
+            typ = _SPARK_TO_ICEBERG[t]
         fields.append(
-            {"id": i, "name": f.name, "required": False,
-             "type": _SPARK_TO_ICEBERG[t]}
+            {"id": i, "name": f.name, "required": False, "type": typ}
         )
     return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def _type_key(t) -> tuple:
+    """Type identity for drift checks: element-ids are ALLOCATION artifacts
+    (they depend on schema position), so two list types are the same type
+    iff element type + requiredness match."""
+    if isinstance(t, dict) and t.get("type") == "list":
+        return ("list", t["element"], t.get("element-required", False))
+    return ("prim", t)
 
 
 def ddl_for_iceberg_schema(schema: dict, columns: list[str] | None = None) -> str:
@@ -119,6 +145,12 @@ def ddl_for_iceberg_schema(schema: dict, columns: list[str] | None = None) -> st
         if columns is not None and f["name"] not in columns:
             continue
         t = f["type"]
+        if isinstance(t, dict) and t.get("type") == "list" \
+                and t.get("element") in _ICEBERG_TO_DDL:
+            parts.append(
+                f"{f['name']} array<{_ICEBERG_TO_DDL[t['element']]}>"
+            )
+            continue
         if not isinstance(t, str) or t not in _ICEBERG_TO_DDL:
             raise ValueError(
                 f"iceberg_lite cannot read Iceberg type {t!r} "
@@ -666,9 +698,15 @@ def write_iceberg_table(
         evolved = list(prev_meta["schema"]["fields"])
         for f in schema_json["fields"]:
             if f["name"] not in prev_fields:
-                evolved.append({**f, "id": next_id})
+                nf = {**f, "id": next_id}
                 next_id += 1
-            elif prev_fields[f["name"]]["type"] != f["type"]:
+                if isinstance(nf["type"], dict):
+                    # list element-ids must stay table-unique: re-allocate
+                    # from the table's id pool, not the new df's positions
+                    nf["type"] = {**nf["type"], "element-id": next_id}
+                    next_id += 1
+                evolved.append(nf)
+            elif _type_key(prev_fields[f["name"]]["type"]) != _type_key(f["type"]):
                 # type changes (incl. timestamp tz flavor — a tz change
                 # silently shifts values) must fail loud
                 raise ValueError(
@@ -709,6 +747,11 @@ def write_iceberg_table(
     for pf_ in part_fields:
         src_t = col_types[pf_["src"]]
         tr = pf_["transform"]
+        if not isinstance(src_t, str):
+            raise TypeError(
+                f"partition_by column {pf_['src']!r} has a nested type "
+                f"{src_t!r}; partition transforms need primitive sources"
+            )
         if tr == "identity":
             if src_t not in _ICEBERG_TO_AVRO:
                 raise TypeError(
@@ -960,7 +1003,14 @@ def write_iceberg_table(
         ).hexdigest(),
         "location": os.path.abspath(path),
         "last-updated-ms": now_ms,
-        "last-column-id": max(f["id"] for f in schema_json["fields"]),
+        # spec: highest ASSIGNED column id, including nested list
+        # element-ids — evolution allocates fresh ids above this, so an
+        # element-id left out would collide with the next added column
+        "last-column-id": max(
+            max(f["id"], f["type"].get("element-id", 0))
+            if isinstance(f["type"], dict) else f["id"]
+            for f in schema_json["fields"]
+        ),
         "schema": schema_json,
         "schemas": schemas,
         "current-schema-id": schema_json.get("schema-id", 0),

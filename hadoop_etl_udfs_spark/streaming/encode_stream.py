@@ -121,6 +121,7 @@ def iceberg_ingest_tick(
     codec: str = "auto",
     salt_buckets: int = 8,
     cluster_by: str | None = None,
+    partition_cols: list[str] | None = None,
 ) -> dict:
     """One cycle of the production ingestion daemon: poll the Iceberg
     table for commits newer than the sink's watermark, encode-append
@@ -195,6 +196,9 @@ def iceberg_ingest_tick(
     enc = encode_pages(
         diff, codec=codec, salt_buckets=salt_buckets,
         skip_chunk_ids=done, cluster_by=cluster_by,
+        # non-pages tables (round 6): declare the co-location key so the
+        # tick ingests ANY Iceberg table, not just the pages layout
+        partition_cols=partition_cols,
     )
     lineage.write_encoded(enc, sink_dir, mode="append")
     out["rows"] = diff.count()

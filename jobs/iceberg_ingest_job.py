@@ -28,6 +28,10 @@ def main() -> None:
     p.add_argument("--salt-buckets", default="8",
                    help="int fan-out, or 'adaptive'")
     p.add_argument("--cluster-by", default=None)
+    p.add_argument("--partition-cols", default=None,
+                   help="comma-separated co-location key for NON-pages "
+                        "tables (e.g. 'vec_id'): the tick then ingests any "
+                        "Iceberg table, not just the pages layout")
     args = p.parse_args()
 
     sys.path.insert(0, ".")
@@ -47,6 +51,9 @@ def main() -> None:
     out = iceberg_ingest_tick(
         spark, args.table, args.sink,
         codec=args.codec, salt_buckets=salt, cluster_by=args.cluster_by,
+        partition_cols=(
+            args.partition_cols.split(",") if args.partition_cols else None
+        ),
     )
     print(json.dumps(out))
     spark.stop()

@@ -751,3 +751,54 @@ def test_iceberg_parameterized_transform_validation(spark, tmp_path):
         write_iceberg_table(
             bad, str(tmp_path / "e"), partition_by="truncate(2, u)"
         )
+
+
+def test_iceberg_list_column_roundtrip_time_travel_and_evolution(spark, tmp_path):
+    """Round 6: Iceberg list types (spec §Schemas) — an embeddings-shaped
+    table (array<float> column) writes, reads value-exact, time-travels,
+    and additively evolves with ANOTHER list column whose element-id is
+    allocated from the table's id pool (spec-unique across the schema)."""
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "tbl")
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).cache()
+    first = emb.filter(F.col("vec_id") < 200)
+    write_iceberg_table(first, tbl, mode="overwrite")
+    back = read_iceberg(spark, tbl)
+    assert back.schema["embedding"].dataType.simpleString() == "array<float>"
+    assert _fingerprint(back) == _fingerprint(first)
+
+    meta = read_table_meta(tbl)
+    f_emb = next(f for f in meta["schema"]["fields"]
+                 if f["name"] == "embedding")
+    assert f_emb["type"]["type"] == "list" and f_emb["type"]["element"] == "float"
+
+    # same-schema append: no drift raise, snapshot isolation holds
+    write_iceberg_table(
+        emb.filter(F.col("vec_id") >= 200), tbl, mode="append"
+    )
+    assert _fingerprint(read_iceberg(spark, tbl)) == _fingerprint(emb)
+    snaps = iceberg_snapshots(tbl)
+    assert _fingerprint(
+        read_iceberg(spark, tbl, snapshot_id=snaps[0]["snapshot_id"])
+    ) == _fingerprint(first)
+
+    # additive evolution with a SECOND list column: fresh field id AND a
+    # fresh element-id from the table pool (never a collision)
+    evolved = emb.withColumn(
+        "emb2", F.transform("embedding", lambda x: x * F.lit(2.0))
+    ).limit(10)
+    write_iceberg_table(evolved, tbl, mode="append")
+    meta2 = read_table_meta(tbl)
+    ids = []
+    for f in meta2["schema"]["fields"]:
+        ids.append(f["id"])
+        if isinstance(f["type"], dict):
+            ids.append(f["type"]["element-id"])
+    assert len(ids) == len(set(ids))  # all field + element ids unique
+    allr = read_iceberg(spark, tbl)
+    assert allr.filter(F.col("emb2").isNull()).count() == emb.count()
+    assert allr.filter(F.col("emb2").isNotNull()).count() == 10
+    emb.unpersist()
