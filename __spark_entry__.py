@@ -129,6 +129,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL as cosine_topk (decode is bit-identical), so agreement proves
         # encode→decode→search end-to-end:
         "cosine_topk_over_encoded": similarity.cosine_topk_over_encoded,
+        # IVF ANN over the compressed sink with cluster-stamp CHUNK PRUNING
+        # (cell-clustered encode; only probed cells' chunks decode) —
+        # shares cosine_topk_ivf's oracle:
+        "cosine_topk_ivf_over_encoded":
+            similarity.cosine_topk_ivf_over_encoded,
         # rows-only twins (value-covered by the in-gate *_checked twins):
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,       # rows-only (xxhash64)
         "simhash64": dedup.simhash64,                        # rows-only (xxhash64)
@@ -399,6 +404,27 @@ def _ivf_assigned_cte() -> str:
             FROM (SELECT *, {least} AS m FROM dists)
         )
     """
+
+
+def _ivf_topk_sql() -> str:
+    return f"""
+            WITH {_ivf_assigned_cte()},
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            probe AS (
+                SELECT cell FROM ({_ivf_probe_union_sql()})
+                ORDER BY qd, cell LIMIT 4
+            )
+            SELECT a.vec_id,
+                   round(list_cosine_similarity(a.embedding, q.qe), 4) AS cos_sim
+            FROM assigned a, q
+            WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0
+            ORDER BY cos_sim DESC, a.vec_id ASC
+            LIMIT 10
+        """
+
+
+_IVF_TOPK_SQL = _ivf_topk_sql()
+
 
 def _resize_oracle_sql() -> str:
     """Mirror of multimodal.resize_grayscale(src=(4,4), dst=(2,2)) over
@@ -1113,20 +1139,12 @@ def oracle_sql() -> dict[str, str]:
             WITH {_ivf_assigned_cte()}
             SELECT vec_id, cell FROM assigned ORDER BY vec_id
         """,
-        "cosine_topk_ivf": f"""
-            WITH {_ivf_assigned_cte()},
-            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-            probe AS (
-                SELECT cell FROM ({_ivf_probe_union_sql()})
-                ORDER BY qd, cell LIMIT 4
-            )
-            SELECT a.vec_id,
-                   round(list_cosine_similarity(a.embedding, q.qe), 4) AS cos_sim
-            FROM assigned a, q
-            WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0
-            ORDER BY cos_sim DESC, a.vec_id ASC
-            LIMIT 10
-        """,
+        "cosine_topk_ivf": _IVF_TOPK_SQL,
+        # the over-encoded variant prunes chunks by cluster stamps, decodes
+        # the survivors, and filters to the SAME probe cells — decode is
+        # bit-identical and the probe/assign fp fold is shared, so the SAME
+        # oracle must agree (pruning + decode + ANN proven end-to-end):
+        "cosine_topk_ivf_over_encoded": _IVF_TOPK_SQL,
         # codec-independent lineage half: rows + exact input data bytes per
         # column (strings: sum of UTF-8 byte lengths; int64: 8 per row) —
         # the Spark side aggregates the data_bytes field the encode kernel

@@ -452,3 +452,79 @@ def cosine_topk_over_encoded(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def cosine_topk_ivf_over_encoded(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10,
+    n_probe: int = 4, centroids: np.ndarray | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """IVF ANN over the engine's own COMPRESSED sink, with CHUNK PRUNING:
+    the scale path where search touches only the probed cells' bytes.
+
+    Build: assign every vector its coarse cell, then chunk-encode CLUSTERED
+    BY CELL (``partition_cols=["cell"]`` co-locates + sorts, ``cluster_by=
+    "cell"`` stamps each chunk's [min, max] cell). Search: pick the query's
+    ``n_probe`` nearest cells (same float64 argsort as cosine_topk_ivf),
+    DROP every chunk whose stamped cell range misses all probes — the
+    pruning the stamps exist for — decode only the survivors through the
+    flist codec (the stored cell column comes back with them; pruning is
+    conservative, the exact ``cell IN probes`` filter on the decoded rows
+    makes membership exact), and score.
+
+    Because decode is bit-identical and the probe/assign arithmetic is the
+    SAME fp fold as cosine_topk_ivf, this query shares cosine_topk_ivf's
+    oracle — driver agreement proves cluster-stamped pruning + decode +
+    ANN end-to-end. ``stats`` (optional) receives chunks_kept/chunks_total,
+    the scanned fraction the pruning buys."""
+    from .encode import decode_chunks, encode_pages
+
+    emb = _emb(spark, sf_dir)
+    if centroids is None:
+        centroids = quantizer_centroids()
+    with_cell = _with_cell(emb, "embedding", centroids)
+    enc = encode_pages(
+        with_cell, partition_cols=["cell"], cluster_by="cell"
+    ).localCheckpoint()
+
+    q_vec = np.array(
+        emb.filter(F.col("vec_id") == query_vec_id).collect()[0]["embedding"],
+        dtype=np.float64,
+    )
+    d2 = ((centroids.astype(np.float64) - q_vec) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(d2, kind="stable")[:n_probe]]
+
+    # chunk-level pruning on the cluster stamps: a chunk survives iff its
+    # [cluster_lo, cluster_hi] cell range covers SOME probe cell. Stamps
+    # are identical on every row of a chunk, so chunks drop atomically;
+    # NULL-stamped chunks are conservatively kept.
+    keep = F.col("cluster_lo").isNull()
+    for p in probe_cells:
+        keep = keep | (
+            (F.col("cluster_lo") <= F.lit(p))
+            & (F.col("cluster_hi") >= F.lit(p))
+        )
+    kept = enc.filter(keep)
+    if stats is not None:
+        stats["chunks_total"] = enc.select("chunk_id").distinct().count()
+        stats["chunks_kept"] = kept.select("chunk_id").distinct().count()
+
+    dec = decode_chunks(
+        kept, schema="vec_id bigint, embedding array<float>, cell int"
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return (
+        dec.filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_sim(F.col("embedding"), F.col("q_embedding")), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

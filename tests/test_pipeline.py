@@ -551,3 +551,22 @@ def test_encode_partition_cols_generic_table_deterministic_resume(spark):
     with _pytest.raises(ValueError, match="adaptive"):
         encode_pages(emb, partition_cols=["vec_id"], salt_buckets="adaptive")
     enc1.unpersist()
+
+
+def test_ivf_over_encoded_prunes_chunks_and_matches_unencoded(spark):
+    """IVF ANN over the cell-clustered compressed sink: the cluster-stamp
+    filter must DROP a real fraction of chunks (that's the byte-pruning
+    the layout buys) and return exactly the unencoded IVF search's
+    results."""
+    from hadoop_etl_udfs_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_over_encoded,
+    )
+
+    stats: dict = {}
+    got = cosine_topk_ivf_over_encoded(
+        spark, "/root/testdata/sf0.001", stats=stats
+    ).collect()
+    want = cosine_topk_ivf(spark, "/root/testdata/sf0.001").collect()
+    assert got == want
+    assert 0 < stats["chunks_kept"] < stats["chunks_total"]
