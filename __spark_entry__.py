@@ -482,8 +482,9 @@ def _lang_id_sql() -> str:
 
 def _quality_cte_sql() -> str:
     """Per-doc quality score as a reusable CTE pair (``qraw`` -> ``qual``)
-    — the same composite functions/text.py::quality_score computes; shared
-    by the standalone quality oracle and the keep-best resolution oracle."""
+    — the same composite functions/text.py::quality_score computes; the
+    SINGLE source for every quality-consuming oracle (quality_scores,
+    corpus_filter_pipeline, dedup_keep_best)."""
     return f"""qraw AS (
                 SELECT doc_id,
                        {_TOKCOUNT} AS n_tok,
@@ -715,53 +716,28 @@ def oracle_sql() -> dict[str, str]:
                    max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price
             FROM lineitem GROUP BY l_returnflag
         """,
+        # ONE quality formula for all three quality-consuming oracles
+        # (this, corpus_filter_pipeline, dedup_keep_best) — composed from
+        # _quality_cte_sql so they cannot drift apart
         "quality_scores": f"""
-            WITH q AS (
-                SELECT doc_id,
-                       {_TOKCOUNT} AS n_tok,
-                       length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
-                           / greatest(length(text), 1) AS punct_ratio,
-                       length(regexp_replace(text, '[^A-Z]', '', 'g'))
-                           / greatest(length(text), 1) AS upper_ratio,
-                       {_hits_sql(_LANG_MARKERS["en"])} AS en_hits
-                FROM documents
-            )
-            SELECT doc_id,
-                   round((
-                       (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.3 END)
-                     + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END)
-                     + (CASE WHEN upper_ratio <= 0.3 THEN 1.0 ELSE 0.5 END)
-                     + (CASE WHEN en_hits / greatest(n_tok, 1) > 0.01 THEN 1.0 ELSE 0.6 END)
-                   ) / 4.0, 4) AS quality
-            FROM q
+            WITH {_quality_cte_sql()}
+            SELECT doc_id, quality FROM qual
         """,
         # same quality/lang/fingerprint fragments as the standalone oracles
         # above — the pipeline is their composition, so the SQL composes too
         "corpus_filter_pipeline": f"""
-            WITH q AS (
+            WITH {_quality_cte_sql()},
+            extra AS (
                 SELECT doc_id, lang,
-                       {_TOKCOUNT} AS n_tok,
-                       length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
-                           / greatest(length(text), 1) AS punct_ratio,
-                       length(regexp_replace(text, '[^A-Z]', '', 'g'))
-                           / greatest(length(text), 1) AS upper_ratio,
-                       {_hits_sql(_LANG_MARKERS["en"])} AS en_hits,
+                       {_TOKCOUNT} AS n_tokens,
                        {_lang_id_sql()} AS lang_pred,
                        {_FINGERPRINT} AS fp
                 FROM documents
             ),
-            scored AS (
-                SELECT doc_id, lang, lang_pred, fp, n_tok AS n_tokens,
-                       round((
-                           (CASE WHEN n_tok >= 10 AND n_tok <= 10000 THEN 1.0 ELSE 0.3 END)
-                         + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.5 END)
-                         + (CASE WHEN upper_ratio <= 0.3 THEN 1.0 ELSE 0.5 END)
-                         + (CASE WHEN en_hits / greatest(n_tok, 1) > 0.01 THEN 1.0 ELSE 0.6 END)
-                       ) / 4.0, 4) AS quality
-                FROM q
-            ),
             kept AS (
-                SELECT * FROM scored WHERE quality >= 0.8 AND lang_pred = lang
+                SELECT e.doc_id, e.lang, e.lang_pred, e.fp, e.n_tokens
+                FROM extra e JOIN qual q USING (doc_id)
+                WHERE q.quality >= 0.8 AND e.lang_pred = e.lang
             )
             SELECT min(doc_id) AS keep_doc_id,
                    arg_min(lang, doc_id) AS lang,

@@ -76,7 +76,10 @@ def _kind(typ: pa.DataType) -> str:
     if pa.types.is_decimal(typ):
         return "dec128"
     if (pa.types.is_list(typ) or pa.types.is_large_list(typ)) \
-            and pa.types.is_floating(typ.value_type):
+            and typ.value_type in (pa.float32(), pa.float64()):
+        # float16 is excluded deliberately: str_to_type has no halffloat
+        # mapping, so an encoded chunk could never decode — reject at
+        # encode time, not read time
         return "flist"
     raise ValueError(f"unsupported chunk type: {typ}")
 

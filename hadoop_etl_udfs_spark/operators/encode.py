@@ -278,9 +278,16 @@ def encode_pages(
                     "with explicit partition_cols pass an int fan-out"
                 )
             n = df.sparkSession.sparkContext.defaultParallelism * 2
-            salt = F.pmod(F.xxhash64(*partition_cols), F.lit(salt_buckets))
+            # salt and sort tiebreak come from a FULL-ROW hash, not the
+            # partition columns: a key-derived salt is constant within a
+            # hot key (no skew split — the salt would be a no-op), and a
+            # key-only sort leaves tie order scheduler-dependent whenever
+            # the key is non-unique, which would re-chunk on identical-job
+            # restart and break resume's content-addressed skip
+            row_h = F.xxhash64(*[F.col(c) for c in df.columns])
+            salt = F.pmod(row_h, F.lit(salt_buckets))
             df = df.repartition(n, *partition_cols, salt).sortWithinPartitions(
-                *partition_cols
+                *partition_cols, row_h
             )
         elif salt_buckets == "adaptive":
             from ..plans.salting import salted_partitioning_adaptive

@@ -483,8 +483,18 @@ def cosine_topk_ivf_over_encoded(
     if centroids is None:
         centroids = quantizer_centroids()
     with_cell = _with_cell(emb, "embedding", centroids)
+    # cell-COHERENT layout, laid out explicitly: a clustered sink wants
+    # each partition (hence each chunk) to span few cells, so partition by
+    # the cell alone — the generic partition_cols path salts with a
+    # full-row hash (skew protection), which scatters every cell across
+    # all partitions and would widen chunk cell-ranges to the full span
+    # at small scale. 16 coarse cells carry no skew worth salting.
+    n_parts = max(8, min(64, with_cell.sparkSession.sparkContext.defaultParallelism))
+    laid_out = with_cell.repartition(n_parts, "cell").sortWithinPartitions(
+        "cell", "vec_id"
+    )
     enc = encode_pages(
-        with_cell, partition_cols=["cell"], cluster_by="cell"
+        laid_out, shuffle=False, cluster_by="cell"
     ).localCheckpoint()
 
     q_vec = np.array(

@@ -354,22 +354,22 @@ def bucket_value(v, n: int) -> int:
 
 def _bucket_udf(n: int, is_string: bool):
     """Arrow-batched pandas UDF computing the spec bucket transform at
-    write time (int result; NULL in -> NULL out)."""
+    write time. NULL handling lives in the CALLER's when/coalesce wrapper
+    (_transform_expr): a long column containing any NULL arrives in pandas
+    as lossy float64 (values above 2^53 round before hashing — wrong
+    buckets recorded in the manifest, silently pruned reads later), so the
+    UDF only ever sees a coalesced null-free input and may assume exact
+    int64/str values."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
     def _b(s: pd.Series) -> pd.Series:
-        mask = s.isna()
         if is_string:
-            hv = _murmur3_bytes(
-                [b"" if m else x.encode("utf-8") for x, m in zip(s, mask)]
-            )
+            hv = _murmur3_bytes([x.encode("utf-8") for x in s])
         else:
-            hv = _murmur3_long(s.fillna(0).to_numpy(dtype=np.int64))
+            hv = _murmur3_long(s.to_numpy(dtype=np.int64))
         out = (hv.astype(np.int64) & 0x7FFFFFFF) % n
-        res = pd.Series(out, index=s.index, dtype="Int32")
-        res[mask] = None
-        return res
+        return pd.Series(out, index=s.index, dtype="int32")
 
     return _b
 
@@ -392,15 +392,21 @@ def _transform_expr(tr: str, src: str, param: int | None = None,
     if tr == "month":
         return (F.year(src) - F.lit(1970)) * F.lit(12) + F.month(src) - F.lit(1)
     if tr.startswith("bucket["):
+        # the when/coalesce wrapper keeps NULLs out of the UDF batch: a
+        # nullable long column would otherwise reach pandas as float64 and
+        # round values above 2^53 before hashing (wrong manifest buckets,
+        # silently pruned reads)
         if src_type == "string":
-            return _bucket_udf(param, True)(F.col(src))
+            b = _bucket_udf(param, True)(F.coalesce(F.col(src), F.lit("")))
+            return F.when(F.col(src).isNull(), F.lit(None)).otherwise(b)
         if src_type in ("timestamp", "timestamptz"):
             ord_col = F.unix_micros(F.col(src))
         elif src_type == "date":
             ord_col = F.datediff(F.col(src), F.lit("1970-01-01")).cast("long")
         else:
             ord_col = F.col(src).cast("long")
-        return _bucket_udf(param, False)(ord_col)
+        b = _bucket_udf(param, False)(F.coalesce(ord_col, F.lit(0)))
+        return F.when(F.col(src).isNull(), F.lit(None)).otherwise(b)
     if tr.startswith("truncate["):
         if src_type == "string":
             return F.substring(F.col(src), 1, param)
@@ -452,6 +458,11 @@ def _kv_array(name: str, fid: int) -> dict:
 # logical date representation)
 _ICEBERG_TO_AVRO = {"string": "string", "long": "long", "int": "int",
                     "date": "int"}
+# IDENTITY transforms support a narrower set than the manifest can store:
+# a date source would Hive-serialize as 'YYYY-MM-DD' in the path but the
+# manifest stores date partition values as int ordinals — parse would
+# crash AFTER the data write. Date layouts belong to day()/month().
+_IDENTITY_SOURCE_TYPES = {"string", "long", "int"}
 
 
 def manifest_entry_schema(spec_fields: list[dict] | None = None) -> dict:
@@ -753,11 +764,12 @@ def write_iceberg_table(
                 f"{src_t!r}; partition transforms need primitive sources"
             )
         if tr == "identity":
-            if src_t not in _ICEBERG_TO_AVRO:
+            if src_t not in _IDENTITY_SOURCE_TYPES:
                 raise TypeError(
                     f"partition_by column {pf_['src']!r} has type "
                     f"{src_t!r}; identity specs support "
-                    f"{sorted(_ICEBERG_TO_AVRO)}"
+                    f"{sorted(_IDENTITY_SOURCE_TYPES)} (use day()/month() "
+                    "for date/timestamp layouts)"
                 )
         elif tr in _TIME_TRANSFORMS:
             if src_t not in _TRANSFORM_SOURCE_TYPES:

@@ -802,3 +802,31 @@ def test_iceberg_list_column_roundtrip_time_travel_and_evolution(spark, tmp_path
     assert allr.filter(F.col("emb2").isNull()).count() == emb.count()
     assert allr.filter(F.col("emb2").isNotNull()).count() == 10
     emb.unpersist()
+
+
+def test_iceberg_bucket_long_precision_with_nulls(spark, tmp_path):
+    """Regression (round-6 review): a nullable long column reaches a naive
+    pandas UDF as float64, rounding values above 2^53 BEFORE hashing —
+    wrong buckets in the manifest, silently pruned reads. The when/coalesce
+    wrapper keeps the UDF batch null-free int64, so bucket placement must
+    match bucket_value() exactly for 63-bit values even when the column
+    holds NULLs."""
+    from pyspark.sql import Row
+
+    from hadoop_etl_udfs_spark.sources.iceberg_lite import bucket_value
+
+    big = [(1 << 62) + 37, (1 << 60) + 12345, 9007199254740993,  # 2^53 + 1
+           (1 << 58) + 7, 123456789012345679]
+    rows = [Row(doc_id=i, v=v) for i, v in enumerate(big)]
+    rows += [Row(doc_id=99, v=None), Row(doc_id=98, v=None)]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    tbl = str(tmp_path / "tbl")
+    write_iceberg_table(df, tbl, mode="overwrite", partition_by="bucket(8, v)")
+    assert _fingerprint(read_iceberg(spark, tbl)) == _fingerprint(df)
+    for v in big:
+        pr = read_iceberg(
+            spark, tbl, partition_filter={"v_bucket": bucket_value(v, 8)}
+        )
+        # the exact-hash filter must KEEP the file holding v — a rounded
+        # write-time hash would have placed it in a different bucket
+        assert pr.filter(F.col("v") == v).count() == 1, v

@@ -44,7 +44,7 @@ def contract(spark, sf_dir):
         if name not in oracles:
             continue
         sdf = fn(spark, sf_dir)
-        sfam = type_families(sdf.columns, [t for _, t in sdf.dtypes])
+        sfam = type_families(sdf.columns, [t for _, t in sdf.dtypes], side="spark")
         rel = con.sql(oracles[name])
         ocols = [d[0] for d in rel.description]
         ofam = type_families(ocols, rel.types)
@@ -100,5 +100,9 @@ def test_type_family_lattice():
     assert type_family("array<double>") == type_family("DOUBLE[]") == "array"
     # drifts the driver would hash-fail on
     assert type_family("bigint") != type_family("HUGEINT")
+    # side-sensitivity: a SPARK decimal(38,0) is a decimal, never hugeint —
+    # otherwise it would "match" a DuckDB HUGEINT and reopen the blind spot
+    assert type_family("decimal(38,0)", side="spark") == "decimal"
+    assert type_family("decimal(38,0)", side="spark") != type_family("HUGEINT")
     assert type_family("string") != type_family("JSON")
     assert type_family("double") != type_family("DECIMAL(12,2)")

@@ -38,9 +38,15 @@ _STRING_TYPES = {"string", "varchar", "text", "char"}
 _BINARY_TYPES = {"binary", "blob", "varbinary", "bytea"}
 
 
-def type_family(type_str: str) -> str:
+def type_family(type_str: str, side: str = "duck") -> str:
     t = str(type_str).strip().lower()
-    if t in ("hugeint", "uhugeint") or t.replace(" ", "") == "decimal(38,0)":
+    # hugeint is a DUCKDB-side hazard class (pandas renders it float64);
+    # a SPARK decimal(38,0) is just a decimal — mapping it to "hugeint"
+    # too would let a Spark decimal(38,0) "match" a DuckDB HUGEINT and
+    # reintroduce the exact blind spot this gate exists to close
+    if side == "duck" and (
+        t in ("hugeint", "uhugeint") or t.replace(" ", "") == "decimal(38,0)"
+    ):
         return "hugeint"
     base = t.split("(")[0].split("<")[0].strip()
     if base in _INT_TYPES:
@@ -68,8 +74,8 @@ def type_family(type_str: str) -> str:
     return base
 
 
-def type_families(cols: list[str], types: list) -> dict[str, str]:
-    return {c: type_family(t) for c, t in zip(cols, types)}
+def type_families(cols: list[str], types: list, side: str = "duck") -> dict[str, str]:
+    return {c: type_family(t, side) for c, t in zip(cols, types)}
 
 
 def normalize(v):
@@ -120,7 +126,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            sfam = type_families(scols, [t for _, t in sdf.dtypes])
+            sfam = type_families(scols, [t for _, t in sdf.dtypes], side="spark")
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:200]}")
