@@ -1,7 +1,11 @@
 """Reproduce the kill-mid-job resume evidence (BENCH/BASELINE.md) on demand.
 
-    python tools/package.py
     PYTHONPATH=. python tools/kill_resume_evidence.py [--docs 300000]
+
+The --py-files package is rebuilt automatically at startup: a stale
+dist/ zip (missing a module added since the last tools/package.py run)
+makes the job die at IMPORT time, which used to masquerade as the
+misleading "job finished before the write began?".
 
 Runs the packaged encode job via spark-submit, kills it at two points —
 (a) DURING the sink write (output still under _temporary: no torn chunk is
@@ -22,6 +26,14 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SHM = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+
+
+def _repackage() -> None:
+    """Rebuild dist/hadoop_etl_udfs_spark.zip from the CURRENT tree."""
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "package.py")],
+        check=True, cwd=REPO,
+    )
 
 
 def _job(out: str, docs: int) -> list[str]:
@@ -85,6 +97,7 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--docs", type=int, default=300_000)
     args = p.parse_args()
+    _repackage()
     report: dict = {}
 
     # (a) kill DURING the write: wait for the sink's _temporary dir
@@ -96,16 +109,23 @@ def main() -> None:
     # grouped reader then drops the duplicate chunks by content-addressed
     # id, rows stay bit-identical — but that's the concurrent-writer story,
     # not the crash story this script exists to evidence)
-    proc = subprocess.Popen(
-        _job(out_a, args.docs),
-        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        start_new_session=True,
-    )
+    err_path = os.path.join(SHM, "kill_evidence_job.stderr")
+    with open(err_path, "w") as ef:
+        proc = subprocess.Popen(
+            _job(out_a, args.docs),
+            stdout=subprocess.DEVNULL, stderr=ef,
+            start_new_session=True,
+        )
     tmp_dir = os.path.join(out_a, "chunks", "_temporary")
     deadline = time.time() + 300
     while time.time() < deadline and not os.path.isdir(tmp_dir):
         if proc.poll() is not None:
-            raise RuntimeError("job finished before the write began?")
+            with open(err_path) as ef:
+                tail = ef.read()[-2000:]
+            raise RuntimeError(
+                f"job exited (rc={proc.returncode}) before the write began "
+                f"— stderr tail:\n{tail}"
+            )
         time.sleep(0.25)
     time.sleep(0.5)  # let some task output accumulate under _temporary
     import signal
