@@ -213,10 +213,18 @@ def _md5h_sql(expr: str, seed: int) -> str:
 
 
 def _minhash_ctes() -> str:
-    """Shared CTE body (shingles -> md5 minhash -> capped band buckets)
-    used by both the pairs oracle and the clusters oracle — one generator,
-    so the two can never drift apart."""
+    """Shared CTE body (shingles -> md5 base hash -> universal-mix minhash
+    -> capped band buckets) used by both the pairs oracle and the clusters
+    oracle — one generator, so the two can never drift apart.
+
+    Round 7: mirrors minhash_signatures' base-hash + 2-universal mix
+    rewrite — ONE md5-derived hash per shingle (seed 0), then per
+    permutation ``(a1 * (h >> 32) + a2 * (h & 0xFFFFFFFF) + b) % (2^61-1)``
+    with the constants imported from the SAME ``_mix_params`` generator the
+    Spark side uses (anti-drift)."""
     from hadoop_etl_udfs_spark.operators.dedup import (
+        _MIX_PRIME,
+        _mix_params,
         BAND_ROWS,
         MAX_BAND_BUCKET,
         N_PERM,
@@ -224,7 +232,9 @@ def _minhash_ctes() -> str:
 
     n_bands = N_PERM // BAND_ROWS
     mins = ",\n                       ".join(
-        f"min({_md5h_sql('shingle', p)}) AS mh{p}" for p in range(N_PERM)
+        f"min(({a1} * (h >> 32) + {a2} * (h & 4294967295) + {b})"
+        f" % {_MIX_PRIME}) AS mh{p}"
+        for p, (a1, a2, b) in enumerate(_mix_params(N_PERM))
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {b} AS band, {sig} AS sig FROM sig".format(
@@ -253,10 +263,13 @@ def _minhash_ctes() -> str:
                 FROM expl
             ),
             sh1 AS (SELECT doc_id, shingle FROM sh WHERE shingle <> ''),
+            shb AS (
+                SELECT doc_id, {_md5h_sql('shingle', 0)} AS h FROM sh1
+            ),
             sig AS (
                 SELECT doc_id,
                        {mins}
-                FROM sh1 GROUP BY doc_id
+                FROM shb GROUP BY doc_id
             ),
             buckets0 AS ({band_selects}),
             -- band-bucket size cap: mirrors minhash_lsh_pairs'

@@ -54,6 +54,48 @@ BAND_ROWS = 4  # 8 bands x 4 rows
 
 _SEP = "\x1f"  # unit separator between hash-input fields
 
+# --- universal-hash permutation mixes (round 7) -----------------------------
+# The signature stage used to evaluate n_perm FULL string hashes per shingle
+# row (32 xxhash64/md5 calls each re-hashing the whole shingle) — 61% of the
+# measured dedup-pipeline wall. Standard MinHash practice hashes the shingle
+# ONCE and derives the permutations with a 2-universal integer family:
+#     mix_p(h) = (a1_p * hi(h) + a2_p * lo(h) + b_p) mod (2^61 - 1)
+# over the base hash's 32-bit halves — same MinHash guarantees, ~n_perm×
+# less string hashing, and every term stays under 2^62 so Spark 4's ANSI
+# long arithmetic cannot overflow (a1,a2 < 2^29; hi,lo < 2^32). The split
+# into halves is what makes the multiply ANSI-safe: a*h on the raw 64-bit
+# value would overflow and THROW. All operands are non-negative
+# (shiftrightunsigned / masked low bits), so `%` == pmod in both engines.
+# DuckDB reproduces the mix exactly on BIGINT — the oracle generator in
+# __spark_entry__ imports these SAME constants (CLAUDE.md anti-drift rule).
+_MIX_PRIME = (1 << 61) - 1
+_MIX_SEED = 20240817
+
+
+def _mix_params(n_perm: int = N_PERM, seed: int = _MIX_SEED) -> list[tuple[int, int, int]]:
+    """Deterministic (a1, a2, b) per permutation: a1, a2 in [1, 2^29),
+    b in [0, 2^61-1). Pure function of the seed — the DuckDB oracle embeds
+    the same literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n_perm):
+        a1 = int(rng.integers(1, 1 << 29))
+        a2 = int(rng.integers(1, 1 << 29))
+        b = int(rng.integers(0, _MIX_PRIME))
+        out.append((a1, a2, b))
+    return out
+
+
+def _mix_expr(h, a1: int, a2: int, b: int):
+    """The Spark column form of mix_p over a non-negative-or-signed 64-bit
+    base hash column ``h`` (hi/lo extraction is unsigned, so the mix input
+    is always non-negative even for raw xxhash64 values)."""
+    hi = F.shiftrightunsigned(h, 32)
+    lo = h.bitwiseAND(F.lit((1 << 32) - 1))
+    return (F.lit(a1) * hi + F.lit(a2) * lo + F.lit(b)) % F.lit(_MIX_PRIME)
+
 
 def _hash64(cols: list, seed: int, method: str = "xxhash64"):
     """64-bit-ish hash column. ``xxhash64`` is the production path (fastest,
@@ -73,15 +115,25 @@ def minhash_signatures(
     groupBy with n_perm min() aggregates (map-side combine keeps the shuffle
     at n_perm longs per doc).
 
+    Round 7: each shingle is string-hashed ONCE (``_hash64`` seed 0) and the
+    n_perm permutations are 2-universal integer mixes of that base hash
+    (:func:`_mix_params` — see the module comment) instead of n_perm full
+    string hashes; the signature stage was 61% of the measured dedup
+    pipeline wall and the mixes are bare int expressions inside codegen's
+    min aggregates. The md5 method keeps the ``*_checked`` oracle contract:
+    DuckDB computes the same base hash and the same mixes value-for-value.
+
     Scale note: a stopword shingle adds one exploded row per doc it appears
     in — LINEAR in corpus size, combined map-side before any shuffle (unlike
     a shingle-equality join, where a hot shingle is quadratic — see
     ngram_jaccard_pairs' document-frequency cap). MinHash semantics need the
     full shingle multiset, so no cap is applied here."""
-    sh = _shingles(docs)
+    sh = _shingles(docs).withColumn(
+        "_h", _hash64([F.col("shingle")], 0, method)
+    )
     mins = [
-        F.min(_hash64([F.col("shingle")], p, method)).alias(f"mh{p}")
-        for p in range(n_perm)
+        F.min(_mix_expr(F.col("_h"), a1, a2, b)).alias(f"mh{p}")
+        for p, (a1, a2, b) in enumerate(_mix_params(n_perm))
     ]
     return sh.groupBy("doc_id").agg(*mins)
 
