@@ -43,7 +43,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows-only twins (their oracle evidence is the in-gate *_checked twins)
     and the deliberately sat-out scalar queries. Everything past the cap is
     still oracle-checked every round by tools/check_correctness.py, which
-    covers ALL entries. Rationale mirrored in COVERAGE.md."""
+    covers ALL entries. Rationale mirrored in COVERAGE.md.
+
+    Round 7 rotates ALL SIX round-6 operators IN (r6 verdict item 2:
+    stratified_sample, pack_corpus_shards, dedup_keep_best,
+    encode_embeddings_lineage_checked, cosine_topk_over_encoded,
+    cosine_topk_ivf_over_encoded — each oracle-backed and replica-green
+    since r6), displacing six long-stable queries whose SURVEY §2 rows
+    keep at least one other in-gate oracle query: global_top_k,
+    set_ops_customers, percentile_stats (§2.5 keeps window_user_sessions,
+    gap_sessionization, top_k_per_group), scalar_subquery_filter,
+    rollup_order_stats (§2.4 keeps q1_pricing_summary, metrics_rollup,
+    decimal_aggregation), and json_indexed_paths (P3 keeps
+    json_path_extract). All six displaced queries were driver-green r1-r6
+    and stay replica-gated every round."""
     return {
         # ---- slots 1-50: oracle-backed (driver-evaluated) ----
         # --- reference-parity relational operators (SURVEY.md §2.2/§2.6) ---
@@ -56,19 +69,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_rollup": relational.metrics_rollup,
         "window_user_sessions": relational.window_user_sessions,
         "gap_sessionization": relational.gap_sessionization,
-        "percentile_stats": relational.percentile_stats,
         "top_k_per_group": relational.top_k_per_group,
         "broadcast_join_enrich": relational.broadcast_join_enrich,
-        "set_ops_customers": relational.set_ops_customers,
-        "rollup_order_stats": relational.rollup_order_stats,
-        "global_top_k": relational.global_top_k,
         "semi_anti_join": relational.semi_anti_join,
-        "scalar_subquery_filter": relational.scalar_subquery_filter,
         "decimal_aggregation": relational.decimal_aggregation,
         # --- native complex types (P3/P4/F7 + union mapping) ---
         "complex_types_extract": relational.complex_types_extract,
-        "json_indexed_paths": relational.json_indexed_paths,
         "union_type_unwrap": relational.union_type_unwrap,
+        # --- round-6 curation layer rotated into the gate (r6 verdict
+        #     item 2): the training-data decision layer — mix sampling,
+        #     distributed-prefix-sum shard packing, best-in-cluster
+        #     dedup resolution ---
+        "stratified_sample": curation.stratified_sample,
+        "pack_corpus_shards": curation.pack_corpus_shards,
+        "dedup_keep_best": curation.dedup_keep_best,
+        # --- round-6 flist (byte-stream-split) codec + search over the
+        #     engine's own compressed sink, rotated in (r6 verdict item 2):
+        #     cosine_topk_over_encoded shares cosine_topk's oracle text
+        #     (decode is bit-identical), cosine_topk_ivf_over_encoded
+        #     shares cosine_topk_ivf's — agreement proves cluster-stamp
+        #     chunk pruning + flist decode + ANN end-to-end ---
+        "encode_embeddings_lineage_checked":
+            similarity.encode_embeddings_lineage_checked,
+        "cosine_topk_over_encoded": similarity.cosine_topk_over_encoded,
+        "cosine_topk_ivf_over_encoded":
+            similarity.cosine_topk_ivf_over_encoded,
         # --- round-4 operators rotated into the gate (r4 verdict item 3) ---
         "pii_redaction": textstats.pii_redaction,
         "segment_dedup": textstats.segment_dedup,
@@ -115,25 +140,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_roundtrip": _iceberg_roundtrip,
         "iceberg_partitioned_read": _iceberg_partitioned_read,
         # ---- slot 51 onward: deliberately past the driver's 50-query cap ----
-        # round-6 curation layer (oracle-backed; judge replica runs ALL
-        # entries each round, so these are value-verified even past the
-        # cap — same standing iceberg_partitioned_read had in r5):
-        "stratified_sample": curation.stratified_sample,
-        "pack_corpus_shards": curation.pack_corpus_shards,
-        "dedup_keep_best": curation.dedup_keep_best,
-        # round-6 flist (byte-stream-split) codec path over the embeddings
-        # table, codec-independent lineage half oracle-checked:
-        "encode_embeddings_lineage_checked":
-            similarity.encode_embeddings_lineage_checked,
-        # search over the engine's own compressed sink — oracle is the SAME
-        # SQL as cosine_topk (decode is bit-identical), so agreement proves
-        # encode→decode→search end-to-end:
-        "cosine_topk_over_encoded": similarity.cosine_topk_over_encoded,
-        # IVF ANN over the compressed sink with cluster-stamp CHUNK PRUNING
-        # (cell-clustered encode; only probed cells' chunks decode) —
-        # shares cosine_topk_ivf's oracle:
-        "cosine_topk_ivf_over_encoded":
-            similarity.cosine_topk_ivf_over_encoded,
+        # rotated out round 7 (driver-green r1-r6) to admit the six round-6
+        # operators; every SURVEY §2 row they evidence keeps >=1 in-gate
+        # oracle query, and all six stay replica-gated every round:
+        "global_top_k": relational.global_top_k,
+        "set_ops_customers": relational.set_ops_customers,
+        "percentile_stats": relational.percentile_stats,
+        "scalar_subquery_filter": relational.scalar_subquery_filter,
+        "rollup_order_stats": relational.rollup_order_stats,
+        "json_indexed_paths": relational.json_indexed_paths,
         # rows-only twins (value-covered by the in-gate *_checked twins):
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,       # rows-only (xxhash64)
         "simhash64": dedup.simhash64,                        # rows-only (xxhash64)

@@ -54,6 +54,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def stratified_sample_df(docs: DataFrame) -> DataFrame:
+    """:func:`stratified_sample`'s composable form: the SAME hash gate
+    applied to an arbitrary (doc_id, lang, ...) DataFrame, keeping every
+    input column — what jobs/curate_job.py feeds the downstream stages
+    with (the docs that survive still need their text)."""
+    gate = F.pmod(_hash64([F.col("doc_id")], SAMPLE_SEED, "md5"), F.lit(_PPM))
+    ppm = F.lit(SAMPLE_DEFAULT_PPM)
+    for lg, p in sorted(SAMPLE_PPM.items()):
+        ppm = F.when(F.col("lang") == lg, F.lit(p)).otherwise(ppm)
+    return docs.filter(gate < ppm)
+
+
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language quota sample of the documents table.
 
@@ -61,16 +73,53 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     a scan-stage expression with ZERO shuffle at any scale, and stable
     under corpus growth (old docs never flip). The fractions are the
     training-mix policy; unlisted languages fall to the default quota."""
-    docs = _docs(spark, sf_dir)
-    gate = F.pmod(_hash64([F.col("doc_id")], SAMPLE_SEED, "md5"), F.lit(_PPM))
-    ppm = F.lit(SAMPLE_DEFAULT_PPM)
-    for lg, p in sorted(SAMPLE_PPM.items()):
-        ppm = F.when(F.col("lang") == lg, F.lit(p)).otherwise(ppm)
     return (
-        docs.select("doc_id", "lang", gate.alias("gate"), ppm.alias("ppm"))
-        .filter(F.col("gate") < F.col("ppm"))
+        stratified_sample_df(_docs(spark, sf_dir))
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    )
+
+
+def pack_corpus_shards_df(
+    docs: DataFrame, budget_tokens: int = PACK_BUDGET_TOKENS
+) -> DataFrame:
+    """:func:`pack_corpus_shards`'s composable form over an arbitrary
+    (doc_id, text) DataFrame -> (doc_id, n_tokens, shard_id)."""
+    spark = docs.sparkSession
+    h = _hash64([F.col("doc_id")], PACK_SEED, "md5")
+    # materialize the tokenize+hash projection ONCE: both the bucket-totals
+    # collect and the window plan read it, and an uncached `base` would run
+    # the full-corpus regex tokenize in two separate scans (r6 advice)
+    base = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        h.alias("h"),
+        F.pmod(h, F.lit(PACK_BUCKETS)).alias("bucket"),
+    ).localCheckpoint()
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = base.withColumn("cum_in_bucket", F.sum("n_tokens").over(win))
+    totals = sorted(
+        (r["bucket"], r["t"])
+        for r in base.groupBy("bucket").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    offsets, acc = [], 0
+    for b, t in totals:
+        offsets.append((b, acc))
+        acc += t
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "bucket int, bucket_offset long")
+    )
+    return within.join(off_df, "bucket").select(
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.col("bucket_offset") + F.col("cum_in_bucket")
+             - F.col("n_tokens")) / F.lit(budget_tokens)
+        ).alias("shard_id"),
     )
 
 
@@ -92,43 +141,7 @@ def pack_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, bucket TOTALS (one row per bucket) come to the driver, their
     running offsets go back as a broadcast join — O(PACK_BUCKETS) driver
     data regardless of corpus size."""
-    docs = _docs(spark, sf_dir)
-    h = _hash64([F.col("doc_id")], PACK_SEED, "md5")
-    base = docs.select(
-        "doc_id",
-        T.token_count(F.col("text")).alias("n_tokens"),
-        h.alias("h"),
-        F.pmod(h, F.lit(PACK_BUCKETS)).alias("bucket"),
-    )
-    win = (
-        Window.partitionBy("bucket")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    within = base.withColumn("cum_in_bucket", F.sum("n_tokens").over(win))
-    totals = sorted(
-        (r["bucket"], r["t"])
-        for r in base.groupBy("bucket").agg(F.sum("n_tokens").alias("t")).collect()
-    )
-    offsets, acc = [], 0
-    for b, t in totals:
-        offsets.append((b, acc))
-        acc += t
-    off_df = F.broadcast(
-        spark.createDataFrame(offsets, "bucket int, bucket_offset long")
-    )
-    return (
-        within.join(off_df, "bucket")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.floor(
-                (F.col("bucket_offset") + F.col("cum_in_bucket")
-                 - F.col("n_tokens")) / F.lit(PACK_BUDGET_TOKENS)
-            ).alias("shard_id"),
-        )
-        .orderBy("doc_id")
-    )
+    return pack_corpus_shards_df(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,8 +156,51 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     md5-derived hashes end-to-end so the DuckDB oracle reproduces the
     exact pipeline (same convention as ``dedup_clusters_star_checked``)."""
-    docs = _docs(spark, sf_dir)
-    clusters = duplicate_clusters_star(minhash_lsh_pairs_df(docs, method="md5"))
+    return dedup_keep_best_df(_docs(spark, sf_dir), method="md5").orderBy(
+        "doc_id"
+    )
+
+
+CURATED_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, "
+    "n_tokens bigint, shard_id bigint"
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    budget_tokens: int = PACK_BUDGET_TOKENS,
+    method: str = "xxhash64",
+) -> DataFrame:
+    """The curation layer composed END-TO-END (round-7; r6 verdict item 4):
+    stratified mix sample → best-in-cluster near-dup resolution (losers
+    dropped) → token-budget shard packing — one DataFrame in, the curated
+    corpus with its shard layout out (CURATED_SCHEMA column order).
+
+    Each stage is individually oracle-green (driver gate); this is the
+    composition a training-data pipeline actually runs, and what
+    jobs/curate_job.py encodes into a shard-clustered chunk sink. Input
+    needs (doc_id, text, lang, source); plan shape at scale: one
+    scan-stage sample filter (zero shuffle), the dedup pipeline's banded
+    joins over only the SAMPLED docs, one anti-join on doc_id, the
+    distributed prefix sum's narrow bucket shuffle, and a final doc_id
+    join to carry text alongside shard_id."""
+    sampled = stratified_sample_df(docs)
+    labels = dedup_keep_best_df(sampled, method=method)
+    losers = labels.filter(F.col("keep") == 0).select("doc_id")
+    curated = sampled.join(losers, "doc_id", "left_anti")
+    packed = pack_corpus_shards_df(curated, budget_tokens)
+    return curated.join(packed, "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_tokens", "shard_id"
+    )
+
+
+def dedup_keep_best_df(docs: DataFrame, method: str = "xxhash64") -> DataFrame:
+    """:func:`dedup_keep_best`'s composable form over an arbitrary
+    (doc_id, text) DataFrame. ``method='xxhash64'`` is the production hash
+    (jobs/curate_job.py); the driver query's md5 twin keeps the DuckDB
+    oracle able to reproduce values."""
+    clusters = duplicate_clusters_star(minhash_lsh_pairs_df(docs, method=method))
     q = docs.select(
         "doc_id", T.quality_score(F.col("text")).alias("quality")
     )
@@ -156,5 +212,4 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters.join(q, "doc_id")
         .withColumn("keep", (rn == 1).cast("int"))
         .select("doc_id", "cluster_rep", "cluster_size", "quality", "keep")
-        .orderBy("doc_id")
     )

@@ -314,29 +314,48 @@ def _murmur3_long(v: "np.ndarray") -> "np.ndarray":
 
 def _murmur3_bytes(vals: list) -> "np.ndarray":
     """murmur3_x86_32(bytes, seed=0) -> int32 array, batch-vectorized.
-    Spec vector: b'iceberg' -> 1210000089."""
+    Spec vector: b'iceberg' -> 1210000089.
+
+    Round 7 (r6 advice): works over ONE flat concatenated buffer with
+    per-row offsets instead of a dense (n_rows × max_len) matrix — one
+    outlier-length string no longer inflates the batch to n·max_len bytes,
+    and the per-row Python fill loop is gone (b''.join is C-level). Block
+    j of row i is gathered as 4 little-endian byte loads at offset[i]+4j;
+    the tail block masks off bytes past the row's end (which in the flat
+    layout belong to the NEXT row), matching the zero-padding of the spec.
+    The block loop still runs max(len)//4 times, but each pass touches
+    only rows long enough to have that block."""
     n = len(vals)
     lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=n)
-    nblk = (int(lens.max()) + 3) // 4 if n else 0
     h = np.zeros(n, dtype=np.uint32)
-    if nblk:
-        buf = np.zeros((n, nblk * 4), dtype=np.uint8)
-        for i, v in enumerate(vals):  # batch fill, write-time only
-            buf[i, : len(v)] = np.frombuffer(v, dtype=np.uint8)
-        blocks = buf.view(np.uint32).reshape(n, nblk)
+    if n and int(lens.max()) > 0:
+        # 3 pad bytes so a tail gather never reads past the buffer end
+        flat = np.frombuffer(b"".join(vals) + b"\x00\x00\x00", dtype=np.uint8)
+        off = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=off[1:])
+
+        def _gather_le32(pos: "np.ndarray") -> "np.ndarray":
+            return (
+                flat[pos].astype(np.uint32)
+                | (flat[pos + 1].astype(np.uint32) << np.uint32(8))
+                | (flat[pos + 2].astype(np.uint32) << np.uint32(16))
+                | (flat[pos + 3].astype(np.uint32) << np.uint32(24))
+            )
+
         full = lens // 4
-        for j in range(nblk):
+        for j in range(int(full.max())):
             m = full > j
-            if not m.any():
-                break
-            h = np.where(m, _mm_mix(h, blocks[:, j]), h)
+            k = _gather_le32(off[m] + 4 * j)
+            h[m] = _mm_mix(h[m], k)
         tail = lens % 4
-        tmask = np.array([0, 0xFF, 0xFFFF, 0xFFFFFF], dtype=np.uint32)[tail]
-        tk = blocks[np.arange(n), np.minimum(full, nblk - 1)] & tmask
-        tk = tk * _MM_C1
-        tk = _mm_rotl(tk, 15)
-        tk = tk * _MM_C2
-        h = np.where(tail > 0, h ^ tk, h)
+        tm = tail > 0
+        if tm.any():
+            tmask = np.array([0, 0xFF, 0xFFFF, 0xFFFFFF], dtype=np.uint32)
+            tk = _gather_le32(off[tm] + 4 * full[tm]) & tmask[tail[tm]]
+            tk = tk * _MM_C1
+            tk = _mm_rotl(tk, 15)
+            tk = tk * _MM_C2
+            h[tm] = h[tm] ^ tk
     h = h ^ lens.astype(np.uint32)
     return _mm_fmix(h).view(np.int32)
 
@@ -855,6 +874,30 @@ def write_iceberg_table(
     while os.path.exists(data_dir):
         attempt += 1
         data_dir = os.path.join(path, "data", f"snap-{snapshot_id}-r{attempt}")
+    # time-transform timezone guard (r6 advice): day()/month() over a
+    # TIMESTAMP source evaluate through session-timezone-dependent
+    # expressions (cast('date'), F.year/F.month); a non-UTC session would
+    # write ordinals that disagree with day_ordinal()/month_ordinal()
+    # filters and the spec's UTC ordinals — silent wrong pruning on later
+    # reads. Fail loud at write instead. DATE sources are tz-independent
+    # (a date has no zone), and bucket(timestamp) hashes unix_micros,
+    # which is tz-independent too — neither needs the guard.
+    tz_parts = [
+        pf_["name"] for pf_ in part_fields
+        if pf_["transform"] in ("day", "month")
+        and col_types[pf_["src"]] in ("timestamp", "timestamptz")
+    ]
+    if tz_parts:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise ValueError(
+                f"partition fields {tz_parts} use day()/month() over a "
+                f"timestamp source, but spark.sql.session.timeZone is "
+                f"{tz!r} — the written ordinals would disagree with the "
+                "spec's UTC ordinals and with day_ordinal()/"
+                "month_ordinal() filters. Set the session timezone to "
+                "UTC (session.get_spark/get_job_spark pin it)."
+            )
     if part_fields:
         # directory layout on a _p_<name> ALIAS: partitionBy strips its
         # columns from the data files, but partition SOURCE columns may

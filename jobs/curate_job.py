@@ -1,0 +1,211 @@
+"""spark-submit entry point for the END-TO-END curation pipeline (r6 verdict
+item 4): stratified mix sample -> best-in-cluster near-dup resolution (drop
+losers) -> token-budget shard packing -> shard-clustered chunk-encode sink.
+
+    python tools/package.py
+    spark-submit --master 'local[8]' \
+        --py-files dist/hadoop_etl_udfs_spark.zip \
+        jobs/curate_job.py --output /path/out \
+        [--input docs_parquet | --synthesize N] [--input-format parquet|iceberg] \
+        [--budget-tokens 2048] [--no-check]
+
+Each stage is individually oracle-green in the driver gate; this job is the
+COMPOSITION a training-data pipeline runs, with per-stage walls, plus the
+decode-side proof: one shard read back through the cluster-stamp-pruned
+decode path must return exactly that shard's documents.
+
+Prints one JSON line: per-stage walls, doc counts through the funnel, shard
+count, sink chunk stats, and the shard read-back verdict.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _synth_docs(spark, n: int, seed: int):
+    """Documents-shaped corpus from the deterministic pages synthesizer,
+    with planted near-dup variants (~1/8 of docs get a lower-quality twin)
+    so the keep-best stage resolves a real cluster graph — the synthetic
+    corpus has no organic near-dups (bench.py measured 0 pairs)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_etl_udfs_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, n, seed=seed)
+    base = pages.select(
+        F.xxhash64("url").alias("doc_id"),
+        "text",
+        "lang",
+        F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("source"),
+    )
+    h = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8))
+    # variant ids are REHASHED, not offset (doc_id + c can overflow int64
+    # under ANSI); the appended noise tokens lower the twin's quality
+    # score via the token-window heuristics the quality stage measures
+    twins = base.filter(h < 1).select(
+        F.xxhash64(F.col("doc_id"), F.lit(1)).alias("doc_id"),
+        F.concat(
+            "text", F.lit(" NEARDUP NEARDUP TWIN,,,;;;!!! ;;;,,,:::")
+        ).alias("text"),
+        "lang",
+        "source",
+    )
+    return base.unionByName(twins)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", help="documents table (doc_id, text, lang, source)")
+    p.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "iceberg"])
+    p.add_argument("--synthesize", type=int, default=0,
+                   help="generate N deterministic docs instead of --input")
+    p.add_argument("--output", required=True, help="curated chunk-sink dir")
+    p.add_argument("--budget-tokens", type=int, default=None,
+                   help="tokens per shard (default: operator constant)")
+    p.add_argument("--method", default="xxhash64", choices=["xxhash64", "md5"],
+                   help="near-dup hash family (md5 = the oracle-checked twin)")
+    p.add_argument("--no-check", action="store_true",
+                   help="skip the decode-side shard read-back proof")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+    if not args.input and not args.synthesize:
+        p.error("one of --input or --synthesize is required")
+
+    sys.path.insert(0, ".")
+    from hadoop_etl_udfs_spark.session import get_job_spark
+
+    spark = get_job_spark("curate_job")
+    from pyspark.sql import functions as F
+
+    from hadoop_etl_udfs_spark.operators.curation import (
+        CURATED_SCHEMA,
+        PACK_BUDGET_TOKENS,
+        dedup_keep_best_df,
+        pack_corpus_shards_df,
+        stratified_sample_df,
+    )
+    from hadoop_etl_udfs_spark.operators.encode import encode_pages
+    from hadoop_etl_udfs_spark.plans.lineage import (
+        decode_chunks_where_clustered,
+        read_manifest,
+        write_encoded,
+    )
+
+    if args.synthesize:
+        docs = _synth_docs(spark, args.synthesize, args.seed)
+    elif args.input_format == "iceberg":
+        from hadoop_etl_udfs_spark.sources.iceberg_lite import read_iceberg
+
+        docs = read_iceberg(spark, args.input)
+    else:
+        docs = spark.read.parquet(args.input)
+    budget = args.budget_tokens or PACK_BUDGET_TOKENS
+
+    # stage walls: each stage ends in a localCheckpoint so its wall is
+    # attributable to it alone AND downstream stages reuse computed rows
+    # (same attribution pattern as bench.py's dedup-pipeline entry)
+    n_in = docs.count()
+    t0 = time.time()
+    sampled = stratified_sample_df(docs).localCheckpoint()
+    n_sampled = sampled.count()
+    sample_wall = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    labels = dedup_keep_best_df(sampled, method=args.method).localCheckpoint()
+    losers = labels.filter(F.col("keep") == 0).select("doc_id")
+    curated = sampled.join(losers, "doc_id", "left_anti").localCheckpoint()
+    n_curated = curated.count()
+    dedup_wall = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    packed = pack_corpus_shards_df(curated, budget)
+    with_shard = curated.join(packed, "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_tokens", "shard_id"
+    ).localCheckpoint()
+    n_shards = with_shard.agg(
+        (F.max("shard_id") + 1).alias("n")
+    ).collect()[0]["n"]
+    pack_wall = round(time.time() - t0, 3)
+
+    # shard-coherent sink layout (the IVF cell-clustered pattern): RANGE
+    # partition so each partition holds contiguous whole shards -> chunk
+    # [cluster_lo, cluster_hi] stamps stay narrow and shard reads prune
+    t0 = time.time()
+    n_parts = max(8, min(64, spark.sparkContext.defaultParallelism))
+    laid_out = with_shard.repartitionByRange(
+        n_parts, "shard_id"
+    ).sortWithinPartitions("shard_id", "doc_id")
+    enc = encode_pages(laid_out, shuffle=False, cluster_by="shard_id")
+    write_encoded(enc, args.output, mode="errorifexists")
+    encode_wall = round(time.time() - t0, 3)
+
+    m = read_manifest(spark, args.output)
+    agg = m.agg(
+        F.countDistinct("chunk_id").alias("chunks"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("bytes_out").alias("bytes_out"),
+    ).collect()[0]
+
+    check = None
+    if not args.no_check:
+        # decode-side proof: shard `mid` read through the cluster-stamped
+        # pruned path returns exactly that shard's documents
+        mid = int(n_shards) // 2
+        t0 = time.time()
+        got = decode_chunks_where_clustered(
+            spark, args.output, lo=mid, hi=mid, schema=CURATED_SCHEMA
+        ).filter(F.col("shard_id") == mid)
+        want = with_shard.filter(F.col("shard_id") == mid)
+        diff = (
+            got.select("doc_id").unionAll(want.select("doc_id"))
+            .groupBy("doc_id").agg(F.count("*").alias("c"))
+            .filter(F.col("c") != 2).count()
+        )
+        total_chunks = int(agg["chunks"])
+        kept = (
+            m.join(
+                enc.sparkSession.read.parquet(args.output + "/chunks")
+                .select("chunk_id", "cluster_lo", "cluster_hi").distinct(),
+                "chunk_id",
+            )
+            .filter((F.col("cluster_lo") <= mid) & (F.col("cluster_hi") >= mid))
+            .select("chunk_id").distinct().count()
+        )
+        check = {
+            "shard": mid,
+            "docs_expected": want.count(),
+            "doc_id_mismatches": diff,
+            "exact": diff == 0,
+            "chunks_kept": kept,
+            "chunks_total": total_chunks,
+            "wall_s": round(time.time() - t0, 3),
+        }
+
+    print(json.dumps({
+        "docs_in": n_in,
+        "docs_sampled": n_sampled,
+        "docs_after_dedup": n_curated,
+        "n_shards": int(n_shards),
+        "budget_tokens": budget,
+        "chunks": int(agg["chunks"]),
+        "bytes_in": agg["bytes_in"],
+        "bytes_out": agg["bytes_out"],
+        "ratio": round(agg["bytes_in"] / max(1, agg["bytes_out"]), 3),
+        "stage_walls_s": {
+            "stratified_sample": sample_wall,
+            "dedup_keep_best": dedup_wall,
+            "pack_corpus_shards": pack_wall,
+            "encode_sink": encode_wall,
+        },
+        "shard_readback": check,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

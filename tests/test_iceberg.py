@@ -631,6 +631,47 @@ def test_bucket_hash_matches_iceberg_spec_vectors():
     assert [int(x) for x in batch] == [scalar(p) for p in probes]
     assert bucket_value("iceberg", 16) == (1210000089 & 0x7FFFFFFF) % 16
     assert bucket_value(34, 7) == (2017239379 & 0x7FFFFFFF) % 7
+    # r7 flat-buffer rewrite: one outlier-length value in a large batch
+    # must neither disturb the other rows nor hash differently itself
+    # (the old dense layout inflated the batch to n*max_len bytes; the
+    # refactor's hazard is cross-row contamination through the flat
+    # buffer, which the tail mask must prevent)
+    outlier = b"y" * 100_001
+    mixed = [b"x"] * 5000 + [outlier] + [b"trail", b""]
+    got = _murmur3_bytes(mixed)
+    assert (got[:5000] == int(_murmur3_bytes([b"x"])[0])).all()
+    assert int(got[5000]) == int(_murmur3_bytes([outlier])[0])
+    assert int(got[5001]) == scalar(b"trail")
+    assert int(got[5002]) == scalar(b"")
+
+
+def test_iceberg_day_transform_rejects_non_utc_session(spark, tmp_path):
+    """day()/month() over a TIMESTAMP source are session-tz-dependent
+    expressions; a non-UTC session must be rejected at write (r6 advice)
+    — silently writing non-UTC ordinals would disagree with
+    day_ordinal()/month_ordinal() filters and the spec."""
+    import pytest
+
+    from hadoop_etl_udfs_spark.sources.iceberg_lite import (
+        write_iceberg_table,
+    )
+
+    df = spark.sql(
+        "SELECT 1 AS id, TIMESTAMP '2024-03-01 23:30:00' AS ts"
+    )
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="timeZone"):
+            write_iceberg_table(
+                df, str(tmp_path / "tz_guard"), partition_by=["day(ts)"]
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    # UTC session: same write commits fine
+    write_iceberg_table(
+        df, str(tmp_path / "tz_ok"), partition_by=["day(ts)"]
+    )
 
 
 def test_iceberg_bucket_transform_prunes_and_reads_exact(spark, tmp_path):
