@@ -205,6 +205,171 @@ def run_decode_draw(workdir: str) -> float:
         spark.stop()
 
 
+def _dedup_corpus(spark, pages_path: str, target_docs: int):
+    """A target_docs-sized slice of the pages table + PLANTED near-dup
+    variants (the synthetic corpus has no organic near-dups — 0 candidate
+    pairs measured): ~1/4 of sliced docs get a one-token-appended variant,
+    half of those a second variant (3-node clusters exercise the
+    contraction beyond trivial pairs)."""
+    from pyspark.sql import functions as F
+
+    stride = max(1, N_DOCS // target_docs)
+    base = (
+        _pages(spark, pages_path)
+        .select(F.xxhash64("url").alias("doc_id"), "text")
+        .filter(F.pmod(F.col("doc_id"), F.lit(stride)) == 0)
+    )
+    # variant selection re-hashes the id — pmod on the RAW id would
+    # correlate with the stride filter and plant a variant on EVERY doc;
+    # variant ids are REHASHED, not offset (doc_id + c can overflow int64,
+    # a hard ANSI ARITHMETIC_OVERFLOW mid-bench)
+    h = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8))
+    v1 = base.filter(h < 2).select(
+        F.xxhash64(F.col("doc_id"), F.lit(1)).alias("doc_id"),
+        F.concat("text", F.lit(" neardup variant marker")).alias("text"),
+    )
+    v2 = base.filter(h < 1).select(
+        F.xxhash64(F.col("doc_id"), F.lit(2)).alias("doc_id"),
+        F.concat("text", F.lit(" neardup second variant")).alias("text"),
+    )
+    return base.unionByName(v1).unionByName(v2)
+
+
+def run_dedup_pipeline(pages_path: str, target_docs: int) -> dict:
+    """Candidate pairs -> star-contraction CC -> representatives, per-stage
+    walls (round-5 verdict item 4): each stage is materialized with its own
+    timer — localCheckpoint() forces the stage AND hands the next stage a
+    computed input. Stage boundaries match the cluster-scale cost model:
+    signatures = the one shingle explode+groupBy shuffle; pairs = band
+    explode + capped bucket self-join; cc = the O(log n) star
+    alternations."""
+    from pyspark.sql import functions as F
+
+    from hadoop_etl_udfs_spark.operators.dedup import (
+        duplicate_clusters_star,
+        lsh_band_pairs,
+        minhash_signatures,
+    )
+
+    spark = _session(CPUS, shuffle_partitions=max(32, CPUS))
+    try:
+        corpus = _dedup_corpus(spark, pages_path, target_docs).cache()
+        n_corpus = corpus.count()
+        dd_stats: dict = {}
+        t0 = time.time()
+        sig = minhash_signatures(corpus).localCheckpoint()
+        sig_wall = round(time.time() - t0, 3)
+        t0 = time.time()
+        pairs = lsh_band_pairs(sig).localCheckpoint()
+        pairs_wall = round(time.time() - t0, 3)
+        t0 = time.time()
+        res = duplicate_clusters_star(pairs, stats=dd_stats)
+        res.write.format("noop").mode("overwrite").save()
+        cc_wall = round(time.time() - t0, 3)
+        n_clusters = res.agg(
+            F.countDistinct("cluster_rep").alias("n")
+        ).collect()[0]["n"]
+        return {
+            "n_docs": n_corpus,
+            "n_candidate_edges": dd_stats.get("n_edges"),
+            "cc_alternations": dd_stats.get("alternations"),
+            "n_clusters": n_clusters,
+            "wall_s": round(sig_wall + pairs_wall + cc_wall, 3),
+            "stage_walls_s": {
+                "minhash_signatures": sig_wall,
+                "band_pair_join": pairs_wall,
+                "cc_star_contraction": cc_wall,
+            },
+        }
+    finally:
+        spark.stop()
+
+
+def run_curate_pipeline(pages_path: str, workdir: str) -> dict:
+    """The curation layer end-to-end (r6 verdict item 4), in-process twin of
+    jobs/curate_job.py: stratified sample -> keep-best near-dup resolution
+    (losers dropped) -> token-budget shard packing -> shard-clustered chunk
+    sink -> cluster-stamp-pruned read-back of one shard (exactness
+    asserted)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_etl_udfs_spark.operators.curation import (
+        CURATED_SCHEMA,
+        dedup_keep_best_df,
+        pack_corpus_shards_df,
+        stratified_sample_df,
+    )
+    from hadoop_etl_udfs_spark.operators.encode import encode_pages
+    from hadoop_etl_udfs_spark.plans.lineage import (
+        decode_chunks_where_clustered,
+        write_encoded,
+    )
+
+    spark = _session(CPUS, shuffle_partitions=max(32, CPUS))
+    try:
+        docs = _dedup_corpus(spark, pages_path, DEDUP_DOCS).select(
+            "doc_id", "text",
+            F.lit("en").alias("lang"), F.lit("cc").alias("source"),
+        )
+        n_in = docs.count()
+        t0 = time.time()
+        sampled = stratified_sample_df(docs).localCheckpoint()
+        n_sampled = sampled.count()
+        sample_wall = round(time.time() - t0, 3)
+        t0 = time.time()
+        labels = dedup_keep_best_df(sampled).localCheckpoint()
+        losers = labels.filter(F.col("keep") == 0).select("doc_id")
+        curated = sampled.join(losers, "doc_id", "left_anti").localCheckpoint()
+        n_curated = curated.count()
+        dedup_wall = round(time.time() - t0, 3)
+        t0 = time.time()
+        with_shard = curated.join(
+            pack_corpus_shards_df(curated), "doc_id"
+        ).select(
+            "doc_id", "text", "lang", "source", "n_tokens", "shard_id"
+        ).localCheckpoint()
+        n_shards = int(with_shard.agg(F.max("shard_id")).collect()[0][0]) + 1
+        pack_wall = round(time.time() - t0, 3)
+        t0 = time.time()
+        out = os.path.join(workdir, "curated_sink")
+        laid_out = with_shard.repartitionByRange(
+            max(32, CPUS), "shard_id"
+        ).sortWithinPartitions("shard_id", "doc_id")
+        write_encoded(
+            encode_pages(laid_out, shuffle=False, cluster_by="shard_id"),
+            out, mode="overwrite",
+        )
+        encode_wall = round(time.time() - t0, 3)
+        t0 = time.time()
+        mid = n_shards // 2
+        back = decode_chunks_where_clustered(
+            spark, out, lo=mid, hi=mid, schema=CURATED_SCHEMA
+        ).filter(F.col("shard_id") == mid)
+        n_back = back.count()
+        n_want = with_shard.filter(F.col("shard_id") == mid).count()
+        read_wall = round(time.time() - t0, 3)
+        assert n_back == n_want and n_back > 0, (n_back, n_want)
+        return {
+            "docs_in": n_in,
+            "docs_sampled": n_sampled,
+            "docs_after_dedup": n_curated,
+            "n_shards": n_shards,
+            "shard_readback_exact": n_back == n_want,
+            "wall_s": round(
+                sample_wall + dedup_wall + pack_wall + encode_wall, 3
+            ),
+            "stage_walls_s": {
+                "stratified_sample": sample_wall,
+                "dedup_keep_best": dedup_wall,
+                "pack_corpus_shards": pack_wall,
+                "encode_sink": encode_wall,
+                "pruned_shard_readback": read_wall,
+            },
+        }
+    finally:
+        spark.stop()
+
+
 def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -540,86 +705,24 @@ def main() -> None:
         finally:
             spark.stop()
 
-        # end-to-end near-dup pipeline (round-4 verdict item 6): candidate
-        # pairs -> star-contraction connected components -> representatives,
-        # timed as ONE pipeline over a DEDUP_DOCS-sized slice of the pages
-        # table. The synthetic corpus has no organic near-dups (0 candidate
-        # pairs measured), so every 4th sliced doc gets a PLANTED variant
-        # (one appended token — near-identical shingle set, so LSH must
-        # pair it with its source); the star contraction then resolves a
-        # real ~n/8-component graph and the O(log n) alternation count is
-        # measured, not asserted.
-        spark = _session(CPUS, shuffle_partitions=max(32, CPUS))
-        try:
-            from pyspark.sql import functions as F
-
-            from hadoop_etl_udfs_spark.operators.dedup import (
-                duplicate_clusters_star,
-                lsh_band_pairs,
-                minhash_signatures,
+        # end-to-end near-dup pipeline (round-4 verdict item 6), at TWO doc
+        # counts (round-7, r6 verdict item 7): the second ~6x-larger run
+        # gives the 100 TB projection a second point — minhash/band/CC
+        # walls should scale ~linearly in docs/edges on this host.
+        result["dedup_pipeline"] = run_dedup_pipeline(pages_path, DEDUP_DOCS)
+        scale_docs = int(os.environ.get(
+            "SPARK_GRAFT_DEDUP_SCALE_DOCS", str(N_DOCS // 2)
+        ))
+        if scale_docs > DEDUP_DOCS:
+            result["dedup_pipeline_scale"] = run_dedup_pipeline(
+                pages_path, scale_docs
             )
 
-            stride = max(1, N_DOCS // DEDUP_DOCS)
-            base = (
-                _pages(spark, pages_path)
-                .select(F.xxhash64("url").alias("doc_id"), "text")
-                .filter(F.pmod(F.col("doc_id"), F.lit(stride)) == 0)
-            )
-            # variant selection re-hashes the id — pmod on the RAW id would
-            # correlate with the stride filter (multiples of `stride` are
-            # all multiples of 4) and plant a variant on EVERY doc
-            h = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8))
-            # variant ids are REHASHED, not offset: doc_id + constant can
-            # overflow int64 on full-range xxhash64 ids, which ANSI mode
-            # turns into a hard ARITHMETIC_OVERFLOW mid-bench
-            v1 = base.filter(h < 2).select(
-                F.xxhash64(F.col("doc_id"), F.lit(1)).alias("doc_id"),
-                F.concat("text", F.lit(" neardup variant marker")).alias("text"),
-            )
-            # a second variant for half of those: 3-node clusters exercise
-            # the contraction beyond trivial pairs
-            v2 = base.filter(h < 1).select(
-                F.xxhash64(F.col("doc_id"), F.lit(2)).alias("doc_id"),
-                F.concat("text", F.lit(" neardup second variant")).alias("text"),
-            )
-            corpus = base.unionByName(v1).unionByName(v2).cache()
-            n_corpus = corpus.count()
-            dd_stats: dict = {}
-            # per-stage attribution (round-5 verdict item 4): each stage is
-            # materialized with its own timer — localCheckpoint() forces the
-            # stage AND gives the next stage a computed input, so a stage's
-            # wall is attributable to it alone. Stage boundaries match the
-            # cluster-scale cost model: signatures = the one shingle
-            # explode+groupBy shuffle; pairs = band explode + capped bucket
-            # self-join; cc = the O(log n) star alternations.
-            t0 = time.time()
-            sig = minhash_signatures(corpus).localCheckpoint()
-            sig_wall = round(time.time() - t0, 3)
-            t0 = time.time()
-            pairs = lsh_band_pairs(sig).localCheckpoint()
-            pairs_wall = round(time.time() - t0, 3)
-            t0 = time.time()
-            res = duplicate_clusters_star(pairs, stats=dd_stats)
-            res.write.format("noop").mode("overwrite").save()
-            cc_wall = round(time.time() - t0, 3)
-            dd_wall = round(sig_wall + pairs_wall + cc_wall, 3)
-            n_clusters = res.agg(
-                F.countDistinct("cluster_rep").alias("n")
-            ).collect()[0]["n"]
-            result["dedup_pipeline"] = {
-                "n_docs": n_corpus,
-                "n_candidate_edges": dd_stats.get("n_edges"),
-                "cc_alternations": dd_stats.get("alternations"),
-                "n_clusters": n_clusters,
-                "wall_s": dd_wall,
-                "stage_walls_s": {
-                    "minhash_signatures": sig_wall,
-                    "band_pair_join": pairs_wall,
-                    "cc_star_contraction": cc_wall,
-                },
-            }
-        finally:
-            spark.stop()
+        # the curation pipeline end-to-end (round-7, r6 verdict item 4):
+        # the same composition jobs/curate_job.py packages — stratified
+        # sample -> best-in-cluster near-dup resolution -> shard packing ->
+        # shard-clustered chunk sink -> pruned read-back of one shard.
+        result["curate_pipeline"] = run_curate_pipeline(pages_path, workdir)
 
         # full evidence object -> BENCH/ file; LAST stdout line is a COMPACT
         # headline (round-4 verdict item 2: the driver keeps a byte-bounded
@@ -649,6 +752,8 @@ def main() -> None:
                 "scanned_fraction"
             ],
             "dedup_pipeline": result["dedup_pipeline"],
+            "dedup_pipeline_scale": result.get("dedup_pipeline_scale"),
+            "curate_pipeline": result["curate_pipeline"],
             "full_evidence": "BENCH/bench_sf%s_full_latest.json" % SF,
         }
         print(json.dumps(headline))

@@ -504,6 +504,87 @@ def cosine_topk_over_encoded(
     )
 
 
+def build_ivf_encoded_sink(
+    emb: DataFrame, out_dir: str, centroids: np.ndarray | None = None,
+    n_partitions: int | None = None,
+) -> np.ndarray:
+    """Index build for the ON-DISK IVF path (r6 verdict item 5): assign
+    every vector its coarse cell, lay the table out cell-coherently
+    (``repartitionByRange`` — contiguous cell ranges per partition, so the
+    chunk [cluster_lo, cluster_hi] stamps stay narrow), chunk-encode with
+    ``cluster_by='cell'`` and WRITE the sink through
+    ``plans.lineage.write_encoded``. Returns the centroids — production
+    persists them beside the sink (np.save), like
+    globaldict.save_global_dict."""
+    from ..plans.lineage import write_encoded
+    from .encode import encode_pages
+
+    if centroids is None:
+        centroids = quantizer_centroids()
+    n = n_partitions or max(
+        8, min(64, emb.sparkSession.sparkContext.defaultParallelism)
+    )
+    laid_out = (
+        _with_cell(emb, "embedding", centroids)
+        .repartitionByRange(n, "cell")
+        .sortWithinPartitions("cell", "vec_id")
+    )
+    enc = encode_pages(laid_out, shuffle=False, cluster_by="cell")
+    write_encoded(enc, out_dir, mode="errorifexists")
+    return centroids
+
+
+def cosine_topk_ivf_over_sink(
+    spark: SparkSession, out_dir: str, query_vec, k: int = 10,
+    n_probe: int = 4, centroids: np.ndarray | None = None,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """IVF search against the ON-DISK encoded sink
+    (:func:`build_ivf_encoded_sink`): the operational twin of
+    ``cosine_topk_ivf_over_encoded``, which materializes its sink via
+    localCheckpoint for the driver row. Here the cluster-stamp range
+    predicate goes through ``decode_chunks_where_clustered``, i.e. it is
+    pushed into the PARQUET SCAN (PushedFilters on cluster_lo/cluster_hi —
+    plan-asserted in tests), so pruned chunks' payload row groups are
+    never read, not merely filtered post-scan.
+
+    One [min(probes), max(probes)] range feeds the scan (a single range
+    keeps the decode chunk-atomic — per-probe decodes could double-decode
+    a chunk spanning two probed cells); the exact ``cell IN probes``
+    filter on the decoded rows makes membership exact. ``query_vec`` is
+    the raw float32 vector (the sink is the only table this function
+    touches — operational shape: query arrives from outside)."""
+    from ..plans.lineage import decode_chunks_where_clustered
+
+    if centroids is None:
+        centroids = quantizer_centroids()
+    q_vec = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids.astype(np.float64) - q_vec) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(d2, kind="stable")[:n_probe]]
+    dec = decode_chunks_where_clustered(
+        spark, out_dir, lo=min(probe_cells), hi=max(probe_cells),
+        schema="vec_id bigint, embedding array<float>, cell int",
+    )
+    q = spark.createDataFrame(
+        [([float(x) for x in np.asarray(query_vec, dtype=np.float32)],)],
+        "q_embedding array<float>",
+    )
+    cand = dec.filter(F.col("cell").isin(probe_cells))
+    if exclude_vec_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_vec_id)
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_sim(F.col("embedding"), F.col("q_embedding")), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def cosine_topk_ivf_over_encoded(
     spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10,
     n_probe: int = 4, centroids: np.ndarray | None = None,

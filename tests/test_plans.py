@@ -416,3 +416,35 @@ def test_content_flags_on_text_with_real_emails_and_urls(spark, tmp_path):
     assert out[2]["n_emails"] == 0 and out[2]["n_urls"] == 0
     assert out[3]["n_emails"] == 1 and out[3]["n_urls"] == 1
     assert all(0 < r["ttr"] <= 1 for r in out.values())
+
+
+def test_ivf_sink_path_pushes_cluster_stamps_to_scan(spark, tmp_path):
+    """The ON-DISK IVF twin (r6 verdict item 5): build_ivf_encoded_sink
+    writes the cell-clustered sink through write_encoded;
+    cosine_topk_ivf_over_sink searches it via decode_chunks_where_clustered,
+    so the stamp range is a PushedFilter at the parquet scan (row groups of
+    pruned chunks never read) — and the top-k values equal the
+    localCheckpoint driver-row variant AND the unencoded cosine_topk_ivf."""
+    import numpy as np
+
+    from hadoop_etl_udfs_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = str(tmp_path / "ivf_sink")
+    cents = similarity.build_ivf_encoded_sink(emb, out)
+    q_vec = np.array(
+        emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"],
+        dtype=np.float32,
+    )
+    res = similarity.cosine_topk_ivf_over_sink(
+        spark, out, q_vec, k=10, centroids=cents, exclude_vec_id=0
+    )
+    plan = plan_of(res)
+    pushed = plan.split("PushedFilters:")[1][:300]
+    assert "cluster_lo" in pushed and "cluster_hi" in pushed
+    got = [(r["vec_id"], r["cos_sim"]) for r in res.collect()]
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.cosine_topk_ivf(spark, SF, 0, 10).collect()
+    ]
+    assert got == want and len(got) == 10
