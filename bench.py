@@ -370,6 +370,59 @@ def run_curate_pipeline(pages_path: str, workdir: str) -> dict:
         spark.stop()
 
 
+def run_lsh_bucket_scan(spark) -> dict:
+    """Bucket-assign a vector table twice — once through the production
+    numpy kernel, once through the retired aggregate(zip_with) expression
+    tree — and report both walls (2 passes, per-path minima). Parity of the
+    two paths is pytest-pinned; this entry quantifies the swap.
+
+    The sf embeddings table is too small to expose the scan cost (2k rows
+    at sf0.1 — overhead-dominated; measured speedup 1.4x at 50k vectors is
+    still mostly stage overhead on both sides), so the entry synthesizes a
+    deterministic 64-dim table sized to the sf — 2M vectors at sf0.1,
+    where the wall ratio is real work (capped: the expression path is the
+    slower side being retired; unbounded it would dominate the bench
+    wall)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_etl_udfs_spark.operators import similarity
+
+    n = min(2_000_000, max(10_000, int(20_000_000 * SF)))
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {similarity.DIM}), "
+            "j -> cast(sin(id * j) as float))"
+        ).alias("embedding"),
+    ).repartition(max(32, CPUS)).cache()
+    emb.count()
+    planes = similarity._planes()
+    kernel_wall = expr_wall = None
+    for _ in range(2):
+        t0 = time.time()
+        similarity._with_lsh_bucket(emb, "embedding", planes).select(
+            "vec_id", "bucket"
+        ).write.format("noop").mode("overwrite").save()
+        t = time.time() - t0
+        kernel_wall = t if kernel_wall is None else min(kernel_wall, t)
+        t0 = time.time()
+        emb.select(
+            "vec_id",
+            similarity.lsh_bucket_expr(F.col("embedding"), planes).alias(
+                "bucket"
+            ),
+        ).write.format("noop").mode("overwrite").save()
+        t = time.time() - t0
+        expr_wall = t if expr_wall is None else min(expr_wall, t)
+    emb.unpersist()
+    return {
+        "n_vectors": n,
+        "kernel_wall_s": round(kernel_wall, 3),
+        "expression_wall_s": round(expr_wall, 3),
+        "speedup": round(expr_wall / kernel_wall, 2),
+    }
+
+
 def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -395,6 +448,11 @@ def main() -> None:
         # headline queries first, before the big pages table competes for
         # memory/page cache
         query_times = run_queries(spark)
+        # LSH index-build scan: vectorized sign-bit kernel vs the retired
+        # interpreted-HOF expression tree (r6 verdict item 1 — the kernel
+        # is the production path; the expression stays as parity/oracle
+        # reference, and this measures exactly what the swap bought)
+        lsh_scan = run_lsh_bucket_scan(spark)
         # materialize the deterministic pages table once (not timed)
         from hadoop_etl_udfs_spark.sources.pages import synthesize_pages
 
@@ -517,6 +575,7 @@ def main() -> None:
                         "decode_check": None},
             "sf": SF,
             "n_docs": N_DOCS,
+            "lsh_bucket_scan": lsh_scan,
             "bench_passes": n_passes,
             "encode_low": low,
             "encode_mid": mid,
@@ -751,6 +810,7 @@ def main() -> None:
             "pruned_scanned_fraction": result["pruned_decode"][
                 "scanned_fraction"
             ],
+            "lsh_bucket_scan": result["lsh_bucket_scan"],
             "dedup_pipeline": result["dedup_pipeline"],
             "dedup_pipeline_scale": result.get("dedup_pipeline_scale"),
             "curate_pipeline": result["curate_pipeline"],
