@@ -295,9 +295,7 @@ def run_curate_pipeline(pages_path: str, workdir: str) -> dict:
 
     from hadoop_etl_udfs_spark.operators.curation import (
         CURATED_SCHEMA,
-        dedup_keep_best_df,
-        pack_corpus_shards_df,
-        stratified_sample_df,
+        curate_corpus,
     )
     from hadoop_etl_udfs_spark.operators.encode import encode_pages
     from hadoop_etl_udfs_spark.plans.lineage import (
@@ -312,24 +310,21 @@ def run_curate_pipeline(pages_path: str, workdir: str) -> dict:
             F.lit("en").alias("lang"), F.lit("cc").alias("source"),
         )
         n_in = docs.count()
-        t0 = time.time()
-        sampled = stratified_sample_df(docs).localCheckpoint()
-        n_sampled = sampled.count()
-        sample_wall = round(time.time() - t0, 3)
-        t0 = time.time()
-        labels = dedup_keep_best_df(sampled).localCheckpoint()
-        losers = labels.filter(F.col("keep") == 0).select("doc_id")
-        curated = sampled.join(losers, "doc_id", "left_anti").localCheckpoint()
-        n_curated = curated.count()
-        dedup_wall = round(time.time() - t0, 3)
-        t0 = time.time()
-        with_shard = curated.join(
-            pack_corpus_shards_df(curated), "doc_id"
-        ).select(
-            "doc_id", "text", "lang", "source", "n_tokens", "shard_id"
-        ).localCheckpoint()
+        # ONE composition definition (curation.curate_corpus); the hook
+        # materializes each stage with its own timer
+        walls: dict[str, float] = {}
+        counts: dict[str, int] = {}
+        mark = [time.time()]
+
+        def hook(name, df):
+            df = df.localCheckpoint()
+            counts[name] = df.count()
+            walls[name] = round(time.time() - mark[0], 3)
+            mark[0] = time.time()
+            return df
+
+        with_shard = curate_corpus(docs, stage_hook=hook)
         n_shards = int(with_shard.agg(F.max("shard_id")).collect()[0][0]) + 1
-        pack_wall = round(time.time() - t0, 3)
         t0 = time.time()
         out = os.path.join(workdir, "curated_sink")
         laid_out = with_shard.repartitionByRange(
@@ -341,7 +336,12 @@ def run_curate_pipeline(pages_path: str, workdir: str) -> dict:
         )
         encode_wall = round(time.time() - t0, 3)
         t0 = time.time()
-        mid = n_shards // 2
+        # greedy packing can skip shard ids (a doc longer than the budget
+        # jumps the offset by >1 shard) — probe the first POPULATED shard
+        # at/after the midpoint, which always exists (the max id is one)
+        mid = int(with_shard.filter(
+            F.col("shard_id") >= n_shards // 2
+        ).agg(F.min("shard_id")).collect()[0][0])
         back = decode_chunks_where_clustered(
             spark, out, lo=mid, hi=mid, schema=CURATED_SCHEMA
         ).filter(F.col("shard_id") == mid)
@@ -351,17 +351,13 @@ def run_curate_pipeline(pages_path: str, workdir: str) -> dict:
         assert n_back == n_want and n_back > 0, (n_back, n_want)
         return {
             "docs_in": n_in,
-            "docs_sampled": n_sampled,
-            "docs_after_dedup": n_curated,
+            "docs_sampled": counts["stratified_sample"],
+            "docs_after_dedup": counts["dedup_keep_best"],
             "n_shards": n_shards,
             "shard_readback_exact": n_back == n_want,
-            "wall_s": round(
-                sample_wall + dedup_wall + pack_wall + encode_wall, 3
-            ),
+            "wall_s": round(sum(walls.values()) + encode_wall, 3),
             "stage_walls_s": {
-                "stratified_sample": sample_wall,
-                "dedup_keep_best": dedup_wall,
-                "pack_corpus_shards": pack_wall,
+                **walls,
                 "encode_sink": encode_wall,
                 "pruned_shard_readback": read_wall,
             },
@@ -373,8 +369,9 @@ def run_curate_pipeline(pages_path: str, workdir: str) -> dict:
 def run_lsh_bucket_scan(spark) -> dict:
     """Bucket-assign a vector table twice — once through the production
     numpy kernel, once through the retired aggregate(zip_with) expression
-    tree — and report both walls (2 passes, per-path minima). Parity of the
-    two paths is pytest-pinned; this entry quantifies the swap.
+    tree — and report both walls (3 interleaved passes, per-path minima —
+    the CLAUDE.md throttle rule). Parity of the two paths is pytest-pinned;
+    this entry quantifies the swap.
 
     The sf embeddings table is too small to expose the scan cost (2k rows
     at sf0.1 — overhead-dominated; measured speedup 1.4x at 50k vectors is
@@ -398,7 +395,7 @@ def run_lsh_bucket_scan(spark) -> dict:
     emb.count()
     planes = similarity._planes()
     kernel_wall = expr_wall = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         similarity._with_lsh_bucket(emb, "embedding", planes).select(
             "vec_id", "bucket"

@@ -171,6 +171,7 @@ def curate_corpus(
     docs: DataFrame,
     budget_tokens: int = PACK_BUDGET_TOKENS,
     method: str = "xxhash64",
+    stage_hook=None,
 ) -> DataFrame:
     """The curation layer composed END-TO-END (round-7; r6 verdict item 4):
     stratified mix sample → best-in-cluster near-dup resolution (losers
@@ -178,20 +179,35 @@ def curate_corpus(
     corpus with its shard layout out (CURATED_SCHEMA column order).
 
     Each stage is individually oracle-green (driver gate); this is the
-    composition a training-data pipeline actually runs, and what
-    jobs/curate_job.py encodes into a shard-clustered chunk sink. Input
-    needs (doc_id, text, lang, source); plan shape at scale: one
+    composition a training-data pipeline actually runs, and the SINGLE
+    source of it — jobs/curate_job.py and bench.py call this function with
+    a ``stage_hook`` rather than re-composing the stages (one definition,
+    no drift). ``stage_hook(name, df) -> df`` fires after each stage
+    ('stratified_sample', 'dedup_keep_best', 'pack_corpus_shards') so
+    callers can materialize, count, and time; the default hook
+    localCheckpoints each stage — ``sampled`` feeds both the label build
+    and the anti-join, and ``curated`` feeds both the prefix sum and the
+    final join, so leaving them lazy would re-run the sample/dedup
+    subplans 2x+ per action (the r6-advice class of waste).
+
+    Input needs (doc_id, text, lang, source); plan shape at scale: one
     scan-stage sample filter (zero shuffle), the dedup pipeline's banded
     joins over only the SAMPLED docs, one anti-join on doc_id, the
     distributed prefix sum's narrow bucket shuffle, and a final doc_id
     join to carry text alongside shard_id."""
-    sampled = stratified_sample_df(docs)
+    hook = stage_hook or (lambda name, df: df.localCheckpoint())
+    sampled = hook("stratified_sample", stratified_sample_df(docs))
     labels = dedup_keep_best_df(sampled, method=method)
     losers = labels.filter(F.col("keep") == 0).select("doc_id")
-    curated = sampled.join(losers, "doc_id", "left_anti")
+    curated = hook(
+        "dedup_keep_best", sampled.join(losers, "doc_id", "left_anti")
+    )
     packed = pack_corpus_shards_df(curated, budget_tokens)
-    return curated.join(packed, "doc_id").select(
-        "doc_id", "text", "lang", "source", "n_tokens", "shard_id"
+    return hook(
+        "pack_corpus_shards",
+        curated.join(packed, "doc_id").select(
+            "doc_id", "text", "lang", "source", "n_tokens", "shard_id"
+        ),
     )
 
 

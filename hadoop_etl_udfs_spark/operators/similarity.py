@@ -113,13 +113,20 @@ def _lsh_bucket_udf(planes: np.ndarray):
 
         if len(emb) == 0:
             return pd.Series(np.empty(0, dtype=np.int64))
-        x = np.stack(emb.to_numpy()).astype(np.float64)
-        acc = np.zeros((x.shape[0], P.shape[0]), dtype=np.float64)
-        for j in range(P.shape[1]):
-            acc += x[:, j, None] * P[None, :, j]
-        bits = (acc >= 0).astype(np.int64)
-        weights = np.int64(1) << np.arange(P.shape[0], dtype=np.int64)
-        return pd.Series(bits @ weights)
+        # NULL embeddings: the expression tree yields bucket 0 (every
+        # per-plane when(NULL >= 0, 1).otherwise(0) bit is 0) — match it
+        # instead of crashing np.stack on a None (r7 review)
+        mask = ~emb.isna().to_numpy()
+        out = np.zeros(len(emb), dtype=np.int64)
+        if mask.any():
+            x = np.stack(emb.to_numpy()[mask]).astype(np.float64)
+            acc = np.zeros((x.shape[0], P.shape[0]), dtype=np.float64)
+            for j in range(P.shape[1]):
+                acc += x[:, j, None] * P[None, :, j]
+            bits = (acc >= 0).astype(np.int64)
+            weights = np.int64(1) << np.arange(P.shape[0], dtype=np.int64)
+            out[mask] = bits @ weights
+        return pd.Series(out)
 
     return bucket
 
@@ -370,12 +377,21 @@ def _cell_assign_udf(centroids: np.ndarray):
 
         if len(emb) == 0:
             return pd.Series(np.empty(0, dtype=np.int32))
-        x = np.stack(emb.to_numpy()).astype(np.float64)
-        d = np.zeros((x.shape[0], C.shape[0]), dtype=np.float64)
-        for j in range(C.shape[1]):
-            diff = x[:, j, None] - C[None, :, j]
-            d += diff * diff
-        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+        # NULL embeddings: the expression tree yields cell NULL (all-NULL
+        # distance array -> array_position of NULL min is NULL) — match it
+        # instead of crashing np.stack on a None (r7 review)
+        mask = ~emb.isna().to_numpy()
+        out = np.zeros(len(emb), dtype=np.int32)
+        if mask.any():
+            x = np.stack(emb.to_numpy()[mask]).astype(np.float64)
+            d = np.zeros((x.shape[0], C.shape[0]), dtype=np.float64)
+            for j in range(C.shape[1]):
+                diff = x[:, j, None] - C[None, :, j]
+                d += diff * diff
+            out[mask] = np.argmin(d, axis=1).astype(np.int32)
+        if mask.all():
+            return pd.Series(out)
+        return pd.Series(out, dtype="Int32").mask(~mask)
 
     return assign
 

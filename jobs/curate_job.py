@@ -85,9 +85,7 @@ def main() -> None:
     from hadoop_etl_udfs_spark.operators.curation import (
         CURATED_SCHEMA,
         PACK_BUDGET_TOKENS,
-        dedup_keep_best_df,
-        pack_corpus_shards_df,
-        stratified_sample_df,
+        curate_corpus,
     )
     from hadoop_etl_udfs_spark.operators.encode import encode_pages
     from hadoop_etl_udfs_spark.plans.lineage import (
@@ -106,31 +104,34 @@ def main() -> None:
         docs = spark.read.parquet(args.input)
     budget = args.budget_tokens or PACK_BUDGET_TOKENS
 
-    # stage walls: each stage ends in a localCheckpoint so its wall is
-    # attributable to it alone AND downstream stages reuse computed rows
-    # (same attribution pattern as bench.py's dedup-pipeline entry)
+    # ONE composition definition (operators/curation.py::curate_corpus);
+    # the hook materializes each stage with its own timer so walls are
+    # attributable (same attribution pattern as bench.py's dedup entry)
     n_in = docs.count()
-    t0 = time.time()
-    sampled = stratified_sample_df(docs).localCheckpoint()
-    n_sampled = sampled.count()
-    sample_wall = round(time.time() - t0, 3)
+    walls: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    mark = [time.time()]
 
-    t0 = time.time()
-    labels = dedup_keep_best_df(sampled, method=args.method).localCheckpoint()
-    losers = labels.filter(F.col("keep") == 0).select("doc_id")
-    curated = sampled.join(losers, "doc_id", "left_anti").localCheckpoint()
-    n_curated = curated.count()
-    dedup_wall = round(time.time() - t0, 3)
+    def hook(name, df):
+        df = df.localCheckpoint()
+        counts[name] = df.count()
+        walls[name] = round(time.time() - mark[0], 3)
+        mark[0] = time.time()
+        return df
 
-    t0 = time.time()
-    packed = pack_corpus_shards_df(curated, budget)
-    with_shard = curated.join(packed, "doc_id").select(
-        "doc_id", "text", "lang", "source", "n_tokens", "shard_id"
-    ).localCheckpoint()
-    n_shards = with_shard.agg(
+    with_shard = curate_corpus(
+        docs, budget_tokens=budget, method=args.method, stage_hook=hook
+    )
+    n_sampled = counts["stratified_sample"]
+    n_curated = counts["dedup_keep_best"]
+    if n_curated == 0:
+        raise SystemExit(
+            "no documents survived curation (input empty, or every doc "
+            "sampled out) — nothing to pack or encode"
+        )
+    n_shards = int(with_shard.agg(
         (F.max("shard_id") + 1).alias("n")
-    ).collect()[0]["n"]
-    pack_wall = round(time.time() - t0, 3)
+    ).collect()[0]["n"])
 
     # shard-coherent sink layout (the IVF cell-clustered pattern): RANGE
     # partition so each partition holds contiguous whole shards -> chunk
@@ -153,9 +154,15 @@ def main() -> None:
 
     check = None
     if not args.no_check:
-        # decode-side proof: shard `mid` read through the cluster-stamped
-        # pruned path returns exactly that shard's documents
-        mid = int(n_shards) // 2
+        # decode-side proof: one shard read through the cluster-stamped
+        # pruned path returns exactly that shard's documents. Greedy
+        # packing can legitimately SKIP shard ids (a doc longer than the
+        # budget jumps the offset by >1 shard), so probe the first
+        # POPULATED shard at/after the midpoint — n_shards-1 (the max
+        # observed id) guarantees one exists
+        mid = int(with_shard.filter(
+            F.col("shard_id") >= n_shards // 2
+        ).agg(F.min("shard_id")).collect()[0][0])
         t0 = time.time()
         got = decode_chunks_where_clustered(
             spark, args.output, lo=mid, hi=mid, schema=CURATED_SCHEMA
@@ -196,12 +203,7 @@ def main() -> None:
         "bytes_in": agg["bytes_in"],
         "bytes_out": agg["bytes_out"],
         "ratio": round(agg["bytes_in"] / max(1, agg["bytes_out"]), 3),
-        "stage_walls_s": {
-            "stratified_sample": sample_wall,
-            "dedup_keep_best": dedup_wall,
-            "pack_corpus_shards": pack_wall,
-            "encode_sink": encode_wall,
-        },
+        "stage_walls_s": {**walls, "encode_sink": encode_wall},
         "shard_readback": check,
     }))
     spark.stop()

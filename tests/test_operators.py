@@ -345,6 +345,63 @@ def test_lsh_kernel_zero_dot_edge(spark):
     assert k["bucket"] == t["bucket"] == (1 << similarity.N_PLANES) - 1
 
 
+def test_lsh_and_ivf_kernels_null_embedding_matches_expression(spark):
+    """A NULL embedding must not crash the Arrow kernels: the LSH
+    expression tree yields bucket 0 (every NULL-dot bit is 0) and the IVF
+    tree yields cell NULL — the kernels must match both (r7 review)."""
+    planes = similarity._planes()
+    cents = similarity.quantizer_centroids()
+    df = spark.createDataFrame(
+        [(1, [1.0] * similarity.DIM), (2, None), (3, [0.5] * similarity.DIM)],
+        "vec_id long, embedding array<float>",
+    )
+    kb = {r["vec_id"]: r["bucket"]
+          for r in similarity._with_lsh_bucket(df, "embedding", planes).collect()}
+    tb = {r["vec_id"]: r["bucket"]
+          for r in df.select(
+              "vec_id",
+              similarity.lsh_bucket_expr(F.col("embedding"), planes).alias("bucket"),
+          ).collect()}
+    assert kb == tb and kb[2] == 0
+    kc = {r["vec_id"]: r["cell"]
+          for r in similarity._with_cell(df, "embedding", cents).select(
+              "vec_id", "cell").collect()}
+    tc = {r["vec_id"]: r["cell"]
+          for r in similarity._with_cell_expr(df, "embedding", cents).select(
+              "vec_id", "cell").collect()}
+    assert kc == tc and kc[2] is None
+
+
+def test_minhash_stringfree_base_hash_semantics(spark, tmp_path):
+    """The r7 string-free production shingle hash preserves the membership
+    semantics of the string path: identical docs share ALL signature
+    values, a near-dup pair shares most, whitespace-only/NULL docs emit NO
+    signature row, and short (<k words) docs still emit one."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),          # identical to 1
+        (3, "alpha beta gamma delta zeta"),              # near-dup of 1
+        (4, "   "),                                      # whitespace-only
+        (5, None),                                       # NULL text
+        (6, "one two"),                                  # < k words
+        (7, "completely different words here entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = dedup.minhash_signatures(docs).collect()
+    by_id = {r["doc_id"]: [r[f"mh{p}"] for p in range(dedup.N_PERM)]
+             for r in sig}
+    assert set(by_id) == {1, 2, 3, 6, 7}  # 4 and 5 emit no row
+    assert by_id[1] == by_id[2]
+    shared_13 = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    assert shared_13 > dedup.N_PERM // 4    # near-dups share many mins
+    assert by_id[1] != by_id[7]
+    # ...and the banded pipeline still pairs the identical/near-dup docs
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.minhash_lsh_pairs(spark, str(tmp_path)).collect()}
+    assert (1, 2) in pairs
+
+
 def test_ivf_missing_query_vec_raises_loud(spark):
     """An absent query vec_id must raise a descriptive ValueError, not a
     bare IndexError from collect()[0] (r6 advice)."""
