@@ -140,6 +140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_roundtrip": _iceberg_roundtrip,
         "iceberg_partitioned_read": _iceberg_partitioned_read,
         # ---- slot 51 onward: deliberately past the driver's 50-query cap ----
+        # round-7 addition (oracle-backed, replica-gated; FIRST rotation
+        # candidate): the END-TO-END curation composition under one
+        # oracle, proving the stages compose — not just pass individually:
+        "curate_corpus_checked": curation.curate_corpus_checked,
         # rotated out round 7 (driver-green r1-r6) to admit the six round-6
         # operators; every SURVEY §2 row they evidence keeps >=1 in-gate
         # oracle query, and all six stay replica-gated every round:
@@ -227,10 +231,12 @@ def _md5h_sql(expr: str, seed: int) -> str:
     )
 
 
-def _minhash_ctes() -> str:
+def _minhash_ctes(src: str = "documents") -> str:
     """Shared CTE body (shingles -> md5 base hash -> universal-mix minhash
     -> capped band buckets) used by both the pairs oracle and the clusters
-    oracle — one generator, so the two can never drift apart.
+    oracle — one generator, so the two can never drift apart. ``src`` lets
+    the curation-composition oracle run the same pipeline over a SAMPLED
+    CTE instead of the raw table.
 
     Round 7: mirrors minhash_signatures' base-hash + 2-universal mix
     rewrite — ONE md5-derived hash per shingle (seed 0), then per
@@ -266,7 +272,7 @@ def _minhash_ctes() -> str:
     )
     return f"""docs_w AS (
                 SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-                FROM documents
+                FROM {src}
             ),
             expl AS (
                 SELECT doc_id, w, unnest(range(0, greatest(len(w), 3) - 2)) AS i
@@ -311,12 +317,12 @@ def _minhash_checked_sql() -> str:
     """
 
 
-def _dedup_clusters_ctes() -> str:
+def _dedup_clusters_ctes(src: str = "documents") -> str:
     """Shared CTE body: md5 band pairs -> undirected edges -> recursive
     transitive closure -> per-doc component representative. Used by BOTH
     the plain clusters oracle and the keep-best resolution oracle so the
     closure logic can never drift between them."""
-    return f"""{_minhash_ctes()},
+    return f"""{_minhash_ctes(src)},
             pairs AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM buckets a JOIN buckets b
@@ -508,11 +514,11 @@ def _lang_id_sql() -> str:
     return f"CASE {whens} ELSE 'unknown' END"
 
 
-def _quality_cte_sql() -> str:
+def _quality_cte_sql(src: str = "documents") -> str:
     """Per-doc quality score as a reusable CTE pair (``qraw`` -> ``qual``)
     — the same composite functions/text.py::quality_score computes; the
     SINGLE source for every quality-consuming oracle (quality_scores,
-    corpus_filter_pipeline, dedup_keep_best)."""
+    corpus_filter_pipeline, dedup_keep_best, curate_corpus_checked)."""
     return f"""qraw AS (
                 SELECT doc_id,
                        {_TOKCOUNT} AS n_tok,
@@ -521,7 +527,7 @@ def _quality_cte_sql() -> str:
                        length(regexp_replace(text, '[^A-Z]', '', 'g'))
                            / greatest(length(text), 1) AS upper_ratio,
                        {_hits_sql(_LANG_MARKERS["en"])} AS en_hits
-                FROM documents
+                FROM {src}
             ),
             qual AS (
                 SELECT doc_id,
@@ -533,6 +539,66 @@ def _quality_cte_sql() -> str:
                        ) / 4.0, 4) AS quality
                 FROM qraw
             )"""
+
+
+def _sampled_cte_sql() -> str:
+    """The stratified-sample hash gate as a CTE over the raw table — the
+    SINGLE source for the standalone sample oracle AND the composed
+    curation oracle (constants imported from the operator module)."""
+    ppm_case = " ".join(
+        f"WHEN lang = '{lg}' THEN {p}"
+        for lg, p in sorted(curation.SAMPLE_PPM.items())
+    )
+    return f"""sampled AS (
+                SELECT * FROM documents
+                WHERE {_md5h_sql("CAST(doc_id AS VARCHAR)",
+                                 curation.SAMPLE_SEED)} % {curation._PPM}
+                      < CASE {ppm_case} ELSE {curation.SAMPLE_DEFAULT_PPM} END
+            )"""
+
+
+def _curate_corpus_checked_sql() -> str:
+    """The END-TO-END curation composition: the SAME sample gate, closure,
+    quality, and prefix-sum fragments as the standalone oracles, composed
+    — so agreement proves the composition, and the fragments cannot drift
+    (one generator each)."""
+    return f"""
+            WITH RECURSIVE {_sampled_cte_sql()},
+            {_dedup_clusters_ctes(src="sampled")},
+            {_quality_cte_sql(src="sampled")},
+            ranked AS (
+                SELECT c.doc_id,
+                       row_number() OVER (
+                           PARTITION BY c.cluster_rep
+                           ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+                FROM comp c JOIN qual q USING (doc_id)
+            ),
+            curated AS (
+                SELECT * FROM sampled
+                WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+            ),
+            t AS (
+                SELECT doc_id, lang, {_TOKCOUNT} AS n_tokens,
+                       {_md5h_sql("CAST(doc_id AS VARCHAR)",
+                                  curation.PACK_SEED)} AS h
+                FROM curated
+            ),
+            b AS (
+                SELECT *, h % {curation.PACK_BUCKETS} AS bucket FROM t
+            ),
+            c2 AS (
+                SELECT doc_id, lang, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           ORDER BY bucket, h, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM b
+            )
+            SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(floor(CAST(cum - n_tokens AS DOUBLE)
+                              / {curation.PACK_BUDGET_TOKENS}) AS BIGINT)
+                       AS shard_id
+            FROM c2 ORDER BY doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -841,21 +907,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         # round-6 curation layer — constants imported from the operator
         # module (anti-drift); md5-derived hash gates so DuckDB reproduces
-        # exact membership
+        # exact membership. The sample gate CTE is shared with the
+        # composed curation oracle (one generator).
         "stratified_sample": f"""
-            WITH g AS (
-                SELECT doc_id, lang,
-                       {_md5h_sql("CAST(doc_id AS VARCHAR)",
-                                  curation.SAMPLE_SEED)} % {curation._PPM}
-                           AS gate,
-                       CASE {' '.join(
-                           f"WHEN lang = '{lg}' THEN {p}"
-                           for lg, p in sorted(curation.SAMPLE_PPM.items())
-                       )} ELSE {curation.SAMPLE_DEFAULT_PPM} END AS ppm
-                FROM documents
-            )
-            SELECT doc_id, lang FROM g WHERE gate < ppm ORDER BY doc_id
+            WITH {_sampled_cte_sql()}
+            SELECT doc_id, lang FROM sampled ORDER BY doc_id
         """,
+        # round-7: the END-TO-END curation composition under one oracle —
+        # sample gate + recursive closure + quality keep-best + anti-join
+        # + distributed-prefix-sum packing, all composed from the SAME
+        # fragment generators as the standalone stage oracles
+        "curate_corpus_checked": _curate_corpus_checked_sql(),
         # distributed prefix sum on the Spark side == one global ordered
         # window in DuckDB (single node): same (bucket, h, doc_id) total
         # order, same greedy floor(offset/budget) shard. CASTs keep the

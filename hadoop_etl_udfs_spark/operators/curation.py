@@ -211,6 +211,18 @@ def curate_corpus(
     )
 
 
+def curate_corpus_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: the END-TO-END curation composition itself under the
+    oracle — md5 hashes throughout so DuckDB reproduces the full chain
+    (sample gate → closure → quality keep-best → anti-join → prefix-sum
+    packing) value-for-value. The individual stages each have their own
+    oracle row; THIS row proves their composition (round 7)."""
+    cur = curate_corpus(_docs(spark, sf_dir), method="md5")
+    return cur.select("doc_id", "lang", "n_tokens", "shard_id").orderBy(
+        "doc_id"
+    )
+
+
 def dedup_keep_best_df(docs: DataFrame, method: str = "xxhash64") -> DataFrame:
     """:func:`dedup_keep_best`'s composable form over an arbitrary
     (doc_id, text) DataFrame. ``method='xxhash64'`` is the production hash
