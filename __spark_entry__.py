@@ -140,10 +140,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_roundtrip": _iceberg_roundtrip,
         "iceberg_partitioned_read": _iceberg_partitioned_read,
         # ---- slot 51 onward: deliberately past the driver's 50-query cap ----
-        # round-7 addition (oracle-backed, replica-gated; FIRST rotation
-        # candidate): the END-TO-END curation composition under one
-        # oracle, proving the stages compose — not just pass individually:
+        # round-7 additions (oracle-backed, replica-gated; FIRST rotation
+        # candidates): the END-TO-END curation composition under one
+        # oracle, proving the stages compose — not just pass individually;
+        # and the asymmetric containment near-dup measure (embedded-copy
+        # detection Jaccard misses):
         "curate_corpus_checked": curation.curate_corpus_checked,
+        "containment_pairs": dedup.containment_pairs,
         # rotated out round 7 (driver-green r1-r6) to admit the six round-6
         # operators; every SURVEY §2 row they evidence keeps >=1 in-gate
         # oracle query, and all six stay replica-gated every round:
@@ -538,6 +541,46 @@ def _quality_cte_sql(src: str = "documents") -> str:
                          + (CASE WHEN en_hits / greatest(n_tok, 1) > 0.01 THEN 1.0 ELSE 0.6 END)
                        ) / 4.0, 4) AS quality
                 FROM qraw
+            )"""
+
+
+def _shingle_pair_ctes() -> str:
+    """Shared CTE body for the blocked shingle-overlap operators
+    (ngram_jaccard_pairs, containment_pairs): distinct per-doc shingles
+    -> stopword-phrase DF cap -> per-doc sizes -> blocked pairwise
+    intersection counts. One generator, the two oracles differ only in
+    their final measure."""
+    return f"""docs_w AS (
+                SELECT doc_id, lang, source,
+                       string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            expl AS (
+                SELECT doc_id, lang, source, w,
+                       unnest(range(0, greatest(len(w), 3) - 2)) AS i
+                FROM docs_w
+            ),
+            sh0 AS (
+                SELECT doc_id, lang, source,
+                       array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+                FROM expl
+            ),
+            sh1 AS (
+                SELECT DISTINCT doc_id, lang, source, shingle
+                FROM sh0 WHERE shingle <> ''
+            ),
+            rare AS (
+                SELECT shingle FROM sh1 GROUP BY shingle
+                HAVING count(*) <= {_MAX_SHINGLE_DF}
+            ),
+            sh AS (SELECT sh1.* FROM sh1 JOIN rare USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.lang = b.lang
+                 AND a.source = b.source AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
             )"""
 
 
@@ -1312,38 +1355,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE lang IN ('en', 'de') ORDER BY doc_id
         """,
         "ngram_jaccard_pairs": f"""
-            WITH docs_w AS (
-                SELECT doc_id, lang, source,
-                       string_split_regex(trim(text), '\\s+') AS w
-                FROM documents
-            ),
-            expl AS (
-                SELECT doc_id, lang, source, w,
-                       unnest(range(0, greatest(len(w), 3) - 2)) AS i
-                FROM docs_w
-            ),
-            sh0 AS (
-                SELECT doc_id, lang, source,
-                       array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
-                FROM expl
-            ),
-            sh1 AS (
-                SELECT DISTINCT doc_id, lang, source, shingle
-                FROM sh0 WHERE shingle <> ''
-            ),
-            rare AS (
-                SELECT shingle FROM sh1 GROUP BY shingle
-                HAVING count(*) <= {_MAX_SHINGLE_DF}
-            ),
-            sh AS (SELECT sh1.* FROM sh1 JOIN rare USING (shingle)),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-                FROM sh a JOIN sh b
-                  ON a.shingle = b.shingle AND a.lang = b.lang
-                 AND a.source = b.source AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
+            WITH {_shingle_pair_ctes()}
             SELECT doc_a, doc_b, jaccard FROM (
                 SELECT doc_a, doc_b,
                        round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
@@ -1352,6 +1364,25 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sizes sb ON sb.doc_id = doc_b
             )
             WHERE jaccard >= 0.1
+            ORDER BY doc_a, doc_b
+        """,
+        # round-7: the asymmetric containment measure over the SAME CTE
+        # body (one generator — the two oracles differ only in the final
+        # select); threshold imported from the operator module
+        "containment_pairs": f"""
+            WITH {_shingle_pair_ctes()}
+            SELECT doc_a, doc_b, containment_a, containment_b FROM (
+                SELECT doc_a, doc_b,
+                       round(CAST(n_inter AS DOUBLE) / sa.n_sh, 4)
+                           AS containment_a,
+                       round(CAST(n_inter AS DOUBLE) / sb.n_sh, 4)
+                           AS containment_b
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+            )
+            WHERE containment_a >= {dedup.CONTAINMENT_THRESHOLD}
+               OR containment_b >= {dedup.CONTAINMENT_THRESHOLD}
             ORDER BY doc_a, doc_b
         """,
     }

@@ -512,6 +512,64 @@ def dedup_clusters_star_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MAX_SHINGLE_DF = 50  # shingles in more docs than this are stopword phrases
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_pairs(
+    spark: SparkSession, sf_dir: str,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs, blocked by (lang, source):
+    ``containment(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|`` — the asymmetric
+    measure Jaccard misses: a short document quoted inside a long one has
+    near-zero Jaccard (the union is huge) but containment ≈ 1, and
+    training pipelines drop exactly those embedded copies (Broder's
+    containment, the resemblance paper's second measure). One row per
+    unordered pair with BOTH directions; kept when either side crosses
+    ``threshold``.
+
+    Same plan shape and ``max_shingle_df`` stopword-phrase cap as
+    ngram_jaccard_pairs (shingle-equality self-join is quadratic in a hot
+    shingle's document frequency — capped identically), so the 100 TB
+    scaling argument carries over unchanged."""
+    docs = _docs(spark, sf_dir)
+    sh = _shingles(docs).join(docs.select("doc_id", "lang", "source"), "doc_id")
+    sh = sh.dropDuplicates(["doc_id", "shingle"])
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_shingle_df)
+        .select("shingle")
+    )
+    sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment_a", F.round(F.col("n_inter") / F.col("na"), 4))
+        .withColumn("containment_b", F.round(F.col("n_inter") / F.col("nb"), 4))
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .select("doc_a", "doc_b", "containment_a", "containment_b")
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 def ngram_jaccard_pairs(

@@ -520,6 +520,35 @@ def cosine_topk_over_encoded(
     )
 
 
+_IVF_CENTROIDS_FILE = "ivf_centroids.npy"
+
+
+def save_ivf_centroids(out_dir: str, centroids: np.ndarray) -> None:
+    """Persist the coarse quantizer beside the sink (the operational
+    contract — searches against the sink MUST use the centroids the index
+    was built with; a re-derived quantizer silently probes wrong cells).
+    Same convention as plans.globaldict.save_global_dict."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, _IVF_CENTROIDS_FILE), centroids)
+
+
+def load_ivf_centroids(out_dir: str) -> np.ndarray:
+    """The quantizer persisted by :func:`build_ivf_encoded_sink`. Raises
+    FileNotFoundError with the sink path when absent — searching a sink
+    with the wrong quantizer must fail loud, not probe wrong cells."""
+    import os
+
+    path = os.path.join(out_dir, _IVF_CENTROIDS_FILE)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no {_IVF_CENTROIDS_FILE} beside sink {out_dir} — the sink "
+            "was built without save_ivf_centroids (or is not an IVF sink)"
+        )
+    return np.load(path)
+
+
 def build_ivf_encoded_sink(
     emb: DataFrame, out_dir: str, centroids: np.ndarray | None = None,
     n_partitions: int | None = None,
@@ -547,6 +576,7 @@ def build_ivf_encoded_sink(
     )
     enc = encode_pages(laid_out, shuffle=False, cluster_by="cell")
     write_encoded(enc, out_dir, mode="errorifexists")
+    save_ivf_centroids(out_dir, centroids)
     return centroids
 
 
@@ -569,11 +599,15 @@ def cosine_topk_ivf_over_sink(
     a chunk spanning two probed cells); the exact ``cell IN probes``
     filter on the decoded rows makes membership exact. ``query_vec`` is
     the raw float32 vector (the sink is the only table this function
-    touches — operational shape: query arrives from outside)."""
+    touches — operational shape: query arrives from outside). With
+    ``centroids=None`` the quantizer persisted BESIDE the sink is loaded
+    (:func:`load_ivf_centroids`) — searches must use the centroids the
+    index was built with, so there is deliberately no silent fallback to
+    the demo quantizer."""
     from ..plans.lineage import decode_chunks_where_clustered
 
     if centroids is None:
-        centroids = quantizer_centroids()
+        centroids = load_ivf_centroids(out_dir)
     q_vec = np.asarray(query_vec, dtype=np.float64)
     d2 = ((centroids.astype(np.float64) - q_vec) ** 2).sum(axis=1)
     probe_cells = [int(c) for c in np.argsort(d2, kind="stable")[:n_probe]]

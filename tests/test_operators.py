@@ -494,3 +494,50 @@ def test_duplicate_clusters_label_propagation(spark):
     assert out[20]["cluster_size"] == 2 and out[30]["cluster_size"] == 3
     with pytest.raises(RuntimeError, match="did not converge"):
         duplicate_clusters(pairs, max_iter=2)  # diameter-4 chain needs more
+
+
+def test_containment_pairs_planted_excerpt(spark, tmp_path):
+    """containment_pairs' reason to exist: a short doc EMBEDDED in a long
+    one has containment ~1 on the short side but Jaccard far below the 0.1
+    pair threshold (the union is the long doc). Planted data + in-test
+    DuckDB mini-oracle (the synthetic corpus carries only one organic
+    overlap pair, per CLAUDE.md's planted-data rule)."""
+    import duckdb
+
+    long_words = [f"w{i}" for i in range(200)]
+    excerpt = long_words[40:60]  # 20 contiguous words => 18 shared shingles
+    rows = [
+        (1, " ".join(long_words), "en", "s"),
+        (2, " ".join(excerpt), "en", "s"),
+        (3, "totally unrelated content with different words", "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    corpus = str(tmp_path / "cont")
+    docs.write.parquet(corpus + "/documents.parquet")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+        for r in dedup.containment_pairs(spark, corpus).collect()
+    }
+    assert (1, 2) in got
+    ca, cb = got[(1, 2)]
+    assert cb == 1.0          # every excerpt shingle is in the long doc
+    assert ca < 0.15          # ...but covers <15% of the long doc
+    # Jaccard misses this pair at its threshold
+    jac = {(r["doc_a"], r["doc_b"])
+           for r in dedup.ngram_jaccard_pairs(spark, corpus).collect()}
+    assert (1, 2) not in jac
+    # in-test DuckDB mini-oracle for the exact values
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{corpus}/documents.parquet/*.parquet'"
+    )
+    import __spark_entry__ as entrymod
+
+    oracle = con.execute(entrymod.oracle_sql()["containment_pairs"]).fetchall()
+    assert [(r[0], r[1], r[2], r[3]) for r in oracle] == [
+        (a, b, *got[(a, b)]) for (a, b) in sorted(got)
+    ]

@@ -432,12 +432,15 @@ def test_ivf_sink_path_pushes_cluster_stamps_to_scan(spark, tmp_path):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     out = str(tmp_path / "ivf_sink")
     cents = similarity.build_ivf_encoded_sink(emb, out)
+    # the build persisted its quantizer beside the sink; the search loads
+    # it when centroids aren't passed (the operational contract)
+    assert (similarity.load_ivf_centroids(out) == cents).all()
     q_vec = np.array(
         emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"],
         dtype=np.float32,
     )
     res = similarity.cosine_topk_ivf_over_sink(
-        spark, out, q_vec, k=10, centroids=cents, exclude_vec_id=0
+        spark, out, q_vec, k=10, exclude_vec_id=0
     )
     plan = plan_of(res)
     pushed = plan.split("PushedFilters:")[1][:300]
@@ -448,3 +451,10 @@ def test_ivf_sink_path_pushes_cluster_stamps_to_scan(spark, tmp_path):
         for r in similarity.cosine_topk_ivf(spark, SF, 0, 10).collect()
     ]
     assert got == want and len(got) == 10
+    # a sink without a persisted quantizer must fail loud, not silently
+    # probe wrong cells with the demo quantizer
+    import os
+
+    os.remove(os.path.join(out, "ivf_centroids.npy"))
+    with pytest.raises(FileNotFoundError, match="ivf_centroids"):
+        similarity.cosine_topk_ivf_over_sink(spark, out, q_vec)
