@@ -120,6 +120,26 @@ _BASE_HASH_SQL = (
 )
 
 
+def _shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) rows where ``sh`` = xxhash64 of the word k-gram — the
+    string-free analog of :func:`_shingles` (same ``_BASE_HASH_SQL``
+    kernel the minhash rewrite measured at 4x the string path).
+
+    Distinct-shingle semantics carry over 1:1 up to 64-bit hash
+    collisions (p ≈ n²·2⁻⁶⁴ per doc pair — negligible at any corpus
+    size; the same standing approximation as minhash banding itself), so
+    the shingle-JOIN operators (jaccard, containment, decontamination)
+    keep their string-based DuckDB oracles: intersection/size counts over
+    hashes equal those over strings. What changes at scale: no shingle
+    string is ever built (the profiled 5.3-of-7.3s term) and the join/
+    shuffle keys are 8-byte longs instead of ~20-byte strings."""
+    return (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        .select("doc_id", F.explode(F.expr(_BASE_HASH_SQL)).alias("sh"))
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, n_perm: int = N_PERM, method: str = "xxhash64"
 ) -> DataFrame:
@@ -532,23 +552,28 @@ def containment_pairs(
     Same plan shape and ``max_shingle_df`` stopword-phrase cap as
     ngram_jaccard_pairs (shingle-equality self-join is quadratic in a hot
     shingle's document frequency — capped identically), so the 100 TB
-    scaling argument carries over unchanged."""
+    scaling argument carries over unchanged. Shingles join as 64-bit
+    HASHES (:func:`_shingle_hashes` — no string construction, 8-byte
+    keys); counts equal the string semantics up to negligible collisions,
+    so the string-based oracle still gates the values."""
     docs = _docs(spark, sf_dir)
-    sh = _shingles(docs).join(docs.select("doc_id", "lang", "source"), "doc_id")
-    sh = sh.dropDuplicates(["doc_id", "shingle"])
+    sh = _shingle_hashes(docs).join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    )
+    sh = sh.dropDuplicates(["doc_id", "sh"])
     rare = (
-        sh.groupBy("shingle")
+        sh.groupBy("sh")
         .agg(F.count("*").alias("_df"))
         .filter(F.col("_df") <= max_shingle_df)
-        .select("shingle")
+        .select("sh")
     )
-    sh = sh.join(rare, "shingle")
+    sh = sh.join(rare, "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -586,24 +611,31 @@ def ngram_jaccard_pairs(
     the hot-shingle head quadratic at 100 TB. Shingles with document
     frequency above the cap are dropped from the shingle universe BEFORE
     sizes and intersections (a consistent approximation: Jaccard over the
-    sub-stopword shingle sets; exact whenever no shingle exceeds the cap)."""
+    sub-stopword shingle sets; exact whenever no shingle exceeds the cap).
+
+    Round 7: shingles join as 64-bit HASHES (:func:`_shingle_hashes` — no
+    string construction, 8-byte join/shuffle keys); set sizes and
+    intersections equal the string semantics up to negligible collisions,
+    so the string-based oracle still gates the values."""
     docs = _docs(spark, sf_dir)
-    sh = _shingles(docs).join(docs.select("doc_id", "lang", "source"), "doc_id")
-    sh = sh.dropDuplicates(["doc_id", "shingle"])
+    sh = _shingle_hashes(docs).join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    )
+    sh = sh.dropDuplicates(["doc_id", "sh"])
     rare = (
-        sh.groupBy("shingle")
+        sh.groupBy("sh")
         .agg(F.count("*").alias("_df"))
         .filter(F.col("_df") <= max_shingle_df)
-        .select("shingle")
+        .select("sh")
     )
-    sh = sh.join(rare, "shingle")
+    sh = sh.join(rare, "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),

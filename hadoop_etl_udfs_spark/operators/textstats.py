@@ -119,21 +119,27 @@ def decontamination_check(
     ``doc_id % bench_every == 0`` slice of the same table (no external
     data, per the driver contract); a real deployment passes a separate
     benchmark table through the same plan. Returns flagged docs only:
-    (doc_id, n_overlap), overlap counted over DISTINCT shingles."""
+    (doc_id, n_overlap), overlap counted over DISTINCT shingles.
+
+    Round 7: shingles compare as 64-bit HASHES (dedup._shingle_hashes —
+    no string construction on the corpus scan, and the broadcast
+    benchmark set is 8 bytes/shingle instead of a string); overlap counts
+    equal the string semantics up to negligible collisions, so the
+    string-based oracle still gates the values."""
     from .dedup import _docs as _d
-    from .dedup import _shingles
+    from .dedup import _shingle_hashes
 
     docs = _d(spark, sf_dir)
-    sh = _shingles(docs).dropDuplicates(["doc_id", "shingle"])
+    sh = _shingle_hashes(docs).dropDuplicates(["doc_id", "sh"])
     bench_sh = (
         sh.filter(F.col("doc_id") % bench_every == 0)
-        .select("shingle")
+        .select("sh")
         .distinct()
     )
     return (
-        sh.join(F.broadcast(bench_sh), "shingle")
+        sh.join(F.broadcast(bench_sh), "sh")
         .groupBy("doc_id")
-        .agg(F.countDistinct("shingle").alias("n_overlap"))
+        .agg(F.countDistinct("sh").alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
         .orderBy("doc_id")
     )
