@@ -57,6 +57,55 @@ def start_encode_stream(
     )
 
 
+DOCUMENTS_SCHEMA = "doc_id long, text string, lang string, source string"
+
+
+def start_curated_encode_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    codec: str = "auto",
+    max_files_per_trigger: int = 16,
+) -> StreamingQuery:
+    """Streaming CURATION: the stratified sample gate applied inside the
+    incremental encode — only the training-mix sample of each arriving
+    micro-batch is chunk-encoded (round 7).
+
+    The gate needs ZERO state: membership is a pure function of doc_id
+    (curation.stratified_sample_df's md5 hash gate), so replayed batches
+    re-derive the same keep/drop decisions, corpus growth never resamples
+    old docs, and — the property the test pins — the streaming sink over
+    N waves decodes to EXACTLY the batch operator's sample of the union.
+    Curation that needs cross-batch state (near-dup resolution) stays a
+    batch job over the sink (jobs/curate_job.py); the gate is the part
+    that belongs on the ingest path, because dropped docs cost no encode
+    CPU and no sink bytes. Docs arrive in DOCUMENTS_SCHEMA; the encode
+    shuffles on doc_id (table-agnostic partition_cols path)."""
+    from ..operators.curation import stratified_sample_df
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        done = lineage.completed_chunk_ids(spark, out_dir, n_columns=4)
+        enc = encode_pages(
+            stratified_sample_df(batch_df), codec=codec,
+            skip_chunk_ids=done, partition_cols=["doc_id"],
+        )
+        lineage.write_encoded(enc, out_dir, mode="append")
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_decode_stream(
     spark: SparkSession,
     sink_dir: str,

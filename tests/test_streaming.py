@@ -539,3 +539,45 @@ def test_iceberg_ingest_tick_non_pages_table_with_partition_cols(spark, tmp_path
     n_after = lineage.read_manifest(spark, sink).select("chunk_id").distinct().count()
     assert n_after == n_before  # nothing re-encoded
     emb.unpersist()
+
+
+def test_streaming_curated_encode_matches_batch_sample(spark, tmp_path):
+    """Streaming curation gate (r7): across two waves, the curated
+    streaming sink decodes to EXACTLY the batch stratified sample of the
+    union — membership is a pure function of doc_id, so the gate needs no
+    streaming state and replays/growth cannot change old decisions."""
+    from hadoop_etl_udfs_spark.operators.curation import stratified_sample_df
+    from hadoop_etl_udfs_spark.operators.encode import decode_chunks
+    from hadoop_etl_udfs_spark.streaming.encode_stream import (
+        DOCUMENTS_SCHEMA,
+        start_curated_encode_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    ).cache()
+    w1 = docs.filter(F.col("doc_id") % 2 == 0)
+    w2 = docs.filter(F.col("doc_id") % 2 == 1)
+    w1.coalesce(1).write.parquet(in_dir + "/w1")
+    q = start_curated_encode_stream(spark, in_dir + "/*", out_dir, ckpt)
+    q.processAllAvailable(); q.stop()
+    w2.coalesce(1).write.parquet(in_dir + "/w2")
+    q = start_curated_encode_stream(spark, in_dir + "/*", out_dir, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    dec = decode_chunks(
+        lineage.read_encoded(spark, out_dir), schema=DOCUMENTS_SCHEMA
+    )
+    got = [r["doc_id"] for r in dec.select("doc_id").collect()]
+    want = {
+        r["doc_id"]
+        for r in stratified_sample_df(docs).select("doc_id").collect()
+    }
+    assert len(got) == len(set(got))          # no duplicate docs across waves
+    assert set(got) == want and len(want) > 0  # exactly the batch sample
+    # gated-out docs cost no sink bytes: the sink holds fewer rows than in
+    assert len(got) < docs.count()
