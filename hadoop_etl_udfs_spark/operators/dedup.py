@@ -535,28 +535,16 @@ MAX_SHINGLE_DF = 50  # shingles in more docs than this are stopword phrases
 CONTAINMENT_THRESHOLD = 0.5
 
 
-def containment_pairs(
-    spark: SparkSession, sf_dir: str,
-    threshold: float = CONTAINMENT_THRESHOLD,
-    max_shingle_df: int = MAX_SHINGLE_DF,
-) -> DataFrame:
-    """Shingle CONTAINMENT near-dup pairs, blocked by (lang, source):
-    ``containment(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|`` — the asymmetric
-    measure Jaccard misses: a short document quoted inside a long one has
-    near-zero Jaccard (the union is huge) but containment ≈ 1, and
-    training pipelines drop exactly those embedded copies (Broder's
-    containment, the resemblance paper's second measure). One row per
-    unordered pair with BOTH directions; kept when either side crosses
-    ``threshold``.
-
-    Same plan shape and ``max_shingle_df`` stopword-phrase cap as
-    ngram_jaccard_pairs (shingle-equality self-join is quadratic in a hot
-    shingle's document frequency — capped identically), so the 100 TB
-    scaling argument carries over unchanged. Shingles join as 64-bit
-    HASHES (:func:`_shingle_hashes` — no string construction, 8-byte
-    keys); counts equal the string semantics up to negligible collisions,
-    so the string-based oracle still gates the values."""
-    docs = _docs(spark, sf_dir)
+def _blocked_shingle_inter(
+    docs: DataFrame, max_shingle_df: int
+) -> tuple[DataFrame, DataFrame]:
+    """The blocked shingle-overlap machinery shared by
+    :func:`ngram_jaccard_pairs` and :func:`containment_pairs` (their
+    oracles already share one CTE generator — the Spark side must too, so
+    a cap/blocking change can never desync them): distinct per-doc hashed
+    shingles joined with the (lang, source) block, stopword-phrase DF cap,
+    then (inter, sizes) — pairwise intersection counts over ``doc_a <
+    doc_b`` within a block, and per-doc shingle-set sizes."""
     sh = _shingle_hashes(docs).join(
         docs.select("doc_id", "lang", "source"), "doc_id"
     )
@@ -581,6 +569,33 @@ def containment_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
+    return inter, sizes
+
+
+def containment_pairs(
+    spark: SparkSession, sf_dir: str,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs, blocked by (lang, source):
+    ``containment(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|`` — the asymmetric
+    measure Jaccard misses: a short document quoted inside a long one has
+    near-zero Jaccard (the union is huge) but containment ≈ 1, and
+    training pipelines drop exactly those embedded copies (Broder's
+    containment, the resemblance paper's second measure). One row per
+    unordered pair with BOTH directions; kept when either side crosses
+    ``threshold``.
+
+    Same plan shape and ``max_shingle_df`` stopword-phrase cap as
+    ngram_jaccard_pairs (shingle-equality self-join is quadratic in a hot
+    shingle's document frequency — capped identically), so the 100 TB
+    scaling argument carries over unchanged (the machinery IS shared:
+    :func:`_blocked_shingle_inter`, hashed shingles — no string
+    construction, 8-byte keys; counts equal the string semantics up to
+    negligible collisions, so the string-based oracle still gates the
+    values)."""
+    docs = _docs(spark, sf_dir)
+    inter, sizes = _blocked_shingle_inter(docs, max_shingle_df)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (
@@ -613,36 +628,13 @@ def ngram_jaccard_pairs(
     sizes and intersections (a consistent approximation: Jaccard over the
     sub-stopword shingle sets; exact whenever no shingle exceeds the cap).
 
-    Round 7: shingles join as 64-bit HASHES (:func:`_shingle_hashes` — no
-    string construction, 8-byte join/shuffle keys); set sizes and
-    intersections equal the string semantics up to negligible collisions,
-    so the string-based oracle still gates the values."""
+    Round 7: shingles join as 64-bit HASHES via the shared
+    :func:`_blocked_shingle_inter` machinery (no string construction,
+    8-byte join/shuffle keys); set sizes and intersections equal the
+    string semantics up to negligible collisions, so the string-based
+    oracle still gates the values."""
     docs = _docs(spark, sf_dir)
-    sh = _shingle_hashes(docs).join(
-        docs.select("doc_id", "lang", "source"), "doc_id"
-    )
-    sh = sh.dropDuplicates(["doc_id", "sh"])
-    rare = (
-        sh.groupBy("sh")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= max_shingle_df)
-        .select("sh")
-    )
-    sh = sh.join(rare, "sh")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
+    inter, sizes = _blocked_shingle_inter(docs, max_shingle_df)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     return (

@@ -138,8 +138,12 @@ def decontamination_check(
     )
     return (
         sh.join(F.broadcast(bench_sh), "sh")
+        # count(*), not countDistinct: (doc_id, sh) is already deduped
+        # upstream and bench_sh is distinct, so the join cannot produce
+        # duplicates — the distinct aggregation would be wasted work on
+        # the full-corpus path (r7 review)
         .groupBy("doc_id")
-        .agg(F.countDistinct("sh").alias("n_overlap"))
+        .agg(F.count("*").alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
         .orderBy("doc_id")
     )

@@ -90,8 +90,12 @@ def start_curated_encode_stream(
         .parquet(input_dir)
     )
 
+    # derived, not hard-coded: a DOCUMENTS_SCHEMA edit must tighten the
+    # torn-write resume check automatically (r7 review)
+    n_columns = len(DOCUMENTS_SCHEMA.split(","))
+
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        done = lineage.completed_chunk_ids(spark, out_dir, n_columns=4)
+        done = lineage.completed_chunk_ids(spark, out_dir, n_columns=n_columns)
         enc = encode_pages(
             stratified_sample_df(batch_df), codec=codec,
             skip_chunk_ids=done, partition_cols=["doc_id"],

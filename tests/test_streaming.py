@@ -581,3 +581,4 @@ def test_streaming_curated_encode_matches_batch_sample(spark, tmp_path):
     assert set(got) == want and len(want) > 0  # exactly the batch sample
     # gated-out docs cost no sink bytes: the sink holds fewer rows than in
     assert len(got) < docs.count()
+    docs.unpersist()
