@@ -1,0 +1,131 @@
+"""spark-submit entry point for the ANN index over the engine's own
+compressed sink: build an IVF-clustered chunk sink from an embeddings
+table, then serve top-k searches that decode ONLY the probed cells' chunks.
+
+    python tools/package.py
+    # build: assign cells, range-layout, chunk-encode, persist quantizer
+    spark-submit --master 'local[8]' --py-files dist/hadoop_etl_udfs_spark.zip \
+        jobs/ann_job.py build --input /path/embeddings_parquet --sink /path/ivf \
+        [--input-format parquet|iceberg] [--train | --demo-quantizer] [--n-cells 16]
+    # search: probe cells, stamp-pruned decode, exact cosine top-k
+    spark-submit ... jobs/ann_job.py search --sink /path/ivf \
+        (--query-json '[0.1, ...]' | --query-from /path/emb --query-vec-id 0) \
+        [--k 10] [--n-probe 4]
+
+Build persists the quantizer beside the sink (searches load it — a
+re-derived quantizer would silently probe wrong cells). Search pushes the
+chunk cluster stamps into the parquet scan (PushedFilters — pruned chunks'
+payload row groups are never read) and prints the top-k as one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _read(spark, path: str, fmt: str):
+    if fmt == "iceberg":
+        from hadoop_etl_udfs_spark.sources.iceberg_lite import read_iceberg
+
+        return read_iceberg(spark, path)
+    return spark.read.parquet(path)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("mode", choices=["build", "search"])
+    p.add_argument("--input", help="embeddings table (vec_id, embedding)")
+    p.add_argument("--input-format", default="parquet",
+                   choices=["parquet", "iceberg"])
+    p.add_argument("--sink", required=True, help="IVF chunk-sink directory")
+    p.add_argument("--n-cells", type=int, default=None)
+    p.add_argument("--train", action="store_true",
+                   help="train the quantizer on a bounded sample "
+                        "(default: the deterministic demo quantizer)")
+    p.add_argument("--query-json", help="query vector as a JSON float list")
+    p.add_argument("--query-from", help="table to read the query vector from")
+    p.add_argument("--query-vec-id", type=int, default=None)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--n-probe", type=int, default=4)
+    args = p.parse_args()
+
+    sys.path.insert(0, ".")
+    import numpy as np
+
+    from hadoop_etl_udfs_spark.operators import similarity
+    from hadoop_etl_udfs_spark.session import get_job_spark
+
+    spark = get_job_spark("ann_job")
+    t0 = time.time()
+    if args.mode == "build":
+        if not args.input:
+            p.error("build requires --input")
+        emb = _read(spark, args.input, args.input_format)
+        n_cells = args.n_cells or similarity.N_CELLS
+        if args.train:
+            cents = similarity.train_ivf_centroids(emb, n_cells=n_cells)
+        else:
+            cents = similarity.quantizer_centroids(n_cells=n_cells)
+        similarity.build_ivf_encoded_sink(emb, args.sink, centroids=cents)
+        from pyspark.sql import functions as F
+
+        from hadoop_etl_udfs_spark.plans.lineage import read_manifest
+
+        m = read_manifest(spark, args.sink)
+        agg = m.agg(
+            F.countDistinct("chunk_id").alias("chunks"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+        ).collect()[0]
+        print(json.dumps({
+            "mode": "build",
+            "n_vectors": emb.count(),
+            "n_cells": int(n_cells),
+            "trained": bool(args.train),
+            "chunks": agg["chunks"],
+            "bytes_in": agg["bytes_in"],
+            "bytes_out": agg["bytes_out"],
+            "wall_s": round(time.time() - t0, 3),
+        }))
+    else:
+        if args.query_json:
+            q = np.array(json.loads(args.query_json), dtype=np.float32)
+            exclude = None
+        elif args.query_from is not None and args.query_vec_id is not None:
+            from pyspark.sql import functions as F
+
+            src = _read(spark, args.query_from, args.input_format)
+            rows = src.filter(
+                F.col("vec_id") == args.query_vec_id
+            ).limit(1).collect()
+            if not rows:
+                raise SystemExit(
+                    f"query vec_id {args.query_vec_id} not found in "
+                    f"{args.query_from}"
+                )
+            q = np.array(rows[0]["embedding"], dtype=np.float32)
+            exclude = args.query_vec_id
+        else:
+            p.error("search requires --query-json, or --query-from with "
+                    "--query-vec-id")
+        res = similarity.cosine_topk_ivf_over_sink(
+            spark, args.sink, q, k=args.k, n_probe=args.n_probe,
+            exclude_vec_id=exclude,
+        ).collect()
+        print(json.dumps({
+            "mode": "search",
+            "k": args.k,
+            "n_probe": args.n_probe,
+            "results": [
+                {"vec_id": r["vec_id"], "cos_sim": r["cos_sim"]} for r in res
+            ],
+            "wall_s": round(time.time() - t0, 3),
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
