@@ -147,6 +147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # detection Jaccard misses):
         "curate_corpus_checked": curation.curate_corpus_checked,
         "containment_pairs": dedup.containment_pairs,
+        # the ANN evaluation harness: per-query recall@k of the LSH batch
+        # search vs the exact ranking (both sides share the in-gate
+        # operators' oracle fragments):
+        "ann_recall_at_k": similarity.ann_recall_at_k,
         # rotated out round 7 (driver-green r1-r6) to admit the six round-6
         # operators; every SURVEY §2 row they evidence keeps >=1 in-gate
         # oracle query, and all six stay replica-gated every round:
@@ -582,6 +586,56 @@ def _shingle_pair_ctes() -> str:
                  AND a.source = b.source AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             )"""
+
+
+def _ann_recall_sql(k: int = 5) -> str:
+    """Recall@k of the LSH batch ANN vs the exact ranking — approx side =
+    the cosine_topk_batch CTE body (same bucket generator), exact side =
+    the brute-force ranking, joined per query."""
+    return f"""
+            WITH b AS (
+                SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id AS q_id, embedding AS qe, bucket
+                FROM b WHERE vec_id % {_QUERY_EVERY} = 0
+            ),
+            cand AS (
+                SELECT q.q_id, v.vec_id,
+                       round(list_cosine_similarity(v.embedding, q.qe), 4)
+                           AS cos_sim
+                FROM b v JOIN q ON v.bucket = q.bucket
+                 AND v.vec_id <> q.q_id
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+                ) AS rk FROM cand
+            ),
+            approx AS (SELECT q_id, vec_id FROM r WHERE rk <= {k}),
+            exact AS (
+                SELECT q.q_id, e.vec_id,
+                       round(list_cosine_similarity(e.embedding, q.qe), 4)
+                           AS cos_sim
+                FROM embeddings e, q WHERE e.vec_id <> q.q_id
+            ),
+            er AS (
+                SELECT q_id, vec_id, row_number() OVER (
+                    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+                ) AS rk FROM exact
+            ),
+            ek AS (SELECT q_id, vec_id FROM er WHERE rk <= {k}),
+            hits AS (
+                SELECT a.q_id, count(*) AS n
+                FROM approx a JOIN ek USING (q_id, vec_id)
+                GROUP BY a.q_id
+            )
+            SELECT qs.q_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+                   round(coalesce(h.n, 0) / {k}.0, 4) AS recall
+            FROM (SELECT DISTINCT q_id FROM q) qs LEFT JOIN hits h USING (q_id)
+            ORDER BY qs.q_id
+    """
 
 
 def _sampled_cte_sql() -> str:
@@ -1369,6 +1423,9 @@ def oracle_sql() -> dict[str, str]:
         # round-7: the asymmetric containment measure over the SAME CTE
         # body (one generator — the two oracles differ only in the final
         # select); threshold imported from the operator module
+        # round-7: ANN evaluation — recall@k of the approximate (LSH
+        # batch) search against the exact ranking, per query
+        "ann_recall_at_k": _ann_recall_sql(),
         "containment_pairs": f"""
             WITH {_shingle_pair_ctes()}
             SELECT doc_a, doc_b, containment_a, containment_b FROM (

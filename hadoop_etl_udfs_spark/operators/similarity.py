@@ -219,6 +219,67 @@ def cosine_topk_batch(
     )
 
 
+def ann_recall_at_k(
+    spark: SparkSession, sf_dir: str, query_every: int = QUERY_EVERY,
+    k: int = 5,
+) -> DataFrame:
+    """Recall@k of the LSH-bucketed batch ANN against the exact
+    brute-force top-k — the evaluation harness a retrieval pipeline runs
+    before trusting an approximate index (round 7): per query, how many
+    of the true k nearest neighbors the bucketed search returned.
+
+    Scale shape: the ground truth is a brute-force scan per query, which
+    is exactly why production evaluates on a bounded QUERY SAMPLE (here
+    the deterministic ``vec_id % query_every`` stride, broadcast) — the
+    corpus side is scanned once, the per-query top-k is a window over the
+    broadcast-joined scores, and the approximate side reuses
+    :func:`cosine_topk_batch`'s plan unchanged. Ties at the k boundary
+    break on (rounded cos_sim, vec_id) in both the exact and approximate
+    rankings and in the DuckDB oracle, so recall is deterministic."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % query_every == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(
+                cosine_sim(F.col("embedding"), F.col("q_embedding")), 4
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    exact_k = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id")
+    )
+    approx = cosine_topk_batch(spark, sf_dir, query_every, k).select(
+        "q_id", "vec_id"
+    )
+    hits = approx.join(exact_k, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        q.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 4).alias(
+                "recall"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
 MAX_BUCKET = 64  # pair generation skips buckets bigger than this
 
 
