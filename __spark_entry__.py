@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # search vs the exact ranking (both sides share the in-gate
         # operators' oracle fragments):
         "ann_recall_at_k": similarity.ann_recall_at_k,
+        # cross-doc boilerplate removal — the corpus-wide twin of the
+        # in-gate segment_dedup (one shared segmentation CTE generator):
+        "boilerplate_removal": textstats.boilerplate_removal,
         # rotated out round 7 (driver-green r1-r6) to admit the six round-6
         # operators; every SURVEY §2 row they evidence keeps >=1 in-gate
         # oracle query, and all six stay replica-gated every round:
@@ -228,6 +231,32 @@ from hadoop_etl_udfs_spark.operators.similarity import (
     _planes,
     quantizer_centroids,
 )
+
+
+# shared segmentation CTEs (text -> 10-word segments with per-doc position)
+# used verbatim by BOTH segment-level cleanups' oracles (segment_dedup,
+# boilerplate_removal) — one generator, no drift; constants imported from
+# the operator module
+_SEG_CTES = f"""w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, w,
+                       CAST(ceil(len(w) / {textstats.SEGMENT_WORDS}.0)
+                            AS BIGINT) AS n_segs
+                FROM w
+            ),
+            seg AS (
+                SELECT doc_id, n_segs,
+                       i,
+                       array_to_string(list_slice(
+                           w, i * {textstats.SEGMENT_WORDS} + 1,
+                           i * {textstats.SEGMENT_WORDS}
+                           + {textstats.SEGMENT_WORDS}), ' ') AS seg
+                FROM (SELECT doc_id, n_segs, w,
+                             unnest(range(0, n_segs)) AS i FROM n)
+            )"""
 
 
 def _md5h_sql(expr: str, seed: int) -> str:
@@ -1361,28 +1390,11 @@ def oracle_sql() -> dict[str, str]:
            .replace("@EMAIL@", textstats._EMAIL_RE)
            .replace("@IP@", textstats._IPV4_RE),
         # intra-doc repetition removal: same 10-word segmentation, keep-first
-        # as min(position), cleaned text re-joined in original order
+        # as min(position), cleaned text re-joined in original order.
+        # The w/n/seg segmentation CTEs are shared verbatim with
+        # boilerplate_removal via _SEG_CTES (one generator, no drift).
         "segment_dedup": f"""
-            WITH w AS (
-                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-                FROM documents
-            ),
-            n AS (
-                SELECT doc_id, w,
-                       CAST(ceil(len(w) / {textstats.SEGMENT_WORDS}.0)
-                            AS BIGINT) AS n_segs
-                FROM w
-            ),
-            seg AS (
-                SELECT doc_id, n_segs,
-                       i,
-                       array_to_string(list_slice(
-                           w, i * {textstats.SEGMENT_WORDS} + 1,
-                           i * {textstats.SEGMENT_WORDS}
-                           + {textstats.SEGMENT_WORDS}), ' ') AS seg
-                FROM (SELECT doc_id, n_segs, w,
-                             unnest(range(0, n_segs)) AS i FROM n)
-            ),
+            WITH {_SEG_CTES},
             firsts AS (
                 SELECT doc_id, any_value(n_segs) AS n_segs, seg,
                        min(i) AS pos
@@ -1392,6 +1404,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_uniq_segs,
                    md5(string_agg(seg, ' ' ORDER BY pos)) AS clean_md5
             FROM firsts GROUP BY doc_id ORDER BY doc_id
+        """,
+        # CROSS-doc boilerplate removal: same segmentation CTEs; a segment
+        # in >= BOILERPLATE_MIN_DOCS distinct docs is removed from every
+        # doc. All-boilerplate docs keep NULL md5 in both engines
+        # (string_agg FILTER over an empty set is NULL; the Spark side
+        # gates md5 on n_kept_segs > 0).
+        "boilerplate_removal": f"""
+            WITH {_SEG_CTES},
+            boiler AS (
+                SELECT seg FROM seg GROUP BY seg
+                HAVING count(DISTINCT doc_id)
+                       >= {textstats.BOILERPLATE_MIN_DOCS}
+            ),
+            fl AS (
+                SELECT s.doc_id, s.n_segs, s.i, s.seg,
+                       (b.seg IS NOT NULL) AS is_boiler
+                FROM seg s LEFT JOIN boiler b USING (seg)
+            )
+            SELECT doc_id, any_value(n_segs) AS n_segs,
+                   count(*) FILTER (WHERE NOT is_boiler) AS n_kept_segs,
+                   count(*) FILTER (WHERE is_boiler) AS n_boiler_segs,
+                   md5(string_agg(seg, ' ' ORDER BY i)
+                       FILTER (WHERE NOT is_boiler)) AS clean_md5
+            FROM fl GROUP BY doc_id ORDER BY doc_id
         """,
         # Iceberg roundtrip: the Spark side commits documents to a fresh
         # spec-layout Iceberg table and reads it back through the

@@ -206,6 +206,28 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEGMENT_WORDS = 10
+BOILERPLATE_MIN_DOCS = 3
+
+
+def _segment_explode(docs: DataFrame) -> DataFrame:
+    """One (doc_id, n_segs, pos, seg) row per consecutive
+    ``SEGMENT_WORDS``-word segment of each document's text — the shared
+    front half of the segment-level cleanups (:func:`segment_dedup`,
+    :func:`boilerplate_removal`). n_segs rides along through the explode
+    (constant per doc) — no second scan of docs and no join later."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_segs = F.ceil(F.size(words) / SEGMENT_WORDS).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * SEGMENT_WORDS + 1, SEGMENT_WORDS), " "
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        n_segs.cast("long").alias("n_segs"),
+        F.posexplode(segs).alias("pos", "seg"),
+    )
 
 
 def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,22 +240,7 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment) — one aggregate on data already co-partitioned by doc_id; at
     scale this is a map-side-combinable shuffle of (doc, segment) pairs,
     nothing quadratic."""
-    docs = _docs(spark, sf_dir)
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    n_segs = F.ceil(F.size(words) / SEGMENT_WORDS).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda i: F.array_join(
-            F.slice(words, i * SEGMENT_WORDS + 1, SEGMENT_WORDS), " "
-        ),
-    )
-    # n_segs rides along through the explode (constant per doc) — no second
-    # scan of docs and no join, just the two aggregates
-    ex = docs.select(
-        "doc_id",
-        n_segs.cast("long").alias("n_segs"),
-        F.posexplode(segs).alias("pos", "seg"),
-    )
+    ex = _segment_explode(_docs(spark, sf_dir))
     firsts = ex.groupBy("doc_id", "seg").agg(
         F.min("pos").alias("pos"), F.min("n_segs").alias("n_segs")
     )
@@ -257,6 +264,73 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_segs", "n_uniq_segs", "clean_md5")
         .orderBy("doc_id")
     )
+
+
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document boilerplate removal — the corpus-wide twin of
+    :func:`segment_dedup` (which is intra-doc): a segment whose exact text
+    appears in ``BOILERPLATE_MIN_DOCS`` or more DISTINCT documents is
+    boilerplate (headers, footers, license blurbs, navigation chrome) and
+    is removed from EVERY document; cleaned text is re-joined in original
+    order. Distinct-doc frequency, not raw frequency: a segment repeated
+    many times inside one document is repetition (segment_dedup's job),
+    not boilerplate.
+
+    Scale plan (100 TB): one explode pass into (doc_id, pos, seg); the
+    document frequency is two MAP-SIDE-COMBINABLE aggregates (distinct
+    (seg, doc_id) pairs, then count per seg) — one shuffle keyed on the
+    segment hash; the surviving boilerplate set is tiny by construction
+    (only segments shared by >= K documents) and is BROADCAST back against
+    a recomputation of the same narrow explode, so the rebuild pays no
+    second corpus shuffle — only the per-doc collect it would need anyway.
+    Nothing is quadratic and no driver-side collect touches data."""
+    ex = _segment_explode(_docs(spark, sf_dir))
+    boiler = (
+        ex.select("seg", "doc_id")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= BOILERPLATE_MIN_DOCS)
+        .select("seg", F.lit(True).alias("is_boiler"))
+    )
+    flagged = ex.join(F.broadcast(boiler), "seg", "left").select(
+        "doc_id",
+        "n_segs",
+        "pos",
+        "seg",
+        F.coalesce("is_boiler", F.lit(False)).alias("is_boiler"),
+    )
+    agg = flagged.groupBy("doc_id").agg(
+        F.min("n_segs").alias("n_segs"),
+        F.sum(F.when(~F.col("is_boiler"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept_segs"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_boiler_segs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("is_boiler"), F.struct("pos", "seg"))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("_clean_txt"),
+    )
+    # an all-boilerplate doc keeps zero segments: NULL md5 (not md5("")),
+    # matching the oracle's string_agg(...) FILTER returning NULL
+    return agg.select(
+        "doc_id",
+        "n_segs",
+        "n_kept_segs",
+        "n_boiler_segs",
+        F.when(F.col("n_kept_segs") > 0, F.md5("_clean_txt")).alias(
+            "clean_md5"
+        ),
+    ).orderBy("doc_id")
 
 
 N_SPLIT_BUCKETS = 10_000

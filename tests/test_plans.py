@@ -392,6 +392,65 @@ def test_pii_redaction_and_segment_dedup_on_planted_data(spark, tmp_path):
                 assert srow[c] == v, (name, c, srow[c], v)
 
 
+def test_boilerplate_removal_on_planted_data(spark, tmp_path):
+    """Cross-doc boilerplate removal on data that actually triggers it,
+    with the driver oracle run as an in-test DuckDB mini-oracle on the
+    same planted rows (the planted-data model). Plants cover the decision
+    table: a segment in >= 3 distinct docs (removed everywhere, including
+    from a doc where it sits at a DIFFERENT aligned position), a segment
+    in only 2 docs (kept), an INTRA-doc repeat (distinct-doc count 1 —
+    segment_dedup's job, explicitly NOT boilerplate), and a document that
+    is 100%% boilerplate (NULL clean_md5 in both engines)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from hadoop_etl_udfs_spark.operators import textstats
+
+    b = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"          # boilerplate (4 docs)
+    c = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"          # intra-doc repeat only
+    d = "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"          # shared by 2 docs: kept
+    pad = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"        # shared by 2 docs: kept
+    rows = [
+        (0, f"{b} {pad}"),          # boiler at segment 0
+        (1, f"{b} tail words"),     # boiler at segment 0, ragged tail
+        (2, f"{pad} {b}"),          # boiler at segment 1 (different pos)
+        (3, f"{c} {c}"),            # repeated intra-doc: NOT boilerplate
+        (4, b),                     # all-boilerplate doc
+        (5, f"{d} q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),
+        (6, f"{d} other words entirely"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.boilerplate_removal(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 7
+    assert out[0]["n_boiler_segs"] == 1 and out[0]["n_kept_segs"] == 1
+    assert out[1]["n_boiler_segs"] == 1 and out[1]["n_kept_segs"] == 1
+    assert out[2]["n_boiler_segs"] == 1 and out[2]["n_kept_segs"] == 1
+    # intra-doc repetition is not boilerplate (distinct-doc count is 1)
+    assert out[3]["n_boiler_segs"] == 0 and out[3]["n_kept_segs"] == 2
+    # all-boilerplate doc: zero kept segments, NULL md5 (not md5(""))
+    assert out[4]["n_kept_segs"] == 0 and out[4]["clean_md5"] is None
+    # df=2 < BOILERPLATE_MIN_DOCS: kept
+    assert out[5]["n_boiler_segs"] == 0 and out[6]["n_boiler_segs"] == 0
+    # docs 0 and 2 keep exactly `pad`: identical cleaned text either side
+    assert out[0]["clean_md5"] == out[2]["clean_md5"]
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = con.execute(entry.oracle_sql()["boilerplate_removal"]).fetchall()
+    cols = [dsc[0] for dsc in con.description]
+    assert len(got) == 7
+    for orow in got:
+        srow = out[orow[cols.index("doc_id")]]
+        for col_name, v in zip(cols, orow):
+            assert srow[col_name] == v, (col_name, srow[col_name], v)
+
+
 def test_content_flags_on_text_with_real_emails_and_urls(spark, tmp_path):
     """content_flags must not crash — and must count — on text that actually
     contains emails/URLs. The patterns have zero capture groups, so
