@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-doc boilerplate removal — the corpus-wide twin of the
         # in-gate segment_dedup (one shared segmentation CTE generator):
         "boilerplate_removal": textstats.boilerplate_removal,
+        # CCNet-style corpus-trained unigram-LM quality filter (integer
+        # micro-nat logprobs, so the per-doc aggregate is fp-order-free):
+        "lm_perplexity_scores": textstats.lm_perplexity_scores,
         # rotated out round 7 (driver-green r1-r6) to admit the six round-6
         # operators; every SURVEY §2 row they evidence keeps >=1 in-gate
         # oracle query, and all six stay replica-gated every round:
@@ -1428,6 +1431,51 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(seg, ' ' ORDER BY i)
                        FILTER (WHERE NOT is_boiler)) AS clean_md5
             FROM fl GROUP BY doc_id ORDER BY doc_id
+        """,
+        # corpus-trained unigram-LM quality scores: every constant
+        # (vocabulary cap, micro-nat quantum, flag threshold) imports from
+        # the operator module; logprobs quantize to integer micro-nats in
+        # BOTH engines (one ln() per distinct vocab word), so the per-doc
+        # sum is an integer aggregate — no fp-order sensitivity. DuckDB
+        # sum(BIGINT) returns HUGEINT: cast back (type-family gate).
+        "lm_perplexity_scores": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS word
+                FROM documents
+            ),
+            w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+            vocab AS (SELECT word, count(*) AS cnt FROM w2 GROUP BY word),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+            top AS (
+                SELECT word, cnt FROM vocab
+                ORDER BY cnt DESC, word LIMIT {textstats.LM_TOP_K}
+            ),
+            lp AS (
+                SELECT word,
+                       CAST(round(ln(cnt / (SELECT total FROM tot))
+                                  * {textstats.LM_MICRO}) AS BIGINT)
+                           AS lp_micro
+                FROM top
+            ),
+            fl AS (
+                SELECT w2.doc_id, lp.lp_micro
+                FROM w2 LEFT JOIN lp USING (word)
+            ),
+            per_doc AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       count(*) FILTER (WHERE lp_micro IS NULL)
+                           AS oov_tokens,
+                       CAST(sum(coalesce(lp_micro,
+                           CAST(round(ln(1.0 / (SELECT total FROM tot))
+                                      * {textstats.LM_MICRO}) AS BIGINT)))
+                           AS BIGINT) AS sum_lp_micro
+                FROM fl GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, oov_tokens, sum_lp_micro,
+                   (-sum_lp_micro)
+                       > n_tokens * {textstats.LM_FLAG_NLL_MICRO} AS lm_flag
+            FROM per_doc ORDER BY doc_id
         """,
         # Iceberg roundtrip: the Spark side commits documents to a fresh
         # spec-layout Iceberg table and reads it back through the

@@ -333,6 +333,86 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+LM_TOP_K = 24                    # vocabulary cap (production: ~100k)
+LM_MICRO = 1_000_000             # logprob quantization: micro-nats
+LM_FLAG_NLL_MICRO = 5_250_000    # avg NLL above 5.25 nats -> flagged
+
+
+def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality filter: train a unigram LM on the
+    corpus itself (word -> count over all documents), keep the ``LM_TOP_K``
+    most frequent words as the vocabulary, and score every document by its
+    average negative log-likelihood — high-NLL documents (rare-word soup,
+    boilerplate-free gibberish) are the classic LM-perplexity removal
+    bucket of web-corpus pipelines.
+
+    Exactness across engines: a per-doc MEAN of float logprobs would be
+    order-sensitive (Spark sums partials in partition order, DuckDB
+    sequentially). Instead each vocabulary word's logprob is quantized
+    ONCE to integer micro-nats (``round(ln(cnt/total) * LM_MICRO)`` — one
+    float op per distinct word, identical inputs in both engines) and the
+    per-doc aggregate is an INTEGER sum — associative, fp-order-free. The
+    flag compares in the integer domain too:
+    ``-sum_lp_micro > n_tokens * LM_FLAG_NLL_MICRO``. Out-of-vocabulary
+    words score the floor ``ln(1/total)`` (also quantized engine-side);
+    with ``LM_TOP_K`` below this corpus's distinct-word count the OOV path
+    is hot in the driver gate (498/500 docs), not just planted-tested.
+
+    Scale plan (100 TB): two passes, as LM train/score always is. Pass 1
+    is a wordcount — one map-side-combinable shuffle whose OUTPUT is
+    vocabulary-sized; the total-token scalar is a 1-row aggregate of that
+    vocabulary (metadata-scale collect) and the top-K sort sorts the
+    vocabulary, never the corpus. Pass 2 streams the corpus once: explode,
+    BROADCAST-join the K-row logprob table, one map-side-combinable
+    groupBy(doc_id). Nothing quadratic, no corpus-sized sort or collect."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = int(vocab.agg(F.sum("cnt")).collect()[0][0])  # 1-row scalar
+    lp = (
+        vocab.orderBy(F.desc("cnt"), "word")
+        .limit(LM_TOP_K)
+        .select(
+            "word",
+            F.round(F.log(F.col("cnt") / F.lit(float(total))) * LM_MICRO)
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    # the OOV floor is computed by the SAME engine-side expression shape as
+    # the vocabulary logprobs (Catalyst folds it to a literal), mirroring
+    # the oracle's ln(1.0/total) — never Python's math.log
+    floor_micro = F.round(
+        F.log(F.lit(1.0) / F.lit(float(total))) * LM_MICRO
+    ).cast("long")
+    per_doc = (
+        words.join(F.broadcast(lp), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("lp_micro").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+            F.sum(F.coalesce(F.col("lp_micro"), floor_micro)).alias(
+                "sum_lp_micro"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "oov_tokens",
+        "sum_lp_micro",
+        (
+            (-F.col("sum_lp_micro"))
+            > F.col("n_tokens") * F.lit(LM_FLAG_NLL_MICRO)
+        ).alias("lm_flag"),
+    ).orderBy("doc_id")
+
+
 N_SPLIT_BUCKETS = 10_000
 SPLIT_BOUNDS = (9_500, 9_750)   # train < 9500, val < 9750, test = rest
 

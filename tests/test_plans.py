@@ -451,6 +451,55 @@ def test_boilerplate_removal_on_planted_data(spark, tmp_path):
             assert srow[col_name] == v, (col_name, srow[col_name], v)
 
 
+def test_lm_perplexity_scores_on_planted_data(spark, tmp_path):
+    """Unigram-LM scoring on data that exercises every branch, with the
+    driver oracle run as an in-test DuckDB mini-oracle on the same planted
+    rows. Plants: > LM_TOP_K distinct words (so the top-K cut and the OOV
+    floor both fire, with a cnt TIE at the boundary broken by word order),
+    an all-common-words doc (unflagged), an all-rare-words doc (flagged),
+    and a whitespace-only doc (zero tokens — no output row either side)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from hadoop_etl_udfs_spark.operators import textstats
+
+    assert textstats.LM_TOP_K == 24  # plant sizes below depend on it
+    # total tokens must exceed e^5.25 ≈ 190 so a cnt-1 word's NLL
+    # (= ln(total)) clears LM_FLAG_NLL_MICRO — hence x60, total 392
+    common = "ca cb cc " * 60                       # 3 words, cnt 120 each
+    rares = [f"r{i:02d}" for i in range(30)]        # 30 words, cnt 1 each
+    rows = [
+        (0, common.strip()),                        # all in-vocab: low NLL
+        (1, " ".join(rares)),                       # mostly OOV: high NLL
+        (2, f"{common.strip()} {rares[0]} {rares[1]}"),
+        (3, "   "),                                 # zero tokens: no row
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.lm_perplexity_scores(spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == [0, 1, 2]                 # doc 3 has no tokens
+    # vocab = 3 common + 21 of 30 tied-cnt rares (lex order breaks the tie)
+    assert out[0]["oov_tokens"] == 0 and not out[0]["lm_flag"]
+    assert out[1]["oov_tokens"] == 9 and out[1]["lm_flag"]
+    assert out[2]["oov_tokens"] == 0                # r00, r01 made the cut
+    assert out[1]["n_tokens"] == 30
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = con.execute(entry.oracle_sql()["lm_perplexity_scores"]).fetchall()
+    cols = [dsc[0] for dsc in con.description]
+    assert len(got) == 3
+    for orow in got:
+        srow = out[orow[cols.index("doc_id")]]
+        for col_name, v in zip(cols, orow):
+            assert srow[col_name] == v, (col_name, srow[col_name], v)
+
+
 def test_content_flags_on_text_with_real_emails_and_urls(spark, tmp_path):
     """content_flags must not crash — and must count — on text that actually
     contains emails/URLs. The patterns have zero capture groups, so
