@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet-style corpus-trained unigram-LM quality filter (integer
         # micro-nat logprobs, so the per-doc aggregate is fp-order-free):
         "lm_perplexity_scores": textstats.lm_perplexity_scores,
+        # near-dup-aware split: cluster members share the representative's
+        # split (composes the closure + fingerprint-bucket generators):
+        "corpus_split_neardup_safe": textstats.corpus_split_neardup_safe,
         # rotated out round 7 (driver-green r1-r6) to admit the six round-6
         # operators; every SURVEY §2 row they evidence keeps >=1 in-gate
         # oracle query, and all six stay replica-gated every round:
@@ -1033,6 +1036,31 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < {textstats.SPLIT_BOUNDS[1]} THEN 'val'
                         ELSE 'test' END AS split
             FROM b ORDER BY doc_id
+        """,
+        # near-dup-aware split (round 7): the SAME closure CTEs as the
+        # clusters oracles + the SAME fingerprint-bucket expression as
+        # corpus_split, composed — every cluster member gets the
+        # representative's bucket; singletons represent themselves
+        "corpus_split_neardup_safe": f"""
+            WITH RECURSIVE {_dedup_clusters_ctes()},
+            rep AS (
+                SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS rep_id
+                FROM documents d LEFT JOIN comp c USING (doc_id)
+            ),
+            rb AS (
+                SELECT doc_id AS rep_id,
+                       {_md5h_sql(_FINGERPRINT, 0)}
+                           % {textstats.N_SPLIT_BUCKETS} AS rep_bucket
+                FROM documents
+            )
+            SELECT r.doc_id, r.rep_id, rb.rep_bucket,
+                   CASE WHEN rb.rep_bucket < {textstats.SPLIT_BOUNDS[0]}
+                            THEN 'train'
+                        WHEN rb.rep_bucket < {textstats.SPLIT_BOUNDS[1]}
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM rep r JOIN rb USING (rep_id)
+            ORDER BY r.doc_id
         """,
         # round-6 curation layer — constants imported from the operator
         # module (anti-drift); md5-derived hash gates so DuckDB reproduces

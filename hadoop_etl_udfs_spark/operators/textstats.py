@@ -441,6 +441,57 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def corpus_split_neardup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup-aware train/val/test split: every member of a near-duplicate
+    CLUSTER is assigned the split of its cluster REPRESENTATIVE's content
+    hash, so lightly-edited copies can never straddle train and eval — the
+    leakage channel :func:`corpus_split` cannot see (an edited copy hashes
+    to a DIFFERENT bucket, and with 95/2.5/2.5 bounds roughly 5% of near-dup
+    pairs would leak a train doc's twin into an eval split).
+
+    A composition of oracle-green parts: checked MinHash band pairs →
+    star-contraction connected components → representative per doc (docs in
+    no pair represent themselves) → ``corpus_split``'s md5 bucket of the
+    REPRESENTATIVE's text. The DuckDB oracle composes the same two fragment
+    generators (closure CTEs + fingerprint-bucket expression), so agreement
+    proves the composition, not just the stages.
+
+    Scale: pairs/CC exactly as ``dedup_clusters_star``; the only addition is
+    one join of (doc_id, rep_id) against (rep_id, bucket) — a single shuffle
+    on rep_id. Trade-off vs corpus_split (documented, inherent): per-doc
+    assignment stability under corpus growth is traded for cluster-level
+    consistency — a NEW near-dup edge can re-cluster a doc and move its
+    split. Exact duplicates still agree by construction (identical
+    fingerprints bucket together even as singletons)."""
+    from .dedup import _hash64, dedup_clusters_star_checked
+
+    docs = _docs(spark, sf_dir)
+    clusters = dedup_clusters_star_checked(spark, sf_dir).select(
+        "doc_id", "cluster_rep"
+    )
+    rep = (
+        docs.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_rep", "doc_id").alias("rep_id")
+        )
+    )
+    bucket = _hash64([T.fingerprint(F.col("text"))], 0, "md5") % N_SPLIT_BUCKETS
+    rep_buckets = docs.select(
+        F.col("doc_id").alias("rep_id"), bucket.alias("rep_bucket")
+    )
+    split = (
+        F.when(F.col("rep_bucket") < SPLIT_BOUNDS[0], "train")
+        .when(F.col("rep_bucket") < SPLIT_BOUNDS[1], "val")
+        .otherwise("test")
+    )
+    return (
+        rep.join(rep_buckets, "rep_id")
+        .select("doc_id", "rep_id", "rep_bucket", split.alias("split"))
+        .orderBy("doc_id")
+    )
+
+
 def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus filter in ONE Spark plan: quality gate +
     language agreement + exact dedup (keep the smallest doc_id per

@@ -500,6 +500,32 @@ def test_lm_perplexity_scores_on_planted_data(spark, tmp_path):
             assert srow[col_name] == v, (col_name, srow[col_name], v)
 
 
+def test_neardup_safe_split_keeps_clusters_in_one_split(spark):
+    """The leakage property corpus_split_neardup_safe exists for: every
+    near-dup cluster lands entirely in ONE split, and docs outside any
+    cluster keep exactly corpus_split's own assignment (same bucket)."""
+    from hadoop_etl_udfs_spark.operators import dedup, textstats
+
+    sf = "/root/testdata/sf0.001"
+    out = textstats.corpus_split_neardup_safe(spark, sf)
+    clustered = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dedup.dedup_clusters_star_checked(spark, sf).collect()
+    }
+    assert clustered  # the corpus does contain near-dup clusters
+    base = {r["doc_id"]: r["bucket"] for r in textstats.corpus_split(spark, sf).collect()}
+    splits_per_cluster = {}
+    for r in out.collect():
+        if r["doc_id"] in clustered:
+            rep = clustered[r["doc_id"]]
+            assert r["rep_id"] == rep
+            splits_per_cluster.setdefault(rep, set()).add(r["split"])
+        else:
+            assert r["rep_id"] == r["doc_id"]
+            assert r["rep_bucket"] == base[r["doc_id"]]
+    assert all(len(s) == 1 for s in splits_per_cluster.values())
+
+
 def test_content_flags_on_text_with_real_emails_and_urls(spark, tmp_path):
     """content_flags must not crash — and must count — on text that actually
     contains emails/URLs. The patterns have zero capture groups, so
