@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # search vs the exact ranking (both sides share the in-gate
         # operators' oracle fragments):
         "ann_recall_at_k": similarity.ann_recall_at_k,
+        # ... and the IVF twin (probe-cell selection mirrored in SQL, the
+        # assigned-cell CTE shared with the IVF top-k oracles):
+        "ann_recall_at_k_ivf": similarity.ann_recall_at_k_ivf,
         # cross-doc boilerplate removal — the corpus-wide twin of the
         # in-gate segment_dedup (one shared segmentation CTE generator):
         "boilerplate_removal": textstats.boilerplate_removal,
@@ -649,7 +652,16 @@ def _ann_recall_sql(k: int = 5) -> str:
                 ) AS rk FROM cand
             ),
             approx AS (SELECT q_id, vec_id FROM r WHERE rk <= {k}),
-            exact AS (
+            {_recall_tail_sql(k)}
+    """
+
+
+def _recall_tail_sql(k: int) -> str:
+    """Shared back half of BOTH ANN recall oracles (LSH batch and IVF):
+    exact brute-force per-query top-k, hit count vs the ``approx`` CTE,
+    per-query recall. Expects CTEs ``q(q_id, qe, ...)`` and
+    ``approx(q_id, vec_id)`` to be in scope — one generator, no drift."""
+    return f"""exact AS (
                 SELECT q.q_id, e.vec_id,
                        round(list_cosine_similarity(e.embedding, q.qe), 4)
                            AS cos_sim
@@ -669,7 +681,49 @@ def _ann_recall_sql(k: int = 5) -> str:
             SELECT qs.q_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
                    round(coalesce(h.n, 0) / {k}.0, 4) AS recall
             FROM (SELECT DISTINCT q_id FROM q) qs LEFT JOIN hits h USING (q_id)
-            ORDER BY qs.q_id
+            ORDER BY qs.q_id"""
+
+
+def _ann_recall_ivf_sql(k: int = 5, n_probe: int = 4) -> str:
+    """Recall@k of the IVF search vs the exact ranking — approx side =
+    the assigned-cell CTE (shared with the IVF top-k oracles) + per-query
+    probe-cell selection (n_probe smallest quantizer distances, ties to
+    the lower cell — mirroring the stable argsort in the Spark path);
+    exact side = the shared recall tail."""
+    cents = quantizer_centroids()
+    probe_union = " UNION ALL ".join(
+        f"SELECT q_id, {i} AS cell, {_ivf_dist_sql('qe', c)} AS qd FROM q"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+            WITH {_ivf_assigned_cte()},
+            q AS (
+                SELECT vec_id AS q_id, embedding AS qe
+                FROM embeddings WHERE vec_id % {_QUERY_EVERY} = 0
+            ),
+            qd AS ({probe_union}),
+            pr AS (
+                SELECT q_id, cell, row_number() OVER (
+                    PARTITION BY q_id ORDER BY qd, cell
+                ) AS rk FROM qd
+            ),
+            probe AS (SELECT q_id, cell FROM pr WHERE rk <= {n_probe}),
+            cand AS (
+                SELECT p.q_id, a.vec_id,
+                       round(list_cosine_similarity(a.embedding, q.qe), 4)
+                           AS cos_sim
+                FROM assigned a
+                JOIN probe p ON a.cell = p.cell
+                JOIN q ON q.q_id = p.q_id
+                WHERE a.vec_id <> p.q_id
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id
+                ) AS rk FROM cand
+            ),
+            approx AS (SELECT q_id, vec_id FROM r WHERE rk <= {k}),
+            {_recall_tail_sql(k)}
     """
 
 
@@ -1538,6 +1592,7 @@ def oracle_sql() -> dict[str, str]:
         # round-7: ANN evaluation — recall@k of the approximate (LSH
         # batch) search against the exact ranking, per query
         "ann_recall_at_k": _ann_recall_sql(),
+        "ann_recall_at_k_ivf": _ann_recall_ivf_sql(),
         "containment_pairs": f"""
             WITH {_shingle_pair_ctes()}
             SELECT doc_a, doc_b, containment_a, containment_b FROM (

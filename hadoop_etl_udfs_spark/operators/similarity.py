@@ -236,13 +236,31 @@ def ann_recall_at_k(
     :func:`cosine_topk_batch`'s plan unchanged. Ties at the k boundary
     break on (rounded cos_sim, vec_id) in both the exact and approximate
     rankings and in the DuckDB oracle, so recall is deterministic."""
-    from pyspark.sql import Window
-
     emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") % query_every == 0).select(
+    q = _query_sample(emb, query_every)
+    approx = cosine_topk_batch(spark, sf_dir, query_every, k).select(
+        "q_id", "vec_id"
+    )
+    return _recall_vs_exact(emb, q, approx, k)
+
+
+def _query_sample(emb: DataFrame, query_every: int) -> DataFrame:
+    """The deterministic stride query sample both recall harnesses share."""
+    return emb.filter(F.col("vec_id") % query_every == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_embedding"),
     )
+
+
+def _recall_vs_exact(
+    emb: DataFrame, q: DataFrame, approx: DataFrame, k: int
+) -> DataFrame:
+    """Shared back half of the ANN recall harnesses: the exact brute-force
+    per-query top-k (broadcast query sample, one corpus scan, per-query
+    window), hit counting against the given approximate (q_id, vec_id)
+    ranking, and the per-query recall row."""
+    from pyspark.sql import Window
+
     scored = (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
@@ -260,9 +278,6 @@ def ann_recall_at_k(
         .filter(F.col("rk") <= k)
         .select("q_id", "vec_id")
     )
-    approx = cosine_topk_batch(spark, sf_dir, query_every, k).select(
-        "q_id", "vec_id"
-    )
     hits = approx.join(exact_k, ["q_id", "vec_id"]).groupBy("q_id").agg(
         F.count("*").alias("n_hits")
     )
@@ -278,6 +293,62 @@ def ann_recall_at_k(
         )
         .orderBy("q_id")
     )
+
+
+def ann_recall_at_k_ivf(
+    spark: SparkSession, sf_dir: str, query_every: int = QUERY_EVERY,
+    k: int = 5, n_probe: int = 4,
+) -> DataFrame:
+    """Recall@k of the IVF search against the exact brute-force top-k —
+    the IVF twin of :func:`ann_recall_at_k`, completing the evaluation
+    harness for BOTH approximate indexes (an index you can't measure is
+    an index you can't tune: recall@k vs n_probe is THE knob curve).
+
+    Per sampled query the n_probe nearest cells are selected exactly as
+    :func:`cosine_topk_ivf` does — float64 quantizer distances, stable
+    argsort (ties to the lower cell) — computed driver-side over the
+    BOUNDED query sample (Q rows, never the corpus; the same
+    metadata-scale collect as the single-query path). Candidates are the
+    corpus vectors whose kernel-assigned cell is probed by that query —
+    the (q_id, cell) probe table is tiny (Q * n_probe rows) and
+    broadcast, so the approximate side scans the corpus once; the exact
+    side and the recall join are shared with the LSH harness
+    (:func:`_recall_vs_exact`)."""
+    emb = _emb(spark, sf_dir)
+    centroids = quantizer_centroids()
+    q = _query_sample(emb, query_every)
+    c64 = centroids.astype(np.float64)
+    probe_rows = []
+    for r in q.collect():  # bounded: the stride query sample
+        qv = np.asarray(r["q_embedding"], dtype=np.float64)
+        d2 = ((c64 - qv) ** 2).sum(axis=1)
+        for c in np.argsort(d2, kind="stable")[:n_probe]:
+            probe_rows.append((int(r["q_id"]), int(c)))
+    probe = spark.createDataFrame(probe_rows, "q_id long, cell int")
+    cand = (
+        _with_cell(emb, "embedding", centroids)
+        .join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .join(
+            F.broadcast(q.withColumnRenamed("q_embedding", "qe")), "q_id"
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("qe")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    approx = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "vec_id")
+    )
+    return _recall_vs_exact(emb, q, approx, k)
 
 
 MAX_BUCKET = 64  # pair generation skips buckets bigger than this

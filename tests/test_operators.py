@@ -225,6 +225,21 @@ def test_ivf_deterministic_and_partitions_all_vectors(spark):
     assert len(topk) == 10
 
 
+def test_ivf_recall_rises_with_n_probe_and_is_exact_at_full_probe(spark):
+    """The property the IVF recall harness exists to measure: mean recall@k
+    is non-decreasing in n_probe, and probing EVERY cell reproduces the
+    exact ranking (recall 1.0 for every query) — the harness's own
+    correctness anchor (an approximate index that misses neighbors at
+    exhaustive probe has a broken candidate path, not a tuning problem)."""
+    means = []
+    for n_probe in (1, 4, similarity.N_CELLS):
+        rows = similarity.ann_recall_at_k_ivf(spark, SF, n_probe=n_probe).collect()
+        assert len(rows) == 5
+        means.append(sum(r["recall"] for r in rows) / len(rows))
+    assert means == sorted(means)
+    assert means[-1] == 1.0
+
+
 def test_ngram_shingle_df_cap_bounds_join(spark, tmp_path):
     """Planted stopword-heavy corpus: a shingle appearing in every doc is a
     quadratic join bomb — the DF cap must drop it from the shingle universe,
