@@ -316,7 +316,11 @@ def ann_recall_at_k_ivf(
     (:func:`_recall_vs_exact`)."""
     emb = _emb(spark, sf_dir)
     centroids = quantizer_centroids()
-    q = _query_sample(emb, query_every)
+    # the bounded query sample is read three times (probe-cell collect,
+    # candidate scoring, exact side) — materialize it once instead of
+    # re-scanning the corpus per use (the CC-operator localCheckpoint
+    # precedent, eda6a77)
+    q = _query_sample(emb, query_every).localCheckpoint(eager=True)
     c64 = centroids.astype(np.float64)
     probe_rows = []
     for r in q.collect():  # bounded: the stride query sample
