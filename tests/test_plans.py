@@ -500,6 +500,21 @@ def test_lm_perplexity_scores_on_planted_data(spark, tmp_path):
             assert srow[col_name] == v, (col_name, srow[col_name], v)
 
 
+def test_boilerplate_and_lm_small_sides_broadcast(spark):
+    """The round-7 text operators' small sides must BROADCAST back against
+    the corpus scan (the decontamination precedent): the surviving
+    boilerplate-segment set and the top-K LM vocabulary are both bounded
+    by construction, so neither may induce a second corpus-wide shuffle."""
+    from hadoop_etl_udfs_spark.operators import textstats
+
+    assert "BroadcastExchange" in plan_of(
+        textstats.boilerplate_removal(spark, SF)
+    )
+    assert "BroadcastExchange" in plan_of(
+        textstats.lm_perplexity_scores(spark, SF)
+    )
+
+
 def test_neardup_safe_split_keeps_clusters_in_one_split(spark):
     """The leakage property corpus_split_neardup_safe exists for: every
     near-dup cluster lands entirely in ONE split, and docs outside any
