@@ -163,6 +163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup-aware split: cluster members share the representative's
         # split (composes the closure + fingerprint-bucket generators):
         "corpus_split_neardup_safe": textstats.corpus_split_neardup_safe,
+        # per-source quota cap as a two-phase distributed top-k; the
+        # oracle is deliberately the naive global window per source:
+        "source_quota_cap": curation.source_quota_cap,
         # rotated out round 7 (driver-green r1-r6) to admit the six round-6
         # operators; every SURVEY §2 row they evidence keeps >=1 in-gate
         # oracle query, and all six stay replica-gated every round:
@@ -1115,6 +1118,25 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM rep r JOIN rb USING (rep_id)
             ORDER BY r.doc_id
+        """,
+        # per-source quota cap: the oracle is the NAIVE single window per
+        # source (the form the Spark side refuses to run at scale), so
+        # agreement proves the two-phase salted top-k prunes losslessly —
+        # the pack_corpus_shards oracle pattern; same hash constants
+        "source_quota_cap": f"""
+            WITH r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY {_md5h_sql("CAST(doc_id AS VARCHAR)",
+                                               curation.SOURCE_CAP_SEED)},
+                                    doc_id
+                       ) AS rk
+                FROM documents
+            )
+            SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= {curation.SOURCE_CAP}
+            ORDER BY doc_id
         """,
         # round-6 curation layer — constants imported from the operator
         # module (anti-drift); md5-derived hash gates so DuckDB reproduces

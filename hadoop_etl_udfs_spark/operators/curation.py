@@ -241,3 +241,51 @@ def dedup_keep_best_df(docs: DataFrame, method: str = "xxhash64") -> DataFrame:
         .withColumn("keep", (rn == 1).cast("int"))
         .select("doc_id", "cluster_rep", "cluster_size", "quality", "keep")
     )
+
+
+# --- per-source quota cap ---------------------------------------------------
+SOURCE_CAP = 15      # max surviving docs per source (the C4/Gopher-style
+                     # "domain cap": no single crawl source dominates)
+SOURCE_CAP_SALTS = 8  # phase-1 fan-out for the distributed top-k
+SOURCE_CAP_SEED = 777
+
+
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap: at most ``SOURCE_CAP`` documents survive per
+    source, selected by a deterministic hash priority (md5-derived, seed
+    above) with doc_id tie-break — the domain-cap stage of web-corpus
+    pipelines (no single domain/dump may dominate the training mix).
+
+    Scale plan (100 TB): a naive ``row_number() OVER (PARTITION BY
+    source)`` drags a hot source's every document into ONE task — the
+    same single-task trap pack_corpus_shards documents for global
+    windows. So the cap runs as the classic TWO-PHASE distributed
+    top-k-per-key: phase 1 ranks within (source, salt) — ``SALTS``-way
+    fan-out, one narrow shuffle — and keeps at most CAP rows per salt
+    bucket (every global winner's bucket-local rank is <= its global
+    rank, so phase 1 is lossless); phase 2 re-ranks the <= SALTS*CAP
+    survivors per source, a tiny second shuffle. The DuckDB oracle is
+    deliberately the NAIVE single window, so driver agreement proves the
+    two-phase pruning, exactly like pack_corpus_shards' naive-cumsum
+    oracle."""
+    docs = _docs(spark, sf_dir)
+    h = _hash64(
+        [F.col("doc_id").cast("string")], SOURCE_CAP_SEED, "md5"
+    )
+    base = docs.select("doc_id", "source", h.alias("h"))
+    pre = base.withColumn(
+        "salt", F.pmod(F.col("h"), F.lit(SOURCE_CAP_SALTS))
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
+    phase1 = (
+        pre.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= SOURCE_CAP)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        phase1.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= SOURCE_CAP)
+        .select("doc_id", "source", "rk")
+        .orderBy("doc_id")
+    )

@@ -197,3 +197,48 @@ def test_curate_corpus_composition_and_shard_readback(spark, tmp_path):
     }
     got = {(r["doc_id"], r["text"]) for r in back.collect()}
     assert got == want and len(got) > 0
+
+
+def test_source_quota_cap_matches_naive_window_on_skewed_plant(spark, tmp_path):
+    """Two-phase distributed top-k == the naive per-source window, proven
+    on a planted SKEWED corpus (one source far over the cap — the case the
+    two-phase exists for — one exactly at it, one under): the in-test
+    DuckDB mini-oracle runs the driver oracle (the naive window) on the
+    same rows. Under-cap sources keep every doc with dense ranks."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    rows = (
+        [(i, f"t{i}", "en", "hot") for i in range(100)]
+        + [(200 + i, f"u{i}", "en", "at_cap")
+           for i in range(curation.SOURCE_CAP)]
+        + [(300 + i, f"v{i}", "en", "cold") for i in range(3)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = curation.source_quota_cap(spark, str(tmp_path)).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["hot"]) == curation.SOURCE_CAP      # capped
+    assert len(by_src["at_cap"]) == curation.SOURCE_CAP   # kept whole
+    assert len(by_src["cold"]) == 3                       # kept whole
+    for members in by_src.values():
+        assert sorted(r["rk"] for r in members) == list(
+            range(1, len(members) + 1)
+        )
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"]),
+    )
+    got = con.execute(entry.oracle_sql()["source_quota_cap"]).fetchall()
+    cols = [dsc[0] for dsc in con.description]
+    spark_rows = sorted(
+        [tuple(r[c] for c in cols) for r in out]
+    )
+    assert spark_rows == sorted(got)
