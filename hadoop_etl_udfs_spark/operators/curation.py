@@ -268,7 +268,14 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately the NAIVE single window, so driver agreement proves the
     two-phase pruning, exactly like pack_corpus_shards' naive-cumsum
     oracle."""
-    docs = _docs(spark, sf_dir)
+    return source_quota_cap_df(_docs(spark, sf_dir))
+
+
+def source_quota_cap_df(docs: DataFrame) -> DataFrame:
+    """:func:`source_quota_cap`'s composable form over an arbitrary
+    (doc_id, source) DataFrame — what the scale probe feeds with a
+    Zipf-skewed host column (the hot-domain case the two-phase top-k
+    exists for)."""
     h = _hash64(
         [F.col("doc_id").cast("string")], SOURCE_CAP_SEED, "md5"
     )

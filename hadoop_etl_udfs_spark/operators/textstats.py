@@ -284,7 +284,14 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recomputation of the same narrow explode, so the rebuild pays no
     second corpus shuffle — only the per-doc collect it would need anyway.
     Nothing is quadratic and no driver-side collect touches data."""
-    ex = _segment_explode(_docs(spark, sf_dir))
+    return boilerplate_removal_df(_docs(spark, sf_dir))
+
+
+def boilerplate_removal_df(docs: DataFrame) -> DataFrame:
+    """:func:`boilerplate_removal`'s composable form over an arbitrary
+    (doc_id, text) DataFrame — what the scale probe feeds with the
+    synthesized pages corpus."""
+    ex = _segment_explode(docs)
     boiler = (
         ex.select("seg", "doc_id")
         .distinct()
@@ -365,7 +372,12 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, never the corpus. Pass 2 streams the corpus once: explode,
     BROADCAST-join the K-row logprob table, one map-side-combinable
     groupBy(doc_id). Nothing quadratic, no corpus-sized sort or collect."""
-    docs = _docs(spark, sf_dir)
+    return lm_perplexity_scores_df(_docs(spark, sf_dir))
+
+
+def lm_perplexity_scores_df(docs: DataFrame) -> DataFrame:
+    """:func:`lm_perplexity_scores`'s composable form over an arbitrary
+    (doc_id, text) DataFrame."""
     words = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
