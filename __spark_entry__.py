@@ -240,6 +240,9 @@ from hadoop_etl_udfs_spark.operators.similarity import (
     QUERY_EVERY as _QUERY_EVERY,
 )
 from hadoop_etl_udfs_spark.operators.similarity import (
+    RECALL_Q_MAX as _RECALL_Q_MAX,
+)
+from hadoop_etl_udfs_spark.operators.similarity import (
     _planes,
     quantizer_centroids,
 )
@@ -641,6 +644,7 @@ def _ann_recall_sql(k: int = 5) -> str:
             q AS (
                 SELECT vec_id AS q_id, embedding AS qe, bucket
                 FROM b WHERE vec_id % {_QUERY_EVERY} = 0
+                ORDER BY q_id LIMIT {_RECALL_Q_MAX}
             ),
             cand AS (
                 SELECT q.q_id, v.vec_id,
@@ -703,6 +707,7 @@ def _ann_recall_ivf_sql(k: int = 5, n_probe: int = 4) -> str:
             q AS (
                 SELECT vec_id AS q_id, embedding AS qe
                 FROM embeddings WHERE vec_id % {_QUERY_EVERY} = 0
+                ORDER BY q_id LIMIT {_RECALL_Q_MAX}
             ),
             qd AS ({probe_union}),
             pr AS (

@@ -221,7 +221,7 @@ def cosine_topk_batch(
 
 def ann_recall_at_k(
     spark: SparkSession, sf_dir: str, query_every: int = QUERY_EVERY,
-    k: int = 5,
+    k: int = 5, q_max: int | None = None,
 ) -> DataFrame:
     """Recall@k of the LSH-bucketed batch ANN against the exact
     brute-force top-k — the evaluation harness a retrieval pipeline runs
@@ -237,18 +237,37 @@ def ann_recall_at_k(
     break on (rounded cos_sim, vec_id) in both the exact and approximate
     rankings and in the DuckDB oracle, so recall is deterministic."""
     emb = _emb(spark, sf_dir)
-    q = _query_sample(emb, query_every)
+    q = _query_sample(emb, query_every, q_max or RECALL_Q_MAX)
     approx = cosine_topk_batch(spark, sf_dir, query_every, k).select(
         "q_id", "vec_id"
     )
+    # approx rows for q_ids past the cap drop out in the recall join
+    # (the output starts from the capped q sample)
     return _recall_vs_exact(emb, q, approx, k)
 
 
-def _query_sample(emb: DataFrame, query_every: int) -> DataFrame:
-    """The deterministic stride query sample both recall harnesses share."""
-    return emb.filter(F.col("vec_id") % query_every == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_embedding"),
+RECALL_Q_MAX = 128  # absolute cap on the recall-harness evaluation sample
+
+
+def _query_sample(
+    emb: DataFrame, query_every: int, q_max: int = RECALL_Q_MAX
+) -> DataFrame:
+    """The deterministic stride query sample both recall harnesses share,
+    capped ABSOLUTELY at ``q_max`` (lowest vec_ids — orderBy + limit is a
+    distributed TakeOrdered, never a full collect). The stride alone grows
+    the sample LINEARLY with the corpus, which would grow the IVF
+    harness's driver-side probe collect with it (r7 verdict watch item);
+    the cap bounds the eval sample — hence the collect — at any scale.
+    Mirrored in the oracle generators' q CTE (ORDER BY q_id LIMIT q_max),
+    and pinned by test_recall_query_sample_is_capped."""
+    return (
+        emb.filter(F.col("vec_id") % query_every == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_embedding"),
+        )
+        .orderBy("q_id")
+        .limit(q_max)
     )
 
 
@@ -297,7 +316,7 @@ def _recall_vs_exact(
 
 def ann_recall_at_k_ivf(
     spark: SparkSession, sf_dir: str, query_every: int = QUERY_EVERY,
-    k: int = 5, n_probe: int = 4,
+    k: int = 5, n_probe: int = 4, q_max: int | None = None,
 ) -> DataFrame:
     """Recall@k of the IVF search against the exact brute-force top-k —
     the IVF twin of :func:`ann_recall_at_k`, completing the evaluation
@@ -307,8 +326,9 @@ def ann_recall_at_k_ivf(
     Per sampled query the n_probe nearest cells are selected exactly as
     :func:`cosine_topk_ivf` does — float64 quantizer distances, stable
     argsort (ties to the lower cell) — computed driver-side over the
-    BOUNDED query sample (Q rows, never the corpus; the same
-    metadata-scale collect as the single-query path). Candidates are the
+    BOUNDED query sample (never the corpus, and capped absolutely at
+    ``RECALL_Q_MAX`` since r8: the bare stride grew Q linearly with the
+    corpus, growing this collect with it — r7 verdict). Candidates are the
     corpus vectors whose kernel-assigned cell is probed by that query —
     the (q_id, cell) probe table is tiny (Q * n_probe rows) and
     broadcast, so the approximate side scans the corpus once; the exact
@@ -320,14 +340,13 @@ def ann_recall_at_k_ivf(
     # candidate scoring, exact side) — materialize it once instead of
     # re-scanning the corpus per use (the CC-operator localCheckpoint
     # precedent, eda6a77)
-    q = _query_sample(emb, query_every).localCheckpoint(eager=True)
-    c64 = centroids.astype(np.float64)
+    q = _query_sample(
+        emb, query_every, q_max or RECALL_Q_MAX
+    ).localCheckpoint(eager=True)
     probe_rows = []
-    for r in q.collect():  # bounded: the stride query sample
-        qv = np.asarray(r["q_embedding"], dtype=np.float64)
-        d2 = ((c64 - qv) ** 2).sum(axis=1)
-        for c in np.argsort(d2, kind="stable")[:n_probe]:
-            probe_rows.append((int(r["q_id"]), int(c)))
+    for r in q.collect():  # bounded: the capped stride query sample
+        for c in _probe_cells(centroids, r["q_embedding"], n_probe):
+            probe_rows.append((int(r["q_id"]), c))
     probe = spark.createDataFrame(probe_rows, "q_id long, cell int")
     cand = (
         _with_cell(emb, "embedding", centroids)
@@ -450,6 +469,26 @@ def train_ivf_centroids(
     return centroids.astype(np.float32)
 
 
+def _probe_cells(
+    centroids: np.ndarray, q_vec, n_probe: int
+) -> list[int]:
+    """The query's ``n_probe`` nearest coarse cells: float64 squared
+    distances, stable argsort (ties to the lower cell). The per-cell
+    distance accumulates LEFT-TO-RIGHT over dimensions — the exact fold
+    ``_cell_assign_udf`` and the DuckDB ``_ivf_dist_sql`` oracle use.
+    ``((c - q) ** 2).sum(axis=1)`` would use numpy's pairwise summation,
+    which could order a near-tied centroid pair differently from the
+    oracle (r7 advice) — the repo treats fp fold order as load-bearing,
+    so every probe-selection site goes through this one helper."""
+    c64 = centroids.astype(np.float64)
+    q64 = np.asarray(q_vec, dtype=np.float64)
+    d2 = np.zeros(c64.shape[0], dtype=np.float64)
+    for j in range(c64.shape[1]):
+        diff = c64[:, j] - q64[j]
+        d2 += diff * diff
+    return [int(c) for c in np.argsort(d2, kind="stable")[:n_probe]]
+
+
 def _query_vec(emb: DataFrame, query_vec_id: int) -> np.ndarray:
     """The query vector as float64, failing LOUD when the id is absent —
     a bare ``collect()[0]`` raised an opaque IndexError instead (r6 advice)."""
@@ -563,10 +602,7 @@ def cosine_topk_ivf(
     if centroids is None:
         centroids = quantizer_centroids()
     q_vec = _query_vec(emb, query_vec_id)
-    # float64 + stable sort: matches the oracle's double distances and
-    # first-cell tie-break
-    d2 = ((centroids.astype(np.float64) - q_vec) ** 2).sum(axis=1)
-    probe_cells = [int(c) for c in np.argsort(d2, kind="stable")[:n_probe]]
+    probe_cells = _probe_cells(centroids, q_vec, n_probe)
     q = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_embedding")
     )
@@ -744,9 +780,7 @@ def cosine_topk_ivf_over_sink(
 
     if centroids is None:
         centroids = load_ivf_centroids(out_dir)
-    q_vec = np.asarray(query_vec, dtype=np.float64)
-    d2 = ((centroids.astype(np.float64) - q_vec) ** 2).sum(axis=1)
-    probe_cells = [int(c) for c in np.argsort(d2, kind="stable")[:n_probe]]
+    probe_cells = _probe_cells(centroids, query_vec, n_probe)
     dec = decode_chunks_where_clustered(
         spark, out_dir, lo=min(probe_cells), hi=max(probe_cells),
         schema="vec_id bigint, embedding array<float>, cell int",
@@ -815,8 +849,7 @@ def cosine_topk_ivf_over_encoded(
     ).localCheckpoint()
 
     q_vec = _query_vec(emb, query_vec_id)
-    d2 = ((centroids.astype(np.float64) - q_vec) ** 2).sum(axis=1)
-    probe_cells = [int(c) for c in np.argsort(d2, kind="stable")[:n_probe]]
+    probe_cells = _probe_cells(centroids, q_vec, n_probe)
 
     # chunk-level pruning on the cluster stamps: a chunk survives iff its
     # [cluster_lo, cluster_hi] cell range covers SOME probe cell. Stamps

@@ -91,8 +91,13 @@ def start_curated_encode_stream(
     )
 
     # derived, not hard-coded: a DOCUMENTS_SCHEMA edit must tighten the
-    # torn-write resume check automatically (r7 review)
-    n_columns = len(DOCUMENTS_SCHEMA.split(","))
+    # torn-write resume check automatically (r7 review). Parsed via the DDL
+    # parser, NOT a comma split — a comma-bearing type added later
+    # (decimal(10,2), struct<...>) would silently inflate the count and
+    # make completed_chunk_ids use a wrong arity (r7 advice)
+    from pyspark.sql.types import StructType
+
+    n_columns = len(StructType.fromDDL(DOCUMENTS_SCHEMA).fields)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         done = lineage.completed_chunk_ids(spark, out_dir, n_columns=n_columns)

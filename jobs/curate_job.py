@@ -168,10 +168,16 @@ def main() -> None:
             spark, args.output, lo=mid, hi=mid, schema=CURATED_SCHEMA
         ).filter(F.col("shard_id") == mid)
         want = with_shard.filter(F.col("shard_id") == mid)
+        # full-ROW symmetric difference, both directions: the old
+        # union-occurrence counter passed a doc_id duplicated on one side
+        # and missing from the other (2 = 2), and never compared payload
+        # columns (r7 advice) — exceptAll is multiset-exact
+        from pyspark.sql.types import StructType
+
+        cols = [f.name for f in StructType.fromDDL(CURATED_SCHEMA).fields]
         diff = (
-            got.select("doc_id").unionAll(want.select("doc_id"))
-            .groupBy("doc_id").agg(F.count("*").alias("c"))
-            .filter(F.col("c") != 2).count()
+            got.select(*cols).exceptAll(want.select(*cols)).count()
+            + want.select(*cols).exceptAll(got.select(*cols)).count()
         )
         total_chunks = int(agg["chunks"])
         kept = (
@@ -186,7 +192,7 @@ def main() -> None:
         check = {
             "shard": mid,
             "docs_expected": want.count(),
-            "doc_id_mismatches": diff,
+            "row_mismatches": diff,
             "exact": diff == 0,
             "chunks_kept": kept,
             "chunks_total": total_chunks,

@@ -240,6 +240,20 @@ def test_ivf_recall_rises_with_n_probe_and_is_exact_at_full_probe(spark):
     assert means[-1] == 1.0
 
 
+def test_recall_query_sample_is_capped(spark):
+    """The recall harnesses' eval sample is bounded ABSOLUTELY (r7 verdict
+    watch item: the bare stride grew Q — and the IVF harness's driver-side
+    probe collect — linearly with the corpus). With query_every=1 every
+    vec_id qualifies; the cap must keep exactly the q_max lowest q_ids,
+    in both harnesses."""
+    for fn in (similarity.ann_recall_at_k, similarity.ann_recall_at_k_ivf):
+        rows = fn(spark, SF, query_every=1, k=3, q_max=4).collect()
+        assert [r["q_id"] for r in rows] == [0, 1, 2, 3]
+    # and the default cap leaves the gate-scale sample (500/100 = 5 queries,
+    # far under RECALL_Q_MAX) untouched
+    assert similarity.ann_recall_at_k_ivf(spark, SF).count() == 5
+
+
 def test_ngram_shingle_df_cap_bounds_join(spark, tmp_path):
     """Planted stopword-heavy corpus: a shingle appearing in every doc is a
     quadratic join bomb — the DF cap must drop it from the shingle universe,
