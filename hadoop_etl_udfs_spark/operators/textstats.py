@@ -287,10 +287,45 @@ def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_removal_df(_docs(spark, sf_dir))
 
 
+def boilerplate_clean_df(docs: DataFrame) -> DataFrame:
+    """Curation-stage form of :func:`boilerplate_removal` (round 8): the
+    SAME decision table, but emitting the cleaned TEXT itself — surviving
+    segments re-joined in original order — with every other input column
+    carried through, and all-boilerplate documents (zero kept segments)
+    DROPPED from the corpus. This is the shape a pipeline stage needs
+    (:func:`curation.curate_corpus`'s ``boilerplate=`` stage feeds the
+    cleaned text to the LM/dedup/packing stages downstream); the md5
+    projection form above is the driver/oracle shape. One extra doc_id
+    join to carry the non-text columns — the segment machinery is shared
+    (:func:`_boilerplate_agg`)."""
+    agg = _boilerplate_agg(docs)
+    cleaned = agg.filter(F.col("n_kept_segs") > 0).select(
+        "doc_id", F.col("_clean_txt").alias("text")
+    )
+    return cleaned.join(docs.drop("text"), "doc_id").select(*docs.columns)
+
+
 def boilerplate_removal_df(docs: DataFrame) -> DataFrame:
     """:func:`boilerplate_removal`'s composable form over an arbitrary
     (doc_id, text) DataFrame — what the scale probe feeds with the
     synthesized pages corpus."""
+    # an all-boilerplate doc keeps zero segments: NULL md5 (not md5("")),
+    # matching the oracle's string_agg(...) FILTER returning NULL
+    return _boilerplate_agg(docs).select(
+        "doc_id",
+        "n_segs",
+        "n_kept_segs",
+        "n_boiler_segs",
+        F.when(F.col("n_kept_segs") > 0, F.md5("_clean_txt")).alias(
+            "clean_md5"
+        ),
+    ).orderBy("doc_id")
+
+
+def _boilerplate_agg(docs: DataFrame) -> DataFrame:
+    """Shared machinery of the two boilerplate forms: per doc, segment
+    counts and the cleaned text (``_clean_txt``) with corpus-level
+    boilerplate segments removed."""
     ex = _segment_explode(docs)
     boiler = (
         ex.select("seg", "doc_id")
@@ -307,7 +342,7 @@ def boilerplate_removal_df(docs: DataFrame) -> DataFrame:
         "seg",
         F.coalesce("is_boiler", F.lit(False)).alias("is_boiler"),
     )
-    agg = flagged.groupBy("doc_id").agg(
+    return flagged.groupBy("doc_id").agg(
         F.min("n_segs").alias("n_segs"),
         F.sum(F.when(~F.col("is_boiler"), 1).otherwise(0))
         .cast("long")
@@ -327,17 +362,6 @@ def boilerplate_removal_df(docs: DataFrame) -> DataFrame:
             " ",
         ).alias("_clean_txt"),
     )
-    # an all-boilerplate doc keeps zero segments: NULL md5 (not md5("")),
-    # matching the oracle's string_agg(...) FILTER returning NULL
-    return agg.select(
-        "doc_id",
-        "n_segs",
-        "n_kept_segs",
-        "n_boiler_segs",
-        F.when(F.col("n_kept_segs") > 0, F.md5("_clean_txt")).alias(
-            "clean_md5"
-        ),
-    ).orderBy("doc_id")
 
 
 LM_TOP_K = 24                    # vocabulary cap (production: ~100k)
@@ -474,16 +498,52 @@ def corpus_split_neardup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment stability under corpus growth is traded for cluster-level
     consistency — a NEW near-dup edge can re-cluster a doc and move its
     split. Exact duplicates still agree by construction (identical
-    fingerprints bucket together even as singletons)."""
-    from .dedup import _hash64, dedup_clusters_star_checked
+    fingerprints bucket together even as singletons).
 
-    docs = _docs(spark, sf_dir)
-    clusters = dedup_clusters_star_checked(spark, sf_dir).select(
-        "doc_id", "cluster_rep"
-    )
+    This driver row is the md5 form of :func:`corpus_split_neardup_safe_df`
+    (the ``*_checked`` convention) — production pipelines compose the
+    xxhash64 form, e.g. as :func:`curation.curate_corpus`'s split stage."""
+    return corpus_split_neardup_safe_df(
+        _docs(spark, sf_dir), method="md5"
+    ).orderBy("doc_id")
+
+
+def corpus_split_neardup_safe_df(
+    docs: DataFrame, method: str = "xxhash64"
+) -> DataFrame:
+    """:func:`corpus_split_neardup_safe`'s composable form over an arbitrary
+    (doc_id, text) DataFrame (round 8; r7 verdict item 3 — every sibling
+    operator already had a production-hash ``_df`` twin, this one existed
+    only as the md5 driver shape). ``method`` picks the near-dup hash
+    family: ``xxhash64`` is the production path, ``md5`` reproduces the
+    driver row's oracle values.
+
+    The SPLIT bucket itself stays the md5 fingerprint expression in BOTH
+    forms: the split is a content-hash POLICY (corpus_split's expression,
+    shared so singletons get identical splits under either hash family and
+    only the cluster graph varies with ``method``)."""
+    from .dedup import duplicate_clusters_star, minhash_lsh_pairs_df
+
+    clusters = duplicate_clusters_star(
+        minhash_lsh_pairs_df(docs, method=method)
+    ).select("doc_id", "cluster_rep")
+    return neardup_safe_split_assign(docs, clusters)
+
+
+def neardup_safe_split_assign(
+    docs: DataFrame, clusters: DataFrame
+) -> DataFrame:
+    """The split-ASSIGNMENT half of the near-dup-safe split, over
+    PRECOMPUTED cluster labels (doc_id, cluster_rep): docs absent from
+    ``clusters`` represent themselves; every doc gets its representative's
+    content-hash bucket. Split out so :func:`curation.curate_corpus`'s
+    split stage reuses the labels its keep-best stage already built — the
+    assignment costs one rep_id join, never a second minhash/CC run."""
+    from .dedup import _hash64
+
     rep = (
         docs.select("doc_id")
-        .join(clusters, "doc_id", "left")
+        .join(clusters.select("doc_id", "cluster_rep"), "doc_id", "left")
         .select(
             "doc_id", F.coalesce("cluster_rep", "doc_id").alias("rep_id")
         )
@@ -497,10 +557,8 @@ def corpus_split_neardup_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("rep_bucket") < SPLIT_BOUNDS[1], "val")
         .otherwise("test")
     )
-    return (
-        rep.join(rep_buckets, "rep_id")
-        .select("doc_id", "rep_id", "rep_bucket", split.alias("split"))
-        .orderBy("doc_id")
+    return rep.join(rep_buckets, "rep_id").select(
+        "doc_id", "rep_id", "rep_bucket", split.alias("split")
     )
 
 

@@ -199,6 +199,63 @@ def test_curate_corpus_composition_and_shard_readback(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_curate_corpus_boilerplate_stage(spark):
+    """The boilerplate stage of the composed pipeline (round 8; this stage
+    stays OFF in the driver's curate_corpus_checked — its oracle twin
+    would need full cleaned-text reconstruction in SQL, so the composition
+    is pinned here instead). Three proofs on a planted corpus where the
+    stage is HOT: (1) slotting boilerplate_clean_df into the chain equals
+    hand-composing it around the (idempotent) sample gate; (2) the cleaned
+    TEXT flowing downstream hashes to exactly the oracle-checked
+    boilerplate_removal clean_md5 per doc; (3) the all-boilerplate doc is
+    dropped and carriers lose the shared segment (n_tokens shrink)."""
+    import hashlib
+
+    from hadoop_etl_udfs_spark.operators import textstats
+
+    B = " ".join(f"boiler{j}" for j in range(textstats.SEGMENT_WORDS))
+    rows = []
+    for i in range(12):  # carrier docs: boiler segment + unique tail
+        uniq = " ".join(f"carrier{i}w{j}" for j in range(10))
+        rows.append((1000 + i, f"{B} {uniq}", "zh", "s1"))
+    rows.append((2000, B, "zh", "s1"))  # all-boilerplate doc
+    for i in range(6):
+        rows.append(
+            (3000 + i, " ".join(f"plain{i}w{j}" for j in range(20)), "zh", "s2")
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    sampled = curation.stratified_sample_df(docs).localCheckpoint()
+    sampled_ids = {r["doc_id"] for r in sampled.select("doc_id").collect()}
+    carriers = {d for d in sampled_ids if 1000 <= d < 2000}
+    assert len(carriers) >= textstats.BOILERPLATE_MIN_DOCS  # stage is hot
+
+    got = curation.curate_corpus(
+        docs, method="md5", boilerplate=True
+    ).localCheckpoint()
+    expected = curation.curate_corpus(
+        textstats.boilerplate_clean_df(sampled), method="md5"
+    )
+    cols = ["doc_id", "text", "lang", "source", "n_tokens", "shard_id"]
+    snap = lambda df: sorted(tuple(r) for r in df.select(*cols).collect())
+    assert snap(got) == snap(expected)
+
+    got_rows = {r["doc_id"]: r for r in got.collect()}
+    assert 2000 not in got_rows  # all-boilerplate doc dropped
+    md5s = {
+        r["doc_id"]: r["clean_md5"]
+        for r in textstats.boilerplate_removal_df(sampled).collect()
+    }
+    for d, r in got_rows.items():
+        # the text each downstream stage consumed IS the oracle-checked
+        # cleaned text
+        assert hashlib.md5(r["text"].encode()).hexdigest() == md5s[d]
+        if d in carriers:
+            assert "boiler0" not in r["text"]
+            assert r["n_tokens"] == 10  # the unique tail only
+
+
 def test_source_quota_cap_matches_naive_window_on_skewed_plant(spark, tmp_path):
     """Two-phase distributed top-k == the naive per-source window, proven
     on a planted SKEWED corpus (one source far over the cap — the case the

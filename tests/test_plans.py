@@ -541,6 +541,40 @@ def test_neardup_safe_split_keeps_clusters_in_one_split(spark):
     assert all(len(s) == 1 for s in splits_per_cluster.values())
 
 
+def test_neardup_safe_split_production_hash_form(spark):
+    """The xxhash64 composable form (r7 verdict item 3): same leakage
+    guarantee — one split per PRODUCTION-hash cluster — and singletons get
+    exactly corpus_split's content-hash assignment (the split bucket is the
+    shared md5 policy expression; only the cluster graph varies with the
+    hash family)."""
+    from hadoop_etl_udfs_spark.operators import dedup, textstats
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = textstats.corpus_split_neardup_safe_df(docs, method="xxhash64")
+    clustered = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dedup.duplicate_clusters_star(
+            dedup.minhash_lsh_pairs_df(docs, method="xxhash64")
+        ).collect()
+    }
+    assert clustered  # the corpus does contain production-hash clusters
+    base = {
+        r["doc_id"]: r["bucket"]
+        for r in textstats.corpus_split(spark, sf).collect()
+    }
+    splits_per_cluster = {}
+    for r in out.collect():
+        if r["doc_id"] in clustered:
+            assert r["rep_id"] == clustered[r["doc_id"]]
+            splits_per_cluster.setdefault(r["rep_id"], set()).add(r["split"])
+        else:
+            assert r["rep_id"] == r["doc_id"]
+            assert r["rep_bucket"] == base[r["doc_id"]]
+    assert splits_per_cluster
+    assert all(len(s) == 1 for s in splits_per_cluster.values())
+
+
 def test_content_flags_on_text_with_real_emails_and_urls(spark, tmp_path):
     """content_flags must not crash — and must count — on text that actually
     contains emails/URLs. The patterns have zero capture groups, so
