@@ -205,20 +205,30 @@ def run_decode_draw(workdir: str) -> float:
         spark.stop()
 
 
-def _dedup_corpus(spark, pages_path: str, target_docs: int):
+def _dedup_corpus(spark, pages_path: str, target_docs: int,
+                  carry_cols: bool = False):
     """A target_docs-sized slice of the pages table + PLANTED near-dup
     variants (the synthetic corpus has no organic near-dups — 0 candidate
     pairs measured): ~1/4 of sliced docs get a one-token-appended variant,
     half of those a second variant (3-node clusters exercise the
-    contraction beyond trivial pairs)."""
+    contraction beyond trivial pairs). ``carry_cols=True`` also carries
+    the pages' lang and the url HOST as ``source`` — the curation
+    pipeline's quota-cap/mix stages need the real Zipf-skewed host
+    distribution, not a constant."""
     from pyspark.sql import functions as F
 
+    extra = (
+        [F.col("lang"),
+         F.regexp_extract("url", r"https?://([^/]+)/", 1).alias("source")]
+        if carry_cols else []
+    )
     stride = max(1, N_DOCS // target_docs)
     base = (
         _pages(spark, pages_path)
-        .select(F.xxhash64("url").alias("doc_id"), "text")
+        .select(F.xxhash64("url").alias("doc_id"), F.col("text"), *extra)
         .filter(F.pmod(F.col("doc_id"), F.lit(stride)) == 0)
     )
+    carry = [c for c in base.columns if c not in ("doc_id", "text")]
     # variant selection re-hashes the id — pmod on the RAW id would
     # correlate with the stride filter and plant a variant on EVERY doc;
     # variant ids are REHASHED, not offset (doc_id + c can overflow int64,
@@ -227,10 +237,12 @@ def _dedup_corpus(spark, pages_path: str, target_docs: int):
     v1 = base.filter(h < 2).select(
         F.xxhash64(F.col("doc_id"), F.lit(1)).alias("doc_id"),
         F.concat("text", F.lit(" neardup variant marker")).alias("text"),
+        *carry,
     )
     v2 = base.filter(h < 1).select(
         F.xxhash64(F.col("doc_id"), F.lit(2)).alias("doc_id"),
         F.concat("text", F.lit(" neardup second variant")).alias("text"),
+        *carry,
     )
     return base.unionByName(v1).unionByName(v2)
 
@@ -286,15 +298,19 @@ def run_dedup_pipeline(pages_path: str, target_docs: int) -> dict:
 
 
 def run_curate_pipeline(pages_path: str, workdir: str) -> dict:
-    """The curation layer end-to-end (r6 verdict item 4), in-process twin of
-    jobs/curate_job.py: stratified sample -> keep-best near-dup resolution
-    (losers dropped) -> token-budget shard packing -> shard-clustered chunk
-    sink -> cluster-stamp-pruned read-back of one shard (exactness
-    asserted)."""
+    """The curation layer end-to-end (r6 verdict item 4; since round 8 the
+    FULL C4/CCNet-shaped chain — r7 verdict item 1), in-process twin of
+    jobs/curate_job.py with every stage on: stratified sample -> per-source
+    quota cap (the pages' real Zipf host distribution) -> cross-doc
+    boilerplate removal -> unigram-LM perplexity filter (relative cut,
+    worst third) -> keep-best near-dup resolution (losers dropped) ->
+    token-budget shard packing -> near-dup-safe split column ->
+    shard-clustered chunk sink -> cluster-stamp-pruned read-back of one
+    shard (exactness asserted)."""
     from pyspark.sql import functions as F
 
     from hadoop_etl_udfs_spark.operators.curation import (
-        CURATED_SCHEMA,
+        CURATED_SPLIT_SCHEMA,
         curate_corpus,
     )
     from hadoop_etl_udfs_spark.operators.encode import encode_pages
@@ -305,10 +321,7 @@ def run_curate_pipeline(pages_path: str, workdir: str) -> dict:
 
     spark = _session(CPUS, shuffle_partitions=max(32, CPUS))
     try:
-        docs = _dedup_corpus(spark, pages_path, DEDUP_DOCS).select(
-            "doc_id", "text",
-            F.lit("en").alias("lang"), F.lit("cc").alias("source"),
-        )
+        docs = _dedup_corpus(spark, pages_path, DEDUP_DOCS, carry_cols=True)
         n_in = docs.count()
         # ONE composition definition (curation.curate_corpus); the hook
         # materializes each stage with its own timer
@@ -323,7 +336,10 @@ def run_curate_pipeline(pages_path: str, workdir: str) -> dict:
             mark[0] = time.time()
             return df
 
-        with_shard = curate_corpus(docs, stage_hook=hook)
+        with_shard = curate_corpus(
+            docs, stage_hook=hook, source_cap=True, boilerplate=True,
+            lm_filter=True, lm_drop_frac=1 / 3, split=True,
+        )
         n_shards = int(with_shard.agg(F.max("shard_id")).collect()[0][0]) + 1
         t0 = time.time()
         out = os.path.join(workdir, "curated_sink")
@@ -343,7 +359,7 @@ def run_curate_pipeline(pages_path: str, workdir: str) -> dict:
             F.col("shard_id") >= n_shards // 2
         ).agg(F.min("shard_id")).collect()[0][0])
         back = decode_chunks_where_clustered(
-            spark, out, lo=mid, hi=mid, schema=CURATED_SCHEMA
+            spark, out, lo=mid, hi=mid, schema=CURATED_SPLIT_SCHEMA
         ).filter(F.col("shard_id") == mid)
         n_back = back.count()
         n_want = with_shard.filter(F.col("shard_id") == mid).count()
@@ -351,6 +367,7 @@ def run_curate_pipeline(pages_path: str, workdir: str) -> dict:
         assert n_back == n_want and n_back > 0, (n_back, n_want)
         return {
             "docs_in": n_in,
+            "stage_counts": counts,
             "docs_sampled": counts["stratified_sample"],
             "docs_after_dedup": counts["dedup_keep_best"],
             "n_shards": n_shards,
@@ -364,6 +381,79 @@ def run_curate_pipeline(pages_path: str, workdir: str) -> dict:
         }
     finally:
         spark.stop()
+
+
+def run_ann_sink(workdir: str) -> dict:
+    """The ON-DISK ANN path at scale, through the PACKAGED job (r7 verdict
+    item 5): synthesize an sf-proportional embeddings table (1M vectors at
+    sf0.1), spark-submit ``jobs/ann_job.py build`` (cell assign ->
+    range-coherent layout -> flist chunk encode -> quantizer persisted
+    beside the sink), then ``search --compare-full`` — one query through
+    the cluster-stamp-pruned decode AND through a full decode of the same
+    sink (value equality asserted in-job), reporting both walls plus
+    chunks kept/total and sink bytes. The pruned/full wall ratio is what
+    the stamps buy END-TO-END through the packaged entry points, the
+    operational twin of the in-process ``pruned_decode`` entry."""
+    import math
+    import subprocess
+
+    from pyspark.sql import functions as F
+
+    from hadoop_etl_udfs_spark.operators.similarity import DIM
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    n = min(1_000_000, max(50_000, int(10_000_000 * SF)))
+    emb_path = os.path.join(workdir, "ann_emb")
+    sink = os.path.join(workdir, "ann_sink")
+    spark = _session(CPUS, shuffle_partitions=max(32, CPUS))
+    try:
+        # (id + 1): sin(0 * j) would make row 0 the all-zero vector, whose
+        # cosine norm divides by zero under ANSI
+        spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(1, {DIM}), "
+                "j -> cast(sin((id + 1) * j) as float))"
+            ).alias("embedding"),
+        ).repartition(max(32, CPUS)).write.mode("overwrite").parquet(emb_path)
+    finally:
+        spark.stop()
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "package.py")],
+        check=True, capture_output=True,
+    )
+    zip_path = os.path.join(repo, "dist", "hadoop_etl_udfs_spark.zip")
+
+    def _job(args: list[str]) -> dict:
+        proc = subprocess.run(
+            ["spark-submit", "--master", f"local[{CPUS}]",
+             "--py-files", zip_path,
+             os.path.join(repo, "jobs", "ann_job.py"), *args],
+            check=True, capture_output=True, text=True, cwd=repo,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    build = _job(["build", "--input", emb_path, "--sink", sink])
+    q = [math.sin(7 * j) for j in range(1, DIM + 1)]
+    search = _job([
+        "search", "--sink", sink, "--query-json", json.dumps(q),
+        "--compare-full",
+    ])
+    assert search["pruned_equals_full"]
+    return {
+        "n_vectors": n,
+        "build_wall_s": build["wall_s"],
+        "chunks": build["chunks"],
+        "bytes_in": build["bytes_in"],
+        "bytes_out": build["bytes_out"],
+        "sink_bytes": _dir_bytes(sink),
+        "search_chunks_kept": search["chunks_kept"],
+        "search_chunks_total": search["chunks_total"],
+        "search_first_wall_s": search["wall_s"],  # incl. session warmup
+        "search_pruned_wall_s": search["pruned_wall_s"],
+        "search_full_decode_wall_s": search["full_decode_wall_s"],
+        "pruned_equals_full": search["pruned_equals_full"],
+    }
 
 
 def run_lsh_bucket_scan(spark) -> dict:
@@ -780,6 +870,11 @@ def main() -> None:
         # shard-clustered chunk sink -> pruned read-back of one shard.
         result["curate_pipeline"] = run_curate_pipeline(pages_path, workdir)
 
+        # the on-disk ANN index + search through the packaged job (r7
+        # verdict item 5): build wall, sink bytes, chunks kept/total on a
+        # search, and the stamp-pruned vs full-decode search walls.
+        result["ann_sink"] = run_ann_sink(workdir)
+
         # full evidence object -> BENCH/ file; LAST stdout line is a COMPACT
         # headline (round-4 verdict item 2: the driver keeps a byte-bounded
         # tail of stdout, and r4's single grown JSON line outgrew it —
@@ -811,6 +906,7 @@ def main() -> None:
             "dedup_pipeline": result["dedup_pipeline"],
             "dedup_pipeline_scale": result.get("dedup_pipeline_scale"),
             "curate_pipeline": result["curate_pipeline"],
+            "ann_sink": result["ann_sink"],
             "full_evidence": "BENCH/bench_sf%s_full_latest.json" % SF,
         }
         print(json.dumps(headline))

@@ -176,6 +176,7 @@ def curate_corpus(
     source_cap: bool = False,
     boilerplate: bool = False,
     lm_filter: bool = False,
+    lm_drop_frac: float | None = None,
     split: bool = False,
 ) -> DataFrame:
     """The curation layer composed END-TO-END (round-7; extended round-8 to
@@ -187,7 +188,9 @@ def curate_corpus(
         text, drops all-boilerplate docs — the C4 cleanup step)
       → unigram-LM perplexity filter    (``lm_filter=True``; trained on the
         corpus as it stands HERE, i.e. post-cap/post-cleanup — the CCNet
-        order: clean first, then score)
+        order: clean first, then score. ``lm_drop_frac`` switches the cut
+        from the absolute micro-nat threshold to the CCNet-style relative
+        one: drop the worst fraction by per-token NLL)
       → best-in-cluster near-dup resolution (losers dropped)
       → token-budget shard packing
       → near-dup-safe split column      (``split=True``; reuses the dedup
@@ -234,11 +237,23 @@ def curate_corpus(
     if lm_filter:
         from .textstats import lm_perplexity_scores_df
 
-        flagged = (
-            lm_perplexity_scores_df(sampled)
-            .filter(F.col("lm_flag"))
-            .select("doc_id")
-        )
+        scores = lm_perplexity_scores_df(sampled)
+        if lm_drop_frac is not None:
+            # CCNet-style RELATIVE cut: drop the worst lm_drop_frac tail
+            # by per-token avg NLL. The fixed micro-nat threshold
+            # (lm_flag) is an absolute policy tuned to a corpus family —
+            # on a word-diverse corpus (e.g. the synthesized pages table)
+            # it flags ~everything, which is a threshold artifact, not a
+            # quality signal; production LM filters cut at perplexity
+            # percentiles for exactly this reason. One 1-row
+            # percentile_approx collect (metadata-scale).
+            nll = -F.col("sum_lp_micro") / F.col("n_tokens")
+            cut = scores.agg(
+                F.percentile_approx(nll, 1.0 - lm_drop_frac).alias("c")
+            ).collect()[0]["c"]
+            flagged = scores.filter(nll > cut).select("doc_id")
+        else:
+            flagged = scores.filter(F.col("lm_flag")).select("doc_id")
         sampled = hook("lm_filter", sampled.join(flagged, "doc_id", "left_anti"))
     labels = dedup_keep_best_df(sampled, method=method)
     if split:

@@ -334,7 +334,21 @@ def ann_recall_at_k_ivf(
     broadcast, so the approximate side scans the corpus once; the exact
     side and the recall join are shared with the LSH harness
     (:func:`_recall_vs_exact`)."""
-    emb = _emb(spark, sf_dir)
+    return ann_recall_at_k_ivf_df(
+        _emb(spark, sf_dir), query_every, k, n_probe, q_max
+    )
+
+
+def ann_recall_at_k_ivf_df(
+    emb: DataFrame, query_every: int = QUERY_EVERY,
+    k: int = 5, n_probe: int = 4, q_max: int | None = None,
+) -> DataFrame:
+    """:func:`ann_recall_at_k_ivf`'s composable form over an arbitrary
+    (vec_id, embedding) DataFrame — e.g. the DECODED side of the engine's
+    own compressed sink (test_ivf_recall_identical_over_decoded_sink runs
+    it on both and asserts identical recall: the evaluation harness, like
+    every query here, must answer the same over the compressed corpus)."""
+    spark = emb.sparkSession
     centroids = quantizer_centroids()
     # the bounded query sample is read three times (probe-cell collect,
     # candidate scoring, exact side) — materialize it once instead of
@@ -752,10 +766,22 @@ def build_ivf_encoded_sink(
     return centroids
 
 
+def _cell_ranges(cells: list[int]) -> list[tuple[int, int]]:
+    """Maximal runs of consecutive cells as [lo, hi] ranges — the shape
+    decode_chunks_where_clustered's OR-of-ranges predicate wants."""
+    runs: list[tuple[int, int]] = []
+    for c in sorted(cells):
+        if runs and c == runs[-1][1] + 1:
+            runs[-1] = (runs[-1][0], c)
+        else:
+            runs.append((c, c))
+    return runs
+
+
 def cosine_topk_ivf_over_sink(
     spark: SparkSession, out_dir: str, query_vec, k: int = 10,
     n_probe: int = 4, centroids: np.ndarray | None = None,
-    exclude_vec_id: int | None = None,
+    exclude_vec_id: int | None = None, prune: bool = True,
 ) -> DataFrame:
     """IVF search against the ON-DISK encoded sink
     (:func:`build_ivf_encoded_sink`): the operational twin of
@@ -766,25 +792,35 @@ def cosine_topk_ivf_over_sink(
     plan-asserted in tests), so pruned chunks' payload row groups are
     never read, not merely filtered post-scan.
 
-    One [min(probes), max(probes)] range feeds the scan (a single range
-    keeps the decode chunk-atomic — per-probe decodes could double-decode
-    a chunk spanning two probed cells); the exact ``cell IN probes``
-    filter on the decoded rows makes membership exact. ``query_vec`` is
+    The probe cells feed the scan as maximal runs of CONSECUTIVE cells
+    (r8: one OR-of-ranges predicate in a single decode call — chunk-atomic
+    because it is still one scan, and scattered probes no longer drag in
+    every chunk between min and max the way the old single envelope range
+    did); the exact ``cell IN probes`` filter on the decoded rows makes
+    membership exact. ``query_vec`` is
     the raw float32 vector (the sink is the only table this function
     touches — operational shape: query arrives from outside). With
     ``centroids=None`` the quantizer persisted BESIDE the sink is loaded
     (:func:`load_ivf_centroids`) — searches must use the centroids the
     index was built with, so there is deliberately no silent fallback to
-    the demo quantizer."""
-    from ..plans.lineage import decode_chunks_where_clustered
+    the demo quantizer. ``prune=False`` decodes the WHOLE sink instead of
+    the stamp-pruned range — same results by construction; it exists so
+    jobs/ann_job.py can measure what the pruning buys end-to-end."""
+    from ..plans.lineage import decode_chunks_where_clustered, read_encoded
 
     if centroids is None:
         centroids = load_ivf_centroids(out_dir)
     probe_cells = _probe_cells(centroids, query_vec, n_probe)
-    dec = decode_chunks_where_clustered(
-        spark, out_dir, lo=min(probe_cells), hi=max(probe_cells),
-        schema="vec_id bigint, embedding array<float>, cell int",
-    )
+    schema = "vec_id bigint, embedding array<float>, cell int"
+    if prune:
+        dec = decode_chunks_where_clustered(
+            spark, out_dir, schema=schema,
+            ranges=_cell_ranges(probe_cells),
+        )
+    else:
+        from .encode import decode_chunks
+
+        dec = decode_chunks(read_encoded(spark, out_dir), schema=schema)
     q = spark.createDataFrame(
         [([float(x) for x in np.asarray(query_vec, dtype=np.float32)],)],
         "q_embedding array<float>",

@@ -50,6 +50,11 @@ def main() -> None:
     p.add_argument("--query-vec-id", type=int, default=None)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--n-probe", type=int, default=4)
+    p.add_argument("--compare-full", action="store_true",
+                   help="also run the SAME search over a full decode of "
+                        "the sink (no stamp pruning), assert value "
+                        "equality, and report both walls — what the "
+                        "cluster-stamp pruning buys end-to-end")
     args = p.parse_args()
 
     sys.path.insert(0, ".")
@@ -111,19 +116,72 @@ def main() -> None:
         else:
             p.error("search requires --query-json, or --query-from with "
                     "--query-vec-id")
-        res = similarity.cosine_topk_ivf_over_sink(
-            spark, args.sink, q, k=args.k, n_probe=args.n_probe,
-            exclude_vec_id=exclude,
-        ).collect()
-        print(json.dumps({
+        def _search(prune: bool):
+            return similarity.cosine_topk_ivf_over_sink(
+                spark, args.sink, q, k=args.k, n_probe=args.n_probe,
+                exclude_vec_id=exclude, prune=prune,
+            ).collect()
+
+        res = _search(True)
+        pruned_wall = round(time.time() - t0, 3)
+        # chunk stats: exactly what the OR-of-ranges stamp predicate kept
+        # at the scan, counted on the manifest stamps (metadata-scale)
+        from pyspark.sql import functions as F
+
+        from hadoop_etl_udfs_spark.plans.lineage import read_encoded
+
+        cents = similarity.load_ivf_centroids(args.sink)
+        probes = similarity._probe_cells(cents, q, args.n_probe)
+        keep = F.col("cluster_lo").isNull()
+        for rlo, rhi in similarity._cell_ranges(probes):
+            keep = keep | (
+                (F.col("cluster_lo") <= rhi) & (F.col("cluster_hi") >= rlo)
+            )
+        stamps = (
+            read_encoded(spark, args.sink)
+            .select("chunk_id", "cluster_lo", "cluster_hi")
+            .distinct()
+        )
+        out = {
             "mode": "search",
             "k": args.k,
             "n_probe": args.n_probe,
             "results": [
                 {"vec_id": r["vec_id"], "cos_sim": r["cos_sim"]} for r in res
             ],
-            "wall_s": round(time.time() - t0, 3),
-        }))
+            "chunks_kept": stamps.filter(keep).count(),
+            "chunks_total": stamps.count(),
+            "wall_s": pruned_wall,
+        }
+        if args.compare_full:
+            # the first search of a fresh session absorbs JVM/scan warmup;
+            # compare via 3 INTERLEAVED timed passes per path, minima
+            # (the CLAUDE.md throttle methodology) — the cold first pruned
+            # run above is reported as wall_s but excluded here
+            pruned_min = full_min = None
+            full = None
+            for _ in range(3):
+                t0 = time.time()
+                again = _search(True)
+                t = time.time() - t0
+                pruned_min = t if pruned_min is None else min(pruned_min, t)
+                t0 = time.time()
+                full = _search(False)
+                t = time.time() - t0
+                full_min = t if full_min is None else min(full_min, t)
+            out["pruned_wall_s"] = round(pruned_min, 3)
+            out["full_decode_wall_s"] = round(full_min, 3)
+            out["pruned_equals_full"] = (
+                [(r["vec_id"], r["cos_sim"]) for r in res]
+                == [(r["vec_id"], r["cos_sim"]) for r in full]
+                == [(r["vec_id"], r["cos_sim"]) for r in again]
+            )
+            if not out["pruned_equals_full"]:
+                raise SystemExit(
+                    "stamp-pruned search disagrees with the full-decode "
+                    f"search: {res} vs {full}"
+                )
+        print(json.dumps(out))
     spark.stop()
 
 

@@ -7,7 +7,13 @@ losers) -> token-budget shard packing -> shard-clustered chunk-encode sink.
         --py-files dist/hadoop_etl_udfs_spark.zip \
         jobs/curate_job.py --output /path/out \
         [--input docs_parquet | --synthesize N] [--input-format parquet|iceberg] \
-        [--budget-tokens 2048] [--no-check]
+        [--budget-tokens 2048] [--no-check] \
+        [--source-cap] [--boilerplate] [--lm-filter] [--split]
+
+The four optional stages (round 8) slot in pipeline order: sample ->
+quota cap -> boilerplate removal -> LM perplexity filter -> keep-best
+dedup -> packing -> split column; each reuses the operator's composable
+_df form through operators.curation.curate_corpus (one definition).
 
 Each stage is individually oracle-green in the driver gate; this job is the
 COMPOSITION a training-data pipeline runs, with per-stage walls, plus the
@@ -69,6 +75,18 @@ def main() -> None:
                    help="tokens per shard (default: operator constant)")
     p.add_argument("--method", default="xxhash64", choices=["xxhash64", "md5"],
                    help="near-dup hash family (md5 = the oracle-checked twin)")
+    p.add_argument("--source-cap", action="store_true",
+                   help="per-source quota cap stage (two-phase salted top-k)")
+    p.add_argument("--boilerplate", action="store_true",
+                   help="cross-doc boilerplate removal stage (rewrites text)")
+    p.add_argument("--lm-filter", action="store_true",
+                   help="unigram-LM perplexity filter stage (CCNet-style)")
+    p.add_argument("--lm-drop-frac", type=float, default=None,
+                   help="relative LM cut: drop the worst FRAC of docs by "
+                        "per-token NLL (default: the absolute micro-nat "
+                        "threshold, which suits the driver corpus family)")
+    p.add_argument("--split", action="store_true",
+                   help="near-dup-safe train/val/test split column")
     p.add_argument("--no-check", action="store_true",
                    help="skip the decode-side shard read-back proof")
     p.add_argument("--seed", type=int, default=42)
@@ -84,6 +102,7 @@ def main() -> None:
 
     from hadoop_etl_udfs_spark.operators.curation import (
         CURATED_SCHEMA,
+        CURATED_SPLIT_SCHEMA,
         PACK_BUDGET_TOKENS,
         curate_corpus,
     )
@@ -120,8 +139,12 @@ def main() -> None:
         return df
 
     with_shard = curate_corpus(
-        docs, budget_tokens=budget, method=args.method, stage_hook=hook
+        docs, budget_tokens=budget, method=args.method, stage_hook=hook,
+        source_cap=args.source_cap, boilerplate=args.boilerplate,
+        lm_filter=args.lm_filter, lm_drop_frac=args.lm_drop_frac,
+        split=args.split,
     )
+    curated_schema = CURATED_SPLIT_SCHEMA if args.split else CURATED_SCHEMA
     n_sampled = counts["stratified_sample"]
     n_curated = counts["dedup_keep_best"]
     if n_curated == 0:
@@ -165,7 +188,7 @@ def main() -> None:
         ).agg(F.min("shard_id")).collect()[0][0])
         t0 = time.time()
         got = decode_chunks_where_clustered(
-            spark, args.output, lo=mid, hi=mid, schema=CURATED_SCHEMA
+            spark, args.output, lo=mid, hi=mid, schema=curated_schema
         ).filter(F.col("shard_id") == mid)
         want = with_shard.filter(F.col("shard_id") == mid)
         # full-ROW symmetric difference, both directions: the old
@@ -174,7 +197,7 @@ def main() -> None:
         # columns (r7 advice) — exceptAll is multiset-exact
         from pyspark.sql.types import StructType
 
-        cols = [f.name for f in StructType.fromDDL(CURATED_SCHEMA).fields]
+        cols = [f.name for f in StructType.fromDDL(curated_schema).fields]
         diff = (
             got.select(*cols).exceptAll(want.select(*cols)).count()
             + want.select(*cols).exceptAll(got.select(*cols)).count()
@@ -203,6 +226,7 @@ def main() -> None:
         "docs_in": n_in,
         "docs_sampled": n_sampled,
         "docs_after_dedup": n_curated,
+        "stage_counts": counts,
         "n_shards": int(n_shards),
         "budget_tokens": budget,
         "chunks": int(agg["chunks"]),

@@ -204,6 +204,53 @@ def test_clustered_zone_map_pushes_range_to_scan(spark, tmp_path):
     pages.unpersist()
 
 
+def test_clustered_decode_or_of_ranges(spark, tmp_path):
+    """ranges=[(lo,hi),...] (round 8): scattered ranges keep ONLY their
+    chunks — the single [min,max] envelope would keep every chunk between
+    (measured 15/16 on the ann_sink bench, the reason this exists) — and
+    a chunk overlapping TWO ranges decodes exactly once (one scan, one
+    OR predicate — never per-range decode calls)."""
+    from hadoop_etl_udfs_spark.operators.encode import encode_pages
+    from hadoop_etl_udfs_spark.plans import lineage
+
+    out = str(tmp_path / "ranges_sink")
+    # 4 partitions of 16 consecutive k values each -> chunk stamps
+    # [0,15], [16,31], [32,47], [48,63] per column
+    df = (
+        spark.range(64)
+        .select(F.col("id").alias("k"), F.concat(F.lit("v"), "id").alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    lineage.write_encoded(encode_pages(df, shuffle=False, cluster_by="k"), out)
+    schema = "k bigint, v string"
+    # scattered unit ranges: keep the [0,15] and [32,47] chunks only
+    dec = lineage.decode_chunks_where_clustered(
+        spark, out, schema=schema, ranges=[(0, 0), (40, 40)]
+    )
+    ks = sorted(r["k"] for r in dec.collect())
+    assert ks == list(range(0, 16)) + list(range(32, 48))
+    # the envelope form over the same probes drags in the chunks between
+    env = lineage.decode_chunks_where_clustered(spark, out, 0, 40, schema=schema)
+    assert env.count() == 48
+    # a chunk overlapping TWO ranges decodes exactly once (no duplicates)
+    both = lineage.decode_chunks_where_clustered(
+        spark, out, schema=schema, ranges=[(10, 20), (25, 40)]
+    )
+    rows = [r["k"] for r in both.collect()]
+    # first three chunks kept ([16,31] overlaps BOTH ranges), each once
+    assert len(rows) == len(set(rows)) == 48
+    # guard rails: lo/hi XOR ranges, and non-empty ranges
+    with pytest.raises(ValueError, match="not both"):
+        lineage.decode_chunks_where_clustered(
+            spark, out, 0, 1, schema=schema, ranges=[(0, 0)]
+        )
+    with pytest.raises(ValueError, match="lo/hi or ranges"):
+        lineage.decode_chunks_where_clustered(spark, out, schema=schema)
+    with pytest.raises(ValueError, match="non-empty"):
+        lineage.decode_chunks_where_clustered(spark, out, schema=schema, ranges=[])
+
+
 def test_zone_map_small_keep_pushes_in_filter(spark, tmp_path):
     """The small-keep path pushes chunk ids as an IN filter (PushedFilters
     at the parquet scan) instead of planning a join."""
@@ -641,3 +688,27 @@ def test_ivf_sink_path_pushes_cluster_stamps_to_scan(spark, tmp_path):
     os.remove(os.path.join(out, "ivf_centroids.npy"))
     with pytest.raises(FileNotFoundError, match="ivf_centroids"):
         similarity.cosine_topk_ivf_over_sink(spark, out, q_vec)
+
+
+def test_ivf_recall_identical_over_decoded_sink(spark, tmp_path):
+    """The last composition the sink story didn't cover (r7 verdict item
+    6): the EVALUATION harness answers identically over the engine's own
+    compressed sink — ann_recall_at_k_ivf run on the decoded side of a
+    build_ivf_encoded_sink sink returns recall rows value-identical to
+    the raw-table run (decode is bit-identical, the probe/assign fp fold
+    is shared, so per-query recall cannot move)."""
+    from hadoop_etl_udfs_spark.operators import similarity
+    from hadoop_etl_udfs_spark.operators.encode import decode_chunks
+    from hadoop_etl_udfs_spark.plans.lineage import read_encoded
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = str(tmp_path / "ivf_sink")
+    similarity.build_ivf_encoded_sink(emb, out)
+    dec = decode_chunks(
+        read_encoded(spark, out),
+        schema="vec_id bigint, embedding array<float>",
+    )
+    raw = sorted(map(tuple, similarity.ann_recall_at_k_ivf_df(emb).collect()))
+    over = sorted(map(tuple, similarity.ann_recall_at_k_ivf_df(dec).collect()))
+    assert raw == over
+    assert len(raw) == 5  # the sf0.001 stride sample: 500/100 queries
