@@ -20,6 +20,11 @@ Scale notes (100 TB / 1000-executor framing):
 - ``dedup_keep_best`` adds one cluster-keyed shuffle on top of the CC
   labels; clusters are near-dup groups (tiny), so the window inside each
   is bounded.
+- ``source_quota_cap`` is the two-phase salted top-k-per-key (a hot
+  domain never lands in one task); the boilerplate and LM stages of
+  :func:`curate_corpus` each cost one map-side-combinable corpus shuffle
+  plus a bounded broadcast back (textstats module docs); the split stage
+  is one rep_id join over labels the dedup stage already built.
 
 Reference anchor: the reference has no curation layer (it stops at
 import/export, HdfsSerDeImportService.java); these extend the engine

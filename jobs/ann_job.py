@@ -10,7 +10,12 @@ table, then serve top-k searches that decode ONLY the probed cells' chunks.
     # search: probe cells, stamp-pruned decode, exact cosine top-k
     spark-submit ... jobs/ann_job.py search --sink /path/ivf \
         (--query-json '[0.1, ...]' | --query-from /path/emb --query-vec-id 0) \
-        [--k 10] [--n-probe 4]
+        [--k 10] [--n-probe 4] [--compare-full]
+
+Search reports chunks kept/total under the OR-of-probe-ranges stamp
+predicate; --compare-full additionally times the SAME search over a full
+decode of the sink (3 interleaved passes, minima) and asserts value
+equality — the end-to-end measure of what the cluster stamps buy.
 
 Build persists the quantizer beside the sink (searches load it — a
 re-derived quantizer would silently probe wrong cells). Search pushes the
