@@ -180,6 +180,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_roundtrip": _iceberg_roundtrip,
         "iceberg_partitioned_read": _iceberg_partitioned_read,
         # ---- slot 51 onward: deliberately past the driver's 50-query cap ----
+        # NEW round 8 (born past the cap by design — the gate was rotated
+        # this round already; first rotation-IN candidate next round): the
+        # Gopher-style repetition signals, the last classic web-corpus
+        # quality gate the curation layer lacked. Oracle-backed +
+        # planted-data pytest with in-test mini-oracle:
+        "repetition_signals": textstats.repetition_signals,
         # rotated out round 8 (driver-green r1-r7) to admit the eight
         # round-7 operators; every expression/kernel they evidence keeps
         # >=1 in-gate oracle witness (see the docstring), all eight stay
@@ -1662,6 +1668,101 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(seg, ' ' ORDER BY i)
                        FILTER (WHERE NOT is_boiler)) AS clean_md5
             FROM fl GROUP BY doc_id ORDER BY doc_id
+        """,
+        # Gopher-style repetition signals (round 8): duplicate-SEGMENT
+        # fractions over the shared _SEG_CTES segmentation (this corpus has
+        # no newlines — segments stand in for lines, as everywhere else)
+        # plus top-2gram / duplicated-5gram character fractions over the
+        # whitespace-normalized text. All numerators/denominators are
+        # integer char/occurrence masses; the flag compares in the INTEGER
+        # domain (thresholds imported from the operator module as (num,
+        # den) ratios) and only the reported fractions divide — rounded to
+        # 6 in both engines. Top-2gram tie-break: (cnt, len, gram) DESC —
+        # the window here, the equivalent struct-max aggregate Spark-side.
+        "repetition_signals": f"""
+            WITH {_SEG_CTES},
+            ps AS (
+                SELECT doc_id, seg, count(*) AS cnt
+                FROM seg GROUP BY doc_id, seg
+            ),
+            ss AS (
+                SELECT doc_id,
+                       CAST(sum(cnt) AS BIGINT) AS n_seg_occ,
+                       CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                            AS BIGINT) AS dup_seg_occ,
+                       CAST(greatest(sum(cnt * length(seg)), 1)
+                            AS BIGINT) AS seg_chars,
+                       CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(seg)
+                                     ELSE 0 END) AS BIGINT) AS dup_seg_chars
+                FROM ps GROUP BY doc_id
+            ),
+            rep_base AS (
+                SELECT doc_id,
+                       CAST(greatest(length(array_to_string(w, ' ')), 1)
+                            AS BIGINT) AS d_chars
+                FROM w
+            ),
+            b2c AS (
+                SELECT doc_id, g, count(*) AS cnt FROM (
+                    SELECT doc_id,
+                           array_to_string(list_slice(w, i + 1, i + 2), ' ') AS g
+                    FROM (SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS i
+                          FROM w WHERE len(w) >= 2)
+                ) GROUP BY doc_id, g
+            ),
+            t2 AS (
+                SELECT doc_id, CAST(cnt * length(g) AS BIGINT) AS top2_chars
+                FROM (SELECT doc_id, g, cnt,
+                             row_number() OVER (
+                                 PARTITION BY doc_id
+                                 ORDER BY cnt DESC, length(g) DESC, g DESC
+                             ) AS rn
+                      FROM b2c)
+                WHERE rn = 1
+            ),
+            b5c AS (
+                SELECT doc_id, g, count(*) AS cnt FROM (
+                    SELECT doc_id,
+                           array_to_string(list_slice(w, i + 1, i + 5), ' ') AS g
+                    FROM (SELECT doc_id, w, unnest(range(0, len(w) - 4)) AS i
+                          FROM w WHERE len(w) >= 5)
+                ) GROUP BY doc_id, g
+            ),
+            d5 AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN cnt > 1 THEN cnt * length(g)
+                                     ELSE 0 END) AS BIGINT) AS dup5_chars
+                FROM b5c GROUP BY doc_id
+            ),
+            rep_j AS (
+                SELECT b.doc_id, b.d_chars, ss.n_seg_occ, ss.dup_seg_occ,
+                       ss.seg_chars, ss.dup_seg_chars,
+                       coalesce(t2.top2_chars, 0) AS top2_chars,
+                       coalesce(d5.dup5_chars, 0) AS dup5_chars
+                FROM rep_base b
+                JOIN ss USING (doc_id)
+                LEFT JOIN t2 USING (doc_id)
+                LEFT JOIN d5 USING (doc_id)
+            )
+            SELECT doc_id,
+                   round(CAST(dup_seg_occ AS DOUBLE) / n_seg_occ, 6)
+                       AS dup_seg_frac,
+                   round(CAST(dup_seg_chars AS DOUBLE) / seg_chars, 6)
+                       AS dup_seg_char_frac,
+                   round(CAST(top2_chars AS DOUBLE) / d_chars, 6)
+                       AS top_2gram_char_frac,
+                   round(CAST(dup5_chars AS DOUBLE) / d_chars, 6)
+                       AS dup_5gram_char_frac,
+                   (dup_seg_occ * {textstats.REP_DUP_SEG[1]}
+                        > n_seg_occ * {textstats.REP_DUP_SEG[0]}
+                    OR dup_seg_chars * {textstats.REP_DUP_SEG_CHAR[1]}
+                        > seg_chars * {textstats.REP_DUP_SEG_CHAR[0]}
+                    OR top2_chars * {textstats.REP_TOP_2GRAM[1]}
+                        > d_chars * {textstats.REP_TOP_2GRAM[0]}
+                    OR dup5_chars * {textstats.REP_DUP_5GRAM[1]}
+                        > d_chars * {textstats.REP_DUP_5GRAM[0]})
+                       AS repetition_flag
+            FROM rep_j ORDER BY doc_id
         """,
         # corpus-trained unigram-LM quality scores: every constant
         # (vocabulary cap, micro-nat quantum, flag threshold) imports from

@@ -302,7 +302,8 @@ def run_curate_pipeline(pages_path: str, workdir: str) -> dict:
     FULL C4/CCNet-shaped chain — r7 verdict item 1), in-process twin of
     jobs/curate_job.py with every stage on: stratified sample -> per-source
     quota cap (the pages' real Zipf host distribution) -> cross-doc
-    boilerplate removal -> unigram-LM perplexity filter (relative cut,
+    boilerplate removal -> Gopher repetition filter (round 8) ->
+    unigram-LM perplexity filter (relative cut,
     worst third) -> keep-best near-dup resolution (losers dropped) ->
     token-budget shard packing -> near-dup-safe split column ->
     shard-clustered chunk sink -> cluster-stamp-pruned read-back of one
@@ -338,7 +339,8 @@ def run_curate_pipeline(pages_path: str, workdir: str) -> dict:
 
         with_shard = curate_corpus(
             docs, stage_hook=hook, source_cap=True, boilerplate=True,
-            lm_filter=True, lm_drop_frac=1 / 3, split=True,
+            repetition_filter=True, lm_filter=True, lm_drop_frac=1 / 3,
+            split=True,
         )
         n_shards = int(with_shard.agg(F.max("shard_id")).collect()[0][0]) + 1
         t0 = time.time()

@@ -180,6 +180,7 @@ def curate_corpus(
     stage_hook=None,
     source_cap: bool = False,
     boilerplate: bool = False,
+    repetition_filter: bool = False,
     lm_filter: bool = False,
     lm_drop_frac: float | None = None,
     split: bool = False,
@@ -191,6 +192,10 @@ def curate_corpus(
       → per-source quota cap            (``source_cap=True``)
       → cross-doc boilerplate removal   (``boilerplate=True``; rewrites
         text, drops all-boilerplate docs — the C4 cleanup step)
+      → repetition filter               (``repetition_filter=True``; drops
+        docs whose Gopher repetition_flag fires — judged on the CLEANED
+        text, and before the LM trains so repeated junk can't skew the
+        vocabulary)
       → unigram-LM perplexity filter    (``lm_filter=True``; trained on the
         corpus as it stands HERE, i.e. post-cap/post-cleanup — the CCNet
         order: clean first, then score. ``lm_drop_frac`` switches the cut
@@ -216,7 +221,8 @@ def curate_corpus(
     re-composing the stages (one definition, no drift).
     ``stage_hook(name, df) -> df`` fires after each enabled stage
     ('stratified_sample', 'source_quota_cap', 'boilerplate_removal',
-    'lm_filter', 'dedup_keep_best', 'pack_corpus_shards') so callers can
+    'repetition_filter', 'lm_filter', 'dedup_keep_best',
+    'pack_corpus_shards') so callers can
     materialize, count, and time; the default hook localCheckpoints each
     stage — every stage output feeds ≥2 downstream consumers somewhere in
     the chain, so leaving them lazy would re-run whole subplans per action
@@ -239,6 +245,20 @@ def curate_corpus(
         from .textstats import boilerplate_clean_df
 
         sampled = hook("boilerplate_removal", boilerplate_clean_df(sampled))
+    if repetition_filter:
+        from .textstats import repetition_signals_df
+
+        # Gopher order: repetition-dominated documents are dropped whole
+        # AFTER the segment-level cleanup (a doc that is mostly repeats of
+        # removed boilerplate should be judged on its cleaned text), BEFORE
+        # the LM is trained (repeated junk would skew the vocabulary)
+        flagged_rep = repetition_signals_df(sampled).filter(
+            F.col("repetition_flag")
+        ).select("doc_id")
+        sampled = hook(
+            "repetition_filter",
+            sampled.join(flagged_rep, "doc_id", "left_anti"),
+        )
     if lm_filter:
         from .textstats import lm_perplexity_scores_df
 

@@ -364,6 +364,180 @@ def _boilerplate_agg(docs: DataFrame) -> DataFrame:
     )
 
 
+# Gopher-style repetition flag thresholds (Rae et al. 2021, Table A1 —
+# adapted: this corpus has no newlines, so the "duplicate line" signals run
+# over the repo's SEGMENT_WORDS-word segments, the same stand-in
+# segment_dedup/boilerplate_removal use). Stored as (num, den) integer
+# ratios so the flag compares in the INTEGER domain — no float threshold
+# edge can disagree across engines.
+REP_DUP_SEG = (3, 10)       # duplicated-segment occurrence fraction > 0.30
+REP_DUP_SEG_CHAR = (1, 5)   # chars inside duplicated segments       > 0.20
+REP_TOP_2GRAM = (1, 5)      # chars of the most frequent word-2gram  > 0.20
+REP_DUP_5GRAM = (3, 20)     # chars inside duplicated word-5grams    > 0.15
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals — the remaining
+    classic web-corpus quality gate (C4 drops boilerplate lines; Gopher
+    additionally drops documents whose content is dominated by repeated
+    lines or n-grams). Per document:
+
+      dup_seg_frac         fraction of segment occurrences whose segment
+                           text appears more than once in the doc
+      dup_seg_char_frac    fraction of segment characters inside those
+                           duplicated segments
+      top_2gram_char_frac  chars covered by the most frequent word-2gram
+                           (count x len, overlaps counted per occurrence)
+                           over the normalized text length
+      dup_5gram_char_frac  chars inside word-5grams occurring > 1, same
+                           denominator
+      repetition_flag      any threshold above exceeded (integer-domain
+                           comparison, thresholds in the module constants)
+
+    Precise semantics (documented deviation from the paper, which leaves
+    overlap handling loose): character mass is counted PER OCCURRENCE
+    (count x length of the n-gram string including its joining spaces), the
+    denominator is the length of the whitespace-normalized text
+    (``array_join(words, ' ')``), and the top-2gram tie-break is
+    (count, char-length, gram) descending — deterministic in both engines.
+
+    Scale plan (100 TB): three explode+aggregate passes over the corpus
+    (segments, 2-grams, 5-grams), each ONE map-side-combinable shuffle
+    keyed (doc_id, gram) followed by the doc_id re-aggregate — the
+    (doc_id, gram) partial combine collapses exactly the repeated grams
+    this operator exists to find, so the second shuffle carries distinct
+    grams only. The top-2gram pick is a struct-max AGGREGATE (map-side
+    combinable), never a per-doc sort window. No corpus self-join, no
+    driver collect. Reference anchor: the reference stops at import/export
+    (HdfsSerDeImportService.java); this extends the engine toward its
+    training-data-pipeline brief."""
+    return repetition_signals_df(_docs(spark, sf_dir))
+
+
+def _word_ngrams(words, n: int):
+    """Array of space-joined word n-grams of ``words`` (empty when the doc
+    has fewer than n words — guarded because F.sequence(0, negative) would
+    generate a DESCENDING range, not an empty one)."""
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def repetition_signals_df(docs: DataFrame) -> DataFrame:
+    """:func:`repetition_signals`'s composable form over an arbitrary
+    (doc_id, text) DataFrame."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(
+        "doc_id",
+        F.greatest(F.length(F.array_join(words, " ")), F.lit(1))
+        .cast("long")
+        .alias("d_chars"),
+    )
+
+    ex = _segment_explode(docs)
+    per_seg = ex.groupBy("doc_id", "seg").agg(F.count("*").alias("cnt"))
+    seg_stats = per_seg.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_seg_occ"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("dup_seg_occ"),
+        F.sum(F.col("cnt") * F.length("seg")).cast("long").alias("seg_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("seg")).otherwise(0)
+        )
+        .cast("long")
+        .alias("dup_seg_chars"),
+    )
+
+    bg_cnt = (
+        docs.select("doc_id", F.explode(_word_ngrams(words, 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top2 = bg_cnt.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("cnt"),
+                F.length("g").cast("long").alias("glen"),
+                F.col("g"),
+            )
+        ).alias("t")
+    ).select(
+        "doc_id",
+        F.col("t.cnt").alias("top2_cnt"),
+        F.col("t.glen").alias("top2_len"),
+    )
+
+    dup5 = (
+        docs.select("doc_id", F.explode(_word_ngrams(words, 5)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("g")).otherwise(0)
+            )
+            .cast("long")
+            .alias("dup5_chars")
+        )
+    )
+
+    j = (
+        base.join(seg_stats, "doc_id", "left")
+        .join(top2, "doc_id", "left")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "d_chars",
+            F.coalesce("n_seg_occ", F.lit(1)).alias("n_seg_occ"),
+            F.coalesce("dup_seg_occ", F.lit(0)).alias("dup_seg_occ"),
+            F.greatest(F.coalesce("seg_chars", F.lit(0)), F.lit(1))
+            .alias("seg_chars"),
+            F.coalesce("dup_seg_chars", F.lit(0)).alias("dup_seg_chars"),
+            (
+                F.coalesce("top2_cnt", F.lit(0))
+                * F.coalesce("top2_len", F.lit(0))
+            ).alias("top2_chars"),
+            F.coalesce("dup5_chars", F.lit(0)).alias("dup5_chars"),
+        )
+    )
+    flag = (
+        (F.col("dup_seg_occ") * REP_DUP_SEG[1] > F.col("n_seg_occ") * REP_DUP_SEG[0])
+        | (
+            F.col("dup_seg_chars") * REP_DUP_SEG_CHAR[1]
+            > F.col("seg_chars") * REP_DUP_SEG_CHAR[0]
+        )
+        | (
+            F.col("top2_chars") * REP_TOP_2GRAM[1]
+            > F.col("d_chars") * REP_TOP_2GRAM[0]
+        )
+        | (
+            F.col("dup5_chars") * REP_DUP_5GRAM[1]
+            > F.col("d_chars") * REP_DUP_5GRAM[0]
+        )
+    )
+    return j.select(
+        "doc_id",
+        F.round(F.col("dup_seg_occ") / F.col("n_seg_occ"), 6).alias(
+            "dup_seg_frac"
+        ),
+        F.round(F.col("dup_seg_chars") / F.col("seg_chars"), 6).alias(
+            "dup_seg_char_frac"
+        ),
+        F.round(F.col("top2_chars") / F.col("d_chars"), 6).alias(
+            "top_2gram_char_frac"
+        ),
+        F.round(F.col("dup5_chars") / F.col("d_chars"), 6).alias(
+            "dup_5gram_char_frac"
+        ),
+        flag.alias("repetition_flag"),
+    ).orderBy("doc_id")
+
+
 LM_TOP_K = 24                    # vocabulary cap (production: ~100k)
 LM_MICRO = 1_000_000             # logprob quantization: micro-nats
 LM_FLAG_NLL_MICRO = 5_250_000    # avg NLL above 5.25 nats -> flagged

@@ -8,10 +8,11 @@ losers) -> token-budget shard packing -> shard-clustered chunk-encode sink.
         jobs/curate_job.py --output /path/out \
         [--input docs_parquet | --synthesize N] [--input-format parquet|iceberg] \
         [--budget-tokens 2048] [--no-check] \
-        [--source-cap] [--boilerplate] [--lm-filter] [--split]
+        [--source-cap] [--boilerplate] [--repetition-filter] [--lm-filter] [--split]
 
 The four optional stages (round 8) slot in pipeline order: sample ->
-quota cap -> boilerplate removal -> LM perplexity filter -> keep-best
+quota cap -> boilerplate removal -> repetition filter -> LM perplexity
+filter -> keep-best
 dedup -> packing -> split column; each reuses the operator's composable
 _df form through operators.curation.curate_corpus (one definition).
 
@@ -79,6 +80,8 @@ def main() -> None:
                    help="per-source quota cap stage (two-phase salted top-k)")
     p.add_argument("--boilerplate", action="store_true",
                    help="cross-doc boilerplate removal stage (rewrites text)")
+    p.add_argument("--repetition-filter", action="store_true",
+                   help="drop docs whose Gopher repetition_flag fires")
     p.add_argument("--lm-filter", action="store_true",
                    help="unigram-LM perplexity filter stage (CCNet-style)")
     p.add_argument("--lm-drop-frac", type=float, default=None,
@@ -141,6 +144,7 @@ def main() -> None:
     with_shard = curate_corpus(
         docs, budget_tokens=budget, method=args.method, stage_hook=hook,
         source_cap=args.source_cap, boilerplate=args.boilerplate,
+        repetition_filter=args.repetition_filter,
         lm_filter=args.lm_filter, lm_drop_frac=args.lm_drop_frac,
         split=args.split,
     )

@@ -256,6 +256,55 @@ def test_curate_corpus_boilerplate_stage(spark):
             assert r["n_tokens"] == 10  # the unique tail only
 
 
+def test_curate_corpus_repetition_stage(spark):
+    """The repetition-filter stage of the composed pipeline (round 8; like
+    the boilerplate stage it stays OFF in the driver's
+    curate_corpus_checked — the signal operator has its OWN oracle row and
+    planted mini-oracle test, the composition is pinned here). Proofs on a
+    planted corpus where the stage is HOT: (1) slotting the stage into the
+    chain equals hand-composing the anti-join around the (idempotent)
+    sample gate; (2) every repetition_flag doc is gone downstream; (3)
+    clean docs flow through untouched."""
+    from hadoop_etl_udfs_spark.operators import textstats
+
+    seg = " ".join(f"r{j}" for j in range(textstats.SEGMENT_WORDS))
+    rows = []
+    for i in range(10):  # repetition-dominated: one segment x4 + unique tail
+        rows.append((1000 + i, f"{seg} {seg} {seg} {seg} tail{i}", "zh", "s1"))
+    for i in range(10):
+        rows.append(
+            (3000 + i, " ".join(f"p{i}w{j}" for j in range(25)), "zh", "s2")
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    sampled = curation.stratified_sample_df(docs).localCheckpoint()
+    flags = {
+        r["doc_id"]: r["repetition_flag"]
+        for r in textstats.repetition_signals_df(sampled).collect()
+    }
+    hot = {d for d, f in flags.items() if f}
+    assert hot and all(1000 <= d < 2000 for d in hot)  # stage is hot
+    assert all(f for d, f in flags.items() if 1000 <= d < 2000)
+
+    got = curation.curate_corpus(
+        docs, method="md5", repetition_filter=True
+    ).localCheckpoint()
+    hand = sampled.join(
+        spark.createDataFrame([(d,) for d in hot], "doc_id long"),
+        "doc_id",
+        "left_anti",
+    )
+    expected = curation.curate_corpus(hand, method="md5")
+    cols = ["doc_id", "text", "lang", "source", "n_tokens", "shard_id"]
+    snap = lambda df: sorted(tuple(r) for r in df.select(*cols).collect())
+    assert snap(got) == snap(expected)
+
+    got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert not (got_ids & hot)            # flagged docs dropped
+    assert got_ids and min(got_ids) >= 3000  # survivors are the clean docs
+
+
 def test_source_quota_cap_matches_naive_window_on_skewed_plant(spark, tmp_path):
     """Two-phase distributed top-k == the naive per-source window, proven
     on a planted SKEWED corpus (one source far over the cap — the case the

@@ -498,6 +498,68 @@ def test_boilerplate_removal_on_planted_data(spark, tmp_path):
             assert srow[col_name] == v, (col_name, srow[col_name], v)
 
 
+def test_repetition_signals_on_planted_data(spark, tmp_path):
+    """Gopher-style repetition signals on data that triggers EVERY signal
+    (the sf corpora only heat the top-2gram path — the content_flags
+    lesson), with the driver oracle run as an in-test DuckDB mini-oracle
+    on the same planted rows. Plants: a tripled 10-word segment (dup-seg
+    fractions), an alternating two-word doc (top-2gram dominant, dup-5gram
+    hot as a side effect), an embedded repeated 5-gram in otherwise-unique
+    text (dup-5gram fires ALONE — below the seg and 2gram thresholds), a
+    clean doc, and an empty doc (the greatest(...,1) denominators)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from hadoop_etl_udfs_spark.operators import textstats
+
+    seg = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    rows = [
+        (0, f"{seg} {seg} {seg} t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+        (1, "x y x y x y x y x y"),
+        (2, "p q r s t u1 u2 u3 u4 u5 p q r s t v1 v2 v3 v4 v5"),
+        (3, "all twenty words here are completely distinct from one "
+            "another so nothing repeats anywhere in this document body "
+            "at all"),
+        (4, ""),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.repetition_signals(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 5
+    # doc 0: 3 of 4 segment occurrences are the tripled segment
+    assert out[0]["dup_seg_frac"] == 0.75 and out[0]["repetition_flag"]
+    assert out[0]["dup_seg_char_frac"] > 0.5
+    # doc 1: "x y" occurs 5x (len 3) over 19 normalized chars
+    assert out[1]["top_2gram_char_frac"] == round(15 / 19, 6)
+    assert out[1]["repetition_flag"]
+    # doc 2: ONLY the 5-gram signal fires (2 occurrences x 9 chars / 49)
+    assert out[2]["dup_seg_frac"] == 0.0
+    assert out[2]["top_2gram_char_frac"] <= 0.2
+    assert out[2]["dup_5gram_char_frac"] == round(18 / 49, 6)
+    assert out[2]["repetition_flag"]
+    # doc 3: clean — no signal, no flag
+    assert out[3]["dup_seg_frac"] == out[3]["dup_5gram_char_frac"] == 0.0
+    assert not out[3]["repetition_flag"]
+    # doc 4: empty text — all-zero signals via the greatest(...,1) guards
+    assert out[4]["dup_seg_frac"] == out[4]["top_2gram_char_frac"] == 0.0
+    assert not out[4]["repetition_flag"]
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = con.execute(entry.oracle_sql()["repetition_signals"]).fetchall()
+    cols = [dsc[0] for dsc in con.description]
+    assert len(got) == 5
+    for orow in got:
+        srow = out[orow[cols.index("doc_id")]]
+        for col_name, v in zip(cols, orow):
+            assert srow[col_name] == v, (col_name, srow[col_name], v)
+
+
 def test_lm_perplexity_scores_on_planted_data(spark, tmp_path):
     """Unigram-LM scoring on data that exercises every branch, with the
     driver oracle run as an in-test DuckDB mini-oracle on the same planted
