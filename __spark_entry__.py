@@ -186,6 +186,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality gate the curation layer lacked. Oracle-backed +
         # planted-data pytest with in-test mini-oracle:
         "repetition_signals": textstats.repetition_signals,
+        # NEW round 8, same born-past-the-cap routing: concat-and-chunk
+        # packing into fixed-length training sequences (docs split across
+        # window boundaries — the step after doc-granular shard packing).
+        # Shares the distributed prefix-sum layout with
+        # pack_corpus_shards; the oracle is again the naive single-node
+        # global window, proving the stitching at token granularity:
+        "pack_token_sequences": curation.pack_token_sequences,
         # rotated out round 8 (driver-green r1-r7) to admit the eight
         # round-7 operators; every expression/kernel they evidence keeps
         # >=1 in-gate oracle witness (see the docstring), all eight stay
@@ -1312,6 +1319,52 @@ def oracle_sql() -> dict[str, str]:
                               / {curation.PACK_BUDGET_TOKENS}) AS BIGINT)
                        AS shard_id
             FROM c ORDER BY doc_id
+        """,
+        # fixed-length sequence packing (round 8): the SAME naive global
+        # window as the shard oracle (same (bucket, h, doc_id) total
+        # order, same tokenizer) cut at token granularity — range() unnest
+        # generates each doc's overlapped windows, greatest/least clip the
+        # span. Integer division (// here, DIV Spark-side) keeps the whole
+        # computation in the BIGINT domain — no double rounding edge at
+        # any corpus size.
+        "pack_token_sequences": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKCOUNT} AS n_tokens,
+                       {_md5h_sql("CAST(doc_id AS VARCHAR)",
+                                  curation.PACK_SEED)} AS h
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, n_tokens, h,
+                       h % {curation.PACK_BUCKETS} AS bucket
+                FROM t
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(sum(n_tokens) OVER (
+                           ORDER BY bucket, h, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           - n_tokens AS doc_start
+                FROM b
+            ),
+            s AS (
+                SELECT doc_id, n_tokens, doc_start,
+                       unnest(range(doc_start // {curation.SEQ_LEN},
+                                    (doc_start + n_tokens - 1)
+                                        // {curation.SEQ_LEN} + 1)) AS seq_id
+                FROM c WHERE n_tokens > 0
+            )
+            SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                   CAST(greatest(doc_start, seq_id * {curation.SEQ_LEN})
+                        - doc_start AS BIGINT) AS doc_offset,
+                   CAST(greatest(doc_start, seq_id * {curation.SEQ_LEN})
+                        - seq_id * {curation.SEQ_LEN} AS BIGINT)
+                       AS seq_offset,
+                   CAST(least(doc_start + n_tokens,
+                              (seq_id + 1) * {curation.SEQ_LEN})
+                        - greatest(doc_start, seq_id * {curation.SEQ_LEN})
+                        AS BIGINT) AS span_tokens
+            FROM s ORDER BY seq_id, doc_id
         """,
         # best-in-cluster resolution: the SAME closure CTEs as the
         # clusters oracles + the SAME quality CTE as the quality oracle,

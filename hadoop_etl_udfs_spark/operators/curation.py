@@ -85,11 +85,17 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pack_corpus_shards_df(
-    docs: DataFrame, budget_tokens: int = PACK_BUDGET_TOKENS
-) -> DataFrame:
-    """:func:`pack_corpus_shards`'s composable form over an arbitrary
-    (doc_id, text) DataFrame -> (doc_id, n_tokens, shard_id)."""
+def _global_token_layout(docs: DataFrame) -> DataFrame:
+    """Distributed prefix sum shared by :func:`pack_corpus_shards_df` and
+    :func:`pack_token_sequences_df`: lay the corpus out in the
+    deterministic (hash bucket, md5 hash, doc_id) global order and return
+    (doc_id, n_tokens, doc_start) where ``doc_start`` is the cumulative
+    token count BEFORE the document in that order.
+
+    Within-bucket window cumsums run fully parallel after one narrow
+    shuffle; bucket TOTALS (one row per bucket) come to the driver and go
+    back as a broadcast join — O(PACK_BUCKETS) driver data regardless of
+    corpus size, never the single-task no-PARTITION window."""
     spark = docs.sparkSession
     h = _hash64([F.col("doc_id")], PACK_SEED, "md5")
     # materialize the tokenize+hash projection ONCE: both the bucket-totals
@@ -121,10 +127,21 @@ def pack_corpus_shards_df(
     return within.join(off_df, "bucket").select(
         "doc_id",
         "n_tokens",
-        F.floor(
-            (F.col("bucket_offset") + F.col("cum_in_bucket")
-             - F.col("n_tokens")) / F.lit(budget_tokens)
-        ).alias("shard_id"),
+        (
+            F.col("bucket_offset") + F.col("cum_in_bucket") - F.col("n_tokens")
+        ).alias("doc_start"),
+    )
+
+
+def pack_corpus_shards_df(
+    docs: DataFrame, budget_tokens: int = PACK_BUDGET_TOKENS
+) -> DataFrame:
+    """:func:`pack_corpus_shards`'s composable form over an arbitrary
+    (doc_id, text) DataFrame -> (doc_id, n_tokens, shard_id)."""
+    return _global_token_layout(docs).select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("doc_start") / F.lit(budget_tokens)).alias("shard_id"),
     )
 
 
@@ -147,6 +164,78 @@ def pack_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     running offsets go back as a broadcast join — O(PACK_BUCKETS) driver
     data regardless of corpus size."""
     return pack_corpus_shards_df(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+SEQ_LEN = 512   # tokens per packed training sequence (production: 2k-8k)
+
+
+def pack_token_sequences_df(
+    docs: DataFrame, seq_len: int = SEQ_LEN
+) -> DataFrame:
+    """:func:`pack_token_sequences`'s composable form over an arbitrary
+    (doc_id, text) DataFrame -> (seq_id, doc_id, doc_offset, seq_offset,
+    span_tokens)."""
+    L = int(seq_len)
+    placed = _global_token_layout(docs).filter(F.col("n_tokens") > 0)
+    spans = placed.select(
+        "doc_id",
+        "n_tokens",
+        "doc_start",
+        F.explode(
+            F.sequence(
+                F.expr(f"doc_start DIV {L}"),
+                F.expr(f"(doc_start + n_tokens - 1) DIV {L}"),
+            )
+        ).alias("seq_id"),
+    )
+    span_start = F.greatest(F.col("doc_start"), F.col("seq_id") * F.lit(L))
+    span_end = F.least(
+        F.col("doc_start") + F.col("n_tokens"),
+        (F.col("seq_id") + 1) * F.lit(L),
+    )
+    return spans.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        (span_start - F.col("doc_start")).cast("long").alias("doc_offset"),
+        (span_start - F.col("seq_id") * F.lit(L)).cast("long").alias(
+            "seq_offset"
+        ),
+        (span_end - span_start).cast("long").alias("span_tokens"),
+    )
+
+
+def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing of the corpus into FIXED-LENGTH training
+    sequences — the step after shard packing in an LLM data pipeline:
+    documents are concatenated in a deterministic global order and cut
+    into ``SEQ_LEN``-token windows, documents splitting across window
+    boundaries (GPT-style packing; :func:`pack_corpus_shards` is the
+    doc-granular variant where documents never split).
+
+    Output: one row per (sequence, document) SPAN —
+
+      seq_id       the fixed-length window, ``global_token_idx DIV L``
+      doc_offset   token index within the document where the span starts
+      seq_offset   position within the sequence where the span lands
+      span_tokens  span length; per sequence the spans tile [0, L)
+                   exactly (the final partial sequence excepted), per
+                   document they tile [0, n_tokens)
+
+    Zero-token documents place nothing (they'd otherwise explode a
+    DESCENDING F.sequence — the _word_ngrams lesson). Global order, the
+    prefix sum, and the tokenizer are shared with shard packing via
+    :func:`_global_token_layout`: one narrow bucket shuffle + an
+    O(PACK_BUCKETS) driver stitch; the explode fans each doc to at most
+    ``ceil(n_tokens/L) + 1`` rows, so output rows ~ corpus_tokens/L +
+    n_docs — no corpus sort, no full-corpus window, holds at 100 TB.
+    The DuckDB oracle is deliberately the naive single-node global-window
+    prefix sum + range() unnest; agreement proves the distributed
+    stitching (the pack_corpus_shards proof pattern). Reference anchor:
+    the reference stops at import/export (HdfsSerDeImportService.java);
+    this extends the engine toward its training-data-pipeline brief."""
+    return pack_token_sequences_df(_docs(spark, sf_dir)).orderBy(
+        "seq_id", "doc_id"
+    )
 
 
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:

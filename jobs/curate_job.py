@@ -8,7 +8,8 @@ losers) -> token-budget shard packing -> shard-clustered chunk-encode sink.
         jobs/curate_job.py --output /path/out \
         [--input docs_parquet | --synthesize N] [--input-format parquet|iceberg] \
         [--budget-tokens 2048] [--no-check] \
-        [--source-cap] [--boilerplate] [--repetition-filter] [--lm-filter] [--split]
+        [--source-cap] [--boilerplate] [--repetition-filter] [--lm-filter] \
+        [--split] [--sequences]
 
 The four optional stages (round 8) slot in pipeline order: sample ->
 quota cap -> boilerplate removal -> repetition filter -> LM perplexity
@@ -90,6 +91,10 @@ def main() -> None:
                         "threshold, which suits the driver corpus family)")
     p.add_argument("--split", action="store_true",
                    help="near-dup-safe train/val/test split column")
+    p.add_argument("--sequences", action="store_true",
+                   help="also emit the fixed-length training-sequence span "
+                        "table (pack_token_sequences over the curated docs) "
+                        "to <output>/sequences")
     p.add_argument("--no-check", action="store_true",
                    help="skip the decode-side shard read-back proof")
     p.add_argument("--seed", type=int, default=42)
@@ -226,6 +231,40 @@ def main() -> None:
             "wall_s": round(time.time() - t0, 3),
         }
 
+    seq_info = None
+    if args.sequences:
+        from hadoop_etl_udfs_spark.operators.curation import (
+            SEQ_LEN,
+            pack_token_sequences_df,
+        )
+
+        # sequences pack the CURATED corpus (post-dedup survivors) — the
+        # span table is the training-consumption view of the same docs the
+        # shard sink stores; written beside it, doc_id joins the two
+        t0 = time.time()
+        spans = pack_token_sequences_df(with_shard).localCheckpoint()
+        n_seq = int(spans.agg((F.max("seq_id") + 1).alias("n"))
+                    .collect()[0]["n"])
+        interior_not_full = (
+            spans.filter(F.col("seq_id") < n_seq - 1)
+            .groupBy("seq_id").agg(F.sum("span_tokens").alias("t"))
+            .filter(F.col("t") != SEQ_LEN).count()
+        )
+        spans.write.parquet(args.output + "/sequences")
+        seq_info = {
+            "n_sequences": n_seq,
+            "span_rows": spans.count(),
+            "seq_len": SEQ_LEN,
+            "interior_not_full": interior_not_full,
+            "wall_s": round(time.time() - t0, 3),
+        }
+        if interior_not_full:
+            raise SystemExit(
+                f"sequence packing violated its tiling contract: "
+                f"{interior_not_full} interior sequences not exactly "
+                f"{SEQ_LEN} tokens"
+            )
+
     print(json.dumps({
         "docs_in": n_in,
         "docs_sampled": n_sampled,
@@ -239,6 +278,7 @@ def main() -> None:
         "ratio": round(agg["bytes_in"] / max(1, agg["bytes_out"]), 3),
         "stage_walls_s": {**walls, "encode_sink": encode_wall},
         "shard_readback": check,
+        "sequences": seq_info,
     }))
     spark.stop()
 

@@ -94,6 +94,71 @@ def test_pack_corpus_shards_greedy_budget_invariants(spark):
     assert per["sum"].sum() == got["n_tokens"].sum()
 
 
+def test_pack_token_sequences_tiling_on_planted_data(spark):
+    """Fixed-length sequence packing (round 8) on plants that heat every
+    branch — a doc spanning >=3 windows, a doc exactly one window long, a
+    zero-token doc, and small docs that co-pack — with the driver oracle
+    run as an in-test DuckDB mini-oracle on the same rows. The tiling
+    invariants are the operator's contract: per sequence the spans cover
+    [0, L) exactly (final partial sequence excepted), per document they
+    cover [0, n_tokens) exactly."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    L = curation.SEQ_LEN
+    mk = lambda i, n: (i, " ".join(f"d{i}w{j}" for j in range(n)))
+    rows = [
+        mk(0, 2 * L + 37),  # straddles >= 3 windows
+        mk(1, 5),
+        mk(2, 120),
+        mk(3, L),           # exactly one window of tokens
+        (4, ""),            # zero tokens -> places nothing
+        mk(5, 259),
+        mk(6, 1),
+    ]
+    n_tok = {i: (len(t.split()) if t else 0) for i, t in rows}
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        tuple(r) for r in curation.pack_token_sequences_df(docs).collect()
+    )
+
+    assert not any(r[1] == 4 for r in out)          # empty doc placed nothing
+    assert len({r[0] for r in out if r[1] == 0}) >= 3  # big doc straddles
+
+    by_doc: dict[int, list] = {}
+    by_seq: dict[int, list] = {}
+    for seq_id, doc_id, doc_off, seq_off, n in out:
+        by_doc.setdefault(doc_id, []).append((doc_off, n))
+        by_seq.setdefault(seq_id, []).append((seq_off, n))
+    for doc_id, spans in by_doc.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        for (a, an), (bo, _) in zip(spans, spans[1:]):
+            assert a + an == bo, (doc_id, spans)
+        assert sum(n for _, n in spans) == n_tok[doc_id]
+    last_seq = max(by_seq)
+    assert set(by_seq) == set(range(last_seq + 1))   # contiguous windows
+    for seq_id, spans in by_seq.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        for (a, an), (bo, _) in zip(spans, spans[1:]):
+            assert a + an == bo, (seq_id, spans)
+        total = sum(n for _, n in spans)
+        assert total == L if seq_id < last_seq else 0 < total <= L
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = sorted(
+        tuple(int(v) for v in row)
+        for row in con.execute(
+            entry.oracle_sql()["pack_token_sequences"]
+        ).fetchall()
+    )
+    assert oracle == out
+
+
 def test_dedup_keep_best_prefers_quality_on_planted_near_dups(spark, tmp_path):
     """Planted near-dup cluster where the naive smallest-id rep is the LOW
     quality copy: keep_best must pick the high-quality one instead, emit
