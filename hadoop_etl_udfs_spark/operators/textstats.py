@@ -429,81 +429,86 @@ def _word_ngrams(words, n: int):
 
 def repetition_signals_df(docs: DataFrame) -> DataFrame:
     """:func:`repetition_signals`'s composable form over an arbitrary
-    (doc_id, text) DataFrame."""
+    (doc_id, text) DataFrame.
+
+    Fused single-scan kernel: segments, word-2grams, and word-5grams are
+    tagged and exploded from ONE projection of the corpus, counted in ONE
+    (doc_id, kind, gram) map-side-combinable shuffle, and reduced in ONE
+    conditional doc_id aggregate — versus the naive three explode+count
+    passes (three corpus tokenize scans, six shuffles, three joins) this
+    is 1 scan + 2 shuffles + 0 joins, value-identical by construction
+    (pinned by the planted mini-oracle test and the sf0.01 driver
+    oracle). ``d_chars`` rides through the explode (8 bytes/gram row)
+    instead of a separate base scan + join. Every doc emits >=1 segment
+    (the empty doc's single '' segment), so the aggregate covers all docs
+    and the old left-join coalesces vanish."""
     words = F.split(F.trim(F.col("text")), r"\s+")
-    base = docs.select(
+    n_segs = F.ceil(F.size(words) / SEGMENT_WORDS).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * SEGMENT_WORDS + 1, SEGMENT_WORDS), " "
+        ),
+    )
+    tagged = F.concat(
+        F.transform(
+            segs, lambda s: F.struct(F.lit(0).alias("k"), s.alias("g"))
+        ),
+        F.transform(
+            _word_ngrams(words, 2),
+            lambda g: F.struct(F.lit(1).alias("k"), g.alias("g")),
+        ),
+        F.transform(
+            _word_ngrams(words, 5),
+            lambda g: F.struct(F.lit(2).alias("k"), g.alias("g")),
+        ),
+    )
+    ex = docs.select(
         "doc_id",
         F.greatest(F.length(F.array_join(words, " ")), F.lit(1))
         .cast("long")
         .alias("d_chars"),
+        F.explode(tagged).alias("t"),
     )
-
-    ex = _segment_explode(docs)
-    per_seg = ex.groupBy("doc_id", "seg").agg(F.count("*").alias("cnt"))
-    seg_stats = per_seg.groupBy("doc_id").agg(
-        F.sum("cnt").cast("long").alias("n_seg_occ"),
-        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+    counted = ex.groupBy(
+        "doc_id", "d_chars", F.col("t.k").alias("k"), F.col("t.g").alias("g")
+    ).agg(F.count("*").alias("cnt"))
+    k, cnt = F.col("k"), F.col("cnt")
+    gchars = cnt * F.length("g")
+    agg = counted.groupBy("doc_id", "d_chars").agg(
+        F.sum(F.when(k == 0, cnt).otherwise(0)).cast("long").alias("n_seg_occ"),
+        F.sum(F.when((k == 0) & (cnt > 1), cnt).otherwise(0))
         .cast("long")
         .alias("dup_seg_occ"),
-        F.sum(F.col("cnt") * F.length("seg")).cast("long").alias("seg_chars"),
-        F.sum(
-            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("seg")).otherwise(0)
-        )
+        F.sum(F.when(k == 0, gchars).otherwise(0))
+        .cast("long")
+        .alias("seg_chars_raw"),
+        F.sum(F.when((k == 0) & (cnt > 1), gchars).otherwise(0))
         .cast("long")
         .alias("dup_seg_chars"),
-    )
-
-    bg_cnt = (
-        docs.select("doc_id", F.explode(_word_ngrams(words, 2)).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("cnt"))
-    )
-    top2 = bg_cnt.groupBy("doc_id").agg(
         F.max(
-            F.struct(
-                F.col("cnt"),
-                F.length("g").cast("long").alias("glen"),
-                F.col("g"),
+            F.when(
+                k == 1,
+                F.struct(
+                    cnt, F.length("g").cast("long").alias("glen"), F.col("g")
+                ),
             )
-        ).alias("t")
-    ).select(
+        ).alias("t2"),
+        F.sum(F.when((k == 2) & (cnt > 1), gchars).otherwise(0))
+        .cast("long")
+        .alias("dup5_chars"),
+    )
+    j = agg.select(
         "doc_id",
-        F.col("t.cnt").alias("top2_cnt"),
-        F.col("t.glen").alias("top2_len"),
-    )
-
-    dup5 = (
-        docs.select("doc_id", F.explode(_word_ngrams(words, 5)).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("cnt") > 1, F.col("cnt") * F.length("g")).otherwise(0)
-            )
-            .cast("long")
-            .alias("dup5_chars")
-        )
-    )
-
-    j = (
-        base.join(seg_stats, "doc_id", "left")
-        .join(top2, "doc_id", "left")
-        .join(dup5, "doc_id", "left")
-        .select(
-            "doc_id",
-            "d_chars",
-            F.coalesce("n_seg_occ", F.lit(1)).alias("n_seg_occ"),
-            F.coalesce("dup_seg_occ", F.lit(0)).alias("dup_seg_occ"),
-            F.greatest(F.coalesce("seg_chars", F.lit(0)), F.lit(1))
-            .alias("seg_chars"),
-            F.coalesce("dup_seg_chars", F.lit(0)).alias("dup_seg_chars"),
-            (
-                F.coalesce("top2_cnt", F.lit(0))
-                * F.coalesce("top2_len", F.lit(0))
-            ).alias("top2_chars"),
-            F.coalesce("dup5_chars", F.lit(0)).alias("dup5_chars"),
-        )
+        "d_chars",
+        "n_seg_occ",
+        "dup_seg_occ",
+        F.greatest(F.col("seg_chars_raw"), F.lit(1)).alias("seg_chars"),
+        "dup_seg_chars",
+        F.coalesce(
+            F.col("t2.cnt") * F.col("t2.glen"), F.lit(0).cast("long")
+        ).alias("top2_chars"),
+        "dup5_chars",
     )
     flag = (
         (F.col("dup_seg_occ") * REP_DUP_SEG[1] > F.col("n_seg_occ") * REP_DUP_SEG[0])

@@ -67,6 +67,7 @@ def start_curated_encode_stream(
     checkpoint_dir: str,
     codec: str = "auto",
     max_files_per_trigger: int = 16,
+    repetition_gate: bool = False,
 ) -> StreamingQuery:
     """Streaming CURATION: the stratified sample gate applied inside the
     incremental encode — only the training-mix sample of each arriving
@@ -77,12 +78,21 @@ def start_curated_encode_stream(
     re-derive the same keep/drop decisions, corpus growth never resamples
     old docs, and — the property the test pins — the streaming sink over
     N waves decodes to EXACTLY the batch operator's sample of the union.
-    Curation that needs cross-batch state (near-dup resolution) stays a
-    batch job over the sink (jobs/curate_job.py); the gate is the part
-    that belongs on the ingest path, because dropped docs cost no encode
-    CPU and no sink bytes. Docs arrive in DOCUMENTS_SCHEMA; the encode
+    ``repetition_gate=True`` (round 8) additionally drops docs whose
+    Gopher ``repetition_flag`` fires — also stateless by construction,
+    because the repetition signals are INTRA-document (a pure function of
+    the doc's own text), so batch boundaries cannot change any verdict
+    and the N-wave sink still equals the batch composition over the
+    union. Curation that needs cross-batch state (near-dup resolution,
+    cross-doc boilerplate, the corpus-trained LM filter) stays a batch
+    job over the sink (jobs/curate_job.py); the gates are the part that
+    belongs on the ingest path, because dropped docs cost no encode CPU
+    and no sink bytes. Docs arrive in DOCUMENTS_SCHEMA; the encode
     shuffles on doc_id (table-agnostic partition_cols path)."""
+    from pyspark.sql import functions as F
+
     from ..operators.curation import stratified_sample_df
+    from ..operators.textstats import repetition_signals_df
 
     stream = (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
@@ -101,8 +111,16 @@ def start_curated_encode_stream(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         done = lineage.completed_chunk_ids(spark, out_dir, n_columns=n_columns)
+        gated = stratified_sample_df(batch_df)
+        if repetition_gate:
+            flagged = (
+                repetition_signals_df(gated)
+                .filter(F.col("repetition_flag"))
+                .select("doc_id")
+            )
+            gated = gated.join(flagged, "doc_id", "left_anti")
         enc = encode_pages(
-            stratified_sample_df(batch_df), codec=codec,
+            gated, codec=codec,
             skip_chunk_ids=done, partition_cols=["doc_id"],
         )
         lineage.write_encoded(enc, out_dir, mode="append")

@@ -582,3 +582,71 @@ def test_streaming_curated_encode_matches_batch_sample(spark, tmp_path):
     # gated-out docs cost no sink bytes: the sink holds fewer rows than in
     assert len(got) < docs.count()
     docs.unpersist()
+
+
+def test_streaming_repetition_gate_matches_batch_composition(spark, tmp_path):
+    """The round-8 repetition gate on the ingest path: across two waves,
+    the gated streaming sink decodes to EXACTLY the batch composition
+    (stratified sample minus repetition-flagged docs) of the union. The
+    repetition signals are INTRA-document — a pure function of each doc's
+    own text — so batch boundaries cannot change any verdict and the gate
+    needs no streaming state. Planted corpus (the sf corpora barely heat
+    the flag): repetition-dominated docs that survive the sample gate
+    must be absent from the sink; clean sampled docs must all arrive."""
+    from hadoop_etl_udfs_spark.operators import textstats
+    from hadoop_etl_udfs_spark.operators.curation import stratified_sample_df
+    from hadoop_etl_udfs_spark.operators.encode import decode_chunks
+    from hadoop_etl_udfs_spark.streaming.encode_stream import (
+        DOCUMENTS_SCHEMA,
+        start_curated_encode_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    seg = " ".join(f"r{j}" for j in range(textstats.SEGMENT_WORDS))
+    rows = [
+        (1000 + i, f"{seg} {seg} {seg} {seg} tail{i}", "de", "s1")
+        for i in range(12)
+    ] + [
+        (3000 + i, " ".join(f"p{i}w{j}" for j in range(25)), "de", "s2")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA).cache()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        in_dir + "/w1"
+    )
+    q = start_curated_encode_stream(
+        spark, in_dir + "/*", out_dir, ckpt, repetition_gate=True
+    )
+    q.processAllAvailable(); q.stop()
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        in_dir + "/w2"
+    )
+    q = start_curated_encode_stream(
+        spark, in_dir + "/*", out_dir, ckpt, repetition_gate=True
+    )
+    q.processAllAvailable(); q.stop()
+
+    sampled = stratified_sample_df(docs).localCheckpoint()
+    flagged = {
+        r["doc_id"]
+        for r in textstats.repetition_signals_df(sampled)
+        .filter(F.col("repetition_flag"))
+        .select("doc_id")
+        .collect()
+    }
+    want = {
+        r["doc_id"] for r in sampled.select("doc_id").collect()
+    } - flagged
+    assert flagged and all(1000 <= d < 2000 for d in flagged)  # gate hot
+    assert want and any(d >= 3000 for d in want)
+
+    dec = decode_chunks(
+        lineage.read_encoded(spark, out_dir), schema=DOCUMENTS_SCHEMA
+    )
+    got = [r["doc_id"] for r in dec.select("doc_id").collect()]
+    assert len(got) == len(set(got))
+    assert set(got) == want
+    docs.unpersist()

@@ -1,5 +1,6 @@
-"""Scale probe for the round-7 text-cleanup operators (boilerplate
-removal, unigram-LM scoring, per-source quota cap).
+"""Scale probe for the round-7/8 text-cleanup and packing operators
+(boilerplate removal, unigram-LM scoring, per-source quota cap, Gopher
+repetition signals, fixed-length sequence packing).
 
 The driver-gate documents table is fixed at 500 rows, so the gate proves
 VALUES; this probe proves the SHAPE — the same operators over the
@@ -41,10 +42,14 @@ PASSES = int(os.environ.get("SPARK_GRAFT_TEXT_PROBE_PASSES", "2"))
 def _ops():
     from pyspark.sql import functions as F
 
-    from hadoop_etl_udfs_spark.operators.curation import source_quota_cap_df
+    from hadoop_etl_udfs_spark.operators.curation import (
+        pack_token_sequences_df,
+        source_quota_cap_df,
+    )
     from hadoop_etl_udfs_spark.operators.textstats import (
         boilerplate_removal_df,
         lm_perplexity_scores_df,
+        repetition_signals_df,
     )
 
     # each op is forced with a cheap full-result aggregate (count + one
@@ -58,6 +63,12 @@ def _ops():
         .collect(),
         "source_quota_cap": lambda docs: source_quota_cap_df(docs)
         .agg(F.count("*"), F.sum("rk"))
+        .collect(),
+        "repetition_signals": lambda docs: repetition_signals_df(docs)
+        .agg(F.count("*"), F.sum(F.col("repetition_flag").cast("long")))
+        .collect(),
+        "pack_token_sequences": lambda docs: pack_token_sequences_df(docs)
+        .agg(F.count("*"), F.sum("span_tokens"))
         .collect(),
     }
 
