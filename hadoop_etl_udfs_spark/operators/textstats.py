@@ -431,50 +431,106 @@ def repetition_signals_df(docs: DataFrame) -> DataFrame:
     """:func:`repetition_signals`'s composable form over an arbitrary
     (doc_id, text) DataFrame.
 
-    Fused single-scan kernel: segments, word-2grams, and word-5grams are
-    tagged and exploded from ONE projection of the corpus, counted in ONE
-    (doc_id, kind, gram) map-side-combinable shuffle, and reduced in ONE
-    conditional doc_id aggregate — versus the naive three explode+count
-    passes (three corpus tokenize scans, six shuffles, three joins) this
-    is 1 scan + 2 shuffles + 0 joins, value-identical by construction
-    (pinned by the planted mini-oracle test and the sf0.01 driver
-    oracle). ``d_chars`` rides through the explode (8 bytes/gram row)
-    instead of a separate base scan + join. Every doc emits >=1 segment
-    (the empty doc's single '' segment), so the aggregate covers all docs
-    and the old left-join coalesces vanish."""
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    n_segs = F.ceil(F.size(words) / SEGMENT_WORDS).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda i: F.array_join(
-            F.slice(words, i * SEGMENT_WORDS + 1, SEGMENT_WORDS), " "
-        ),
-    )
-    tagged = F.concat(
-        F.transform(
-            segs, lambda s: F.struct(F.lit(0).alias("k"), s.alias("g"))
-        ),
-        F.transform(
-            _word_ngrams(words, 2),
-            lambda g: F.struct(F.lit(1).alias("k"), g.alias("g")),
-        ),
-        F.transform(
-            _word_ngrams(words, 5),
-            lambda g: F.struct(F.lit(2).alias("k"), g.alias("g")),
-        ),
-    )
-    ex = docs.select(
+    Fused single-scan STRING-FREE kernel: segments, word-2grams, and
+    word-5grams are tagged and exploded from ONE projection of the corpus
+    as (kind, xxhash64-of-the-words-in-place, char length) — no gram
+    string is ever built (the :func:`_shingle_hashes` lesson: string
+    construction, not hashing, was the measured 4x term) — counted in
+    ONE (doc_id, kind, hash) map-side-combinable shuffle over fixed-width
+    8-byte keys, and reduced in ONE conditional doc_id aggregate. Versus
+    the naive three explode+count string passes this is 1 scan + 2
+    shuffles + 0 joins with ~3x narrower shuffle rows.
+
+    Hash-equality counting is the same standing approximation as
+    `_shingle_hashes`: occurrence counts over 64-bit gram hashes equal
+    counts over gram strings up to collisions (p ≈ n²·2⁻⁶⁴ per doc),
+    so the string-based DuckDB oracle stays valid. Gram lengths are
+    arithmetic over word lengths (sum + joining spaces), `d_chars` is
+    sum(word lengths) + (n-1) — identical to length(array_join(...))
+    without materializing the join. The top-2gram pick needs only
+    (cnt, glen): any deeper tie has an EQUAL cnt*glen product, so the
+    gram-identity tie-break the string version carried was output-
+    invariant and is dropped. Every doc emits >=1 segment (the empty
+    doc's single '' segment), so the aggregate covers all docs with no
+    left-join coalesces.
+
+    The word array and its length array are BOUND AS ATTRIBUTES via a
+    two-step projection before any per-gram lambda touches them: an
+    inlined `split()` expression is re-evaluated on EVERY lambda-element
+    access (F.get(words, i) re-splits the text — O(n) per gram, O(n²)
+    per doc; measured as a >8-minute stall at 200k docs), while an
+    attribute reference is a materialized array with O(1) gets.
+    CollapseProject will not inline a non-cheap alias referenced more
+    than once, so the two projections survive optimization — keep the
+    binding if this kernel is reshaped."""
+    base = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_w")
+    ).select(
         "doc_id",
-        F.greatest(F.length(F.array_join(words, " ")), F.lit(1))
+        "_w",
+        F.transform("_w", lambda x: F.length(x).cast("long")).alias("_wl"),
+    )
+    words, wl = F.col("_w"), F.col("_wl")
+    n = F.size(words)
+    n_segs = F.ceil(n / SEGMENT_WORDS).cast("int")
+    W = SEGMENT_WORDS
+
+    def _seg_entry(i):
+        gh = F.xxhash64(*[F.get(words, i * W + j) for j in range(W)])
+        n_words = F.least(F.lit(W), n - i * W).cast("long")
+        glen = (
+            F.aggregate(
+                F.slice(wl, i * W + 1, W), F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            + n_words - 1
+        )
+        return F.struct(F.lit(0).alias("k"), gh.alias("gh"), glen.alias("glen"))
+
+    def _gram_entry(i, kind, width):
+        gh = F.xxhash64(*[F.get(words, i + j) for j in range(width)])
+        glen = sum(
+            (F.get(wl, i + j) for j in range(width)),
+            F.lit(width - 1).cast("long"),
+        )
+        return F.struct(
+            F.lit(kind).alias("k"), gh.alias("gh"), glen.alias("glen")
+        )
+
+    def _gram_entries(kind, width):
+        return F.when(
+            n >= width,
+            F.transform(
+                F.sequence(F.lit(0), n - width),
+                lambda i: _gram_entry(i, kind, width),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<struct<k:int,gh:bigint,glen:bigint>>)"))
+
+    tagged = F.concat(
+        F.transform(F.sequence(F.lit(0), n_segs - 1), _seg_entry),
+        _gram_entries(1, 2),
+        _gram_entries(2, 5),
+    )
+    ex = base.select(
+        "doc_id",
+        F.greatest(
+            F.aggregate(wl, F.lit(0).cast("long"), lambda a, x: a + x)
+            + n - 1,
+            F.lit(1),
+        )
         .cast("long")
         .alias("d_chars"),
         F.explode(tagged).alias("t"),
     )
     counted = ex.groupBy(
-        "doc_id", "d_chars", F.col("t.k").alias("k"), F.col("t.g").alias("g")
+        "doc_id",
+        "d_chars",
+        F.col("t.k").alias("k"),
+        F.col("t.gh").alias("gh"),
+        F.col("t.glen").alias("glen"),
     ).agg(F.count("*").alias("cnt"))
     k, cnt = F.col("k"), F.col("cnt")
-    gchars = cnt * F.length("g")
+    gchars = cnt * F.col("glen")
     agg = counted.groupBy("doc_id", "d_chars").agg(
         F.sum(F.when(k == 0, cnt).otherwise(0)).cast("long").alias("n_seg_occ"),
         F.sum(F.when((k == 0) & (cnt > 1), cnt).otherwise(0))
@@ -486,14 +542,7 @@ def repetition_signals_df(docs: DataFrame) -> DataFrame:
         F.sum(F.when((k == 0) & (cnt > 1), gchars).otherwise(0))
         .cast("long")
         .alias("dup_seg_chars"),
-        F.max(
-            F.when(
-                k == 1,
-                F.struct(
-                    cnt, F.length("g").cast("long").alias("glen"), F.col("g")
-                ),
-            )
-        ).alias("t2"),
+        F.max(F.when(k == 1, F.struct(cnt, F.col("glen")))).alias("t2"),
         F.sum(F.when((k == 2) & (cnt > 1), gchars).otherwise(0))
         .cast("long")
         .alias("dup5_chars"),
