@@ -214,8 +214,16 @@ def _segment_explode(docs: DataFrame) -> DataFrame:
     ``SEGMENT_WORDS``-word segment of each document's text — the shared
     front half of the segment-level cleanups (:func:`segment_dedup`,
     :func:`boilerplate_removal`). n_segs rides along through the explode
-    (constant per doc) — no second scan of docs and no join later."""
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    (constant per doc) — no second scan of docs and no join later.
+
+    The word array is BOUND AS AN ATTRIBUTE before the per-segment lambda
+    slices it (the :func:`repetition_signals_df` lesson): an inlined
+    `split()` is re-evaluated on every lambda element — O(n) per segment,
+    O(n²/W) per doc — while an attribute slice is O(W)."""
+    base = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_w")
+    )
+    words = F.col("_w")
     n_segs = F.ceil(F.size(words) / SEGMENT_WORDS).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), n_segs - 1),
@@ -223,7 +231,7 @@ def _segment_explode(docs: DataFrame) -> DataFrame:
             F.slice(words, i * SEGMENT_WORDS + 1, SEGMENT_WORDS), " "
         ),
     )
-    return docs.select(
+    return base.select(
         "doc_id",
         n_segs.cast("long").alias("n_segs"),
         F.posexplode(segs).alias("pos", "seg"),
