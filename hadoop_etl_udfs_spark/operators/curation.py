@@ -348,11 +348,21 @@ def curate_corpus(
             "repetition_filter",
             sampled.join(flagged_rep, "doc_id", "left_anti"),
         )
+    if lm_drop_frac is not None and not lm_filter:
+        raise ValueError(
+            "lm_drop_frac requires lm_filter=True (a relative cut with no "
+            "LM stage to apply it to would be silently ignored)"
+        )
     if lm_filter:
         from .textstats import lm_perplexity_scores_df
 
         scores = lm_perplexity_scores_df(sampled)
         if lm_drop_frac is not None:
+            # scores feeds BOTH the percentile collect and the flagged
+            # filter: materialize, or the full word-explode + vocab
+            # aggregate + broadcast score join runs twice (the repo's
+            # >=2-consumers rule, same as the CC-operator checkpoints)
+            scores = scores.localCheckpoint()
             # CCNet-style RELATIVE cut: drop the worst lm_drop_frac tail
             # by per-token avg NLL. The fixed micro-nat threshold
             # (lm_flag) is an absolute policy tuned to a corpus family —

@@ -237,7 +237,7 @@ def ann_recall_at_k(
     break on (rounded cos_sim, vec_id) in both the exact and approximate
     rankings and in the DuckDB oracle, so recall is deterministic."""
     emb = _emb(spark, sf_dir)
-    q = _query_sample(emb, query_every, q_max or RECALL_Q_MAX)
+    q = _query_sample(emb, query_every, q_max if q_max is not None else RECALL_Q_MAX)
     approx = cosine_topk_batch(spark, sf_dir, query_every, k).select(
         "q_id", "vec_id"
     )
@@ -355,7 +355,7 @@ def ann_recall_at_k_ivf_df(
     # re-scanning the corpus per use (the CC-operator localCheckpoint
     # precedent, eda6a77)
     q = _query_sample(
-        emb, query_every, q_max or RECALL_Q_MAX
+        emb, query_every, q_max if q_max is not None else RECALL_Q_MAX
     ).localCheckpoint(eager=True)
     probe_rows = []
     for r in q.collect():  # bounded: the capped stride query sample

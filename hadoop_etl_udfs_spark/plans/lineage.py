@@ -199,6 +199,23 @@ def decode_chunks_where(
         st.unpersist()
 
 
+def cluster_ranges_keep_predicate(ranges: list[tuple[int, int]]):
+    """The stamp-overlap keep predicate for an OR-of-ranges pruned read:
+    a chunk is kept iff its [cluster_lo, cluster_hi] stamp overlaps ANY
+    range; NULL-stamped chunks are always kept (pre-cluster sinks, all-null
+    cluster column). ONE definition — decode_chunks_where_clustered filters
+    the scan with it and jobs/ann_job.py counts kept chunks with it, so the
+    reported chunk stats can never drift from what the decode actually
+    kept."""
+    keep = F.col("cluster_lo").isNull()
+    for rlo, rhi in ranges:
+        keep = keep | ~(
+            (F.col("cluster_hi") < F.lit(rlo))
+            | (F.col("cluster_lo") > F.lit(rhi))
+        )
+    return keep
+
+
 def decode_chunks_where_clustered(
     spark: SparkSession,
     out_dir: str,
@@ -261,12 +278,7 @@ def decode_chunks_where_clustered(
         raise ValueError("pass either lo/hi or ranges, not both")
     elif not ranges:
         raise ValueError("ranges must be non-empty")
-    keep = F.col("cluster_lo").isNull()
-    for rlo, rhi in ranges:
-        keep = keep | ~(
-            (F.col("cluster_hi") < F.lit(rlo))
-            | (F.col("cluster_lo") > F.lit(rhi))
-        )
+    keep = cluster_ranges_keep_predicate(ranges)
     out_schema = subset_schema(columns, schema) if columns else schema
     return decode_chunks(data.filter(keep), out_schema, global_dicts)
 

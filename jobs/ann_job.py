@@ -131,17 +131,14 @@ def main() -> None:
         pruned_wall = round(time.time() - t0, 3)
         # chunk stats: exactly what the OR-of-ranges stamp predicate kept
         # at the scan, counted on the manifest stamps (metadata-scale)
-        from pyspark.sql import functions as F
-
-        from hadoop_etl_udfs_spark.plans.lineage import read_encoded
+        from hadoop_etl_udfs_spark.plans.lineage import (
+            cluster_ranges_keep_predicate,
+            read_encoded,
+        )
 
         cents = similarity.load_ivf_centroids(args.sink)
         probes = similarity._probe_cells(cents, q, args.n_probe)
-        keep = F.col("cluster_lo").isNull()
-        for rlo, rhi in similarity._cell_ranges(probes):
-            keep = keep | (
-                (F.col("cluster_lo") <= rhi) & (F.col("cluster_hi") >= rlo)
-            )
+        keep = cluster_ranges_keep_predicate(similarity._cell_ranges(probes))
         stamps = (
             read_encoded(spark, args.sink)
             .select("chunk_id", "cluster_lo", "cluster_hi")

@@ -243,8 +243,13 @@ def main() -> None:
         # shard sink stores; written beside it, doc_id joins the two
         t0 = time.time()
         spans = pack_token_sequences_df(with_shard).localCheckpoint()
-        n_seq = int(spans.agg((F.max("seq_id") + 1).alias("n"))
-                    .collect()[0]["n"])
+        n_seq_raw = spans.agg((F.max("seq_id") + 1).alias("n")).collect()[0]["n"]
+        if n_seq_raw is None:
+            raise SystemExit(
+                "--sequences: curated corpus has zero placeable tokens "
+                "(every surviving doc tokenizes to 0 tokens) — nothing to pack"
+            )
+        n_seq = int(n_seq_raw)
         interior_not_full = (
             spans.filter(F.col("seq_id") < n_seq - 1)
             .groupBy("seq_id").agg(F.sum("span_tokens").alias("t"))
