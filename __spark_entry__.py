@@ -193,6 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pack_corpus_shards; the oracle is again the naive single-node
         # global window, proving the stitching at token granularity:
         "pack_token_sequences": curation.pack_token_sequences,
+        # NEW round 8, same born-past-the-cap routing: the bigram-LM
+        # quality filter (stupid backoff into EXACTLY the unigram model —
+        # _unigram_lp_model is shared, and the oracle composes _lm2_ctes
+        # on top of _lm_ctes so the two LM orders cannot drift):
+        "lm_bigram_scores": textstats.lm_bigram_scores,
         # rotated out round 8 (driver-green r1-r7) to admit the eight
         # round-7 operators; every expression/kernel they evidence keeps
         # >=1 in-gate oracle witness (see the docstring), all eight stay
@@ -841,6 +846,75 @@ def _lm_ctes(src: str = "documents") -> str:
 
 
 _LM_FLAG_SQL = f"(-sum_lp_micro) > n_tokens * {textstats.LM_FLAG_NLL_MICRO}"
+
+
+def _lm2_ctes(src: str = "documents") -> str:
+    """Bigram-LM train+score CTE chain ending in ``lm2_doc(doc_id, n_pairs,
+    hit_pairs, sum_lp2_micro)``. COMPOSES ON :func:`_lm_ctes` (callers
+    concatenate ``_lm_ctes(src) + ',' + _lm2_ctes(src)``): the backoff
+    distribution is the unigram chain's own ``lmlp`` table and ``lmtot``
+    floor — one generator per model order, shared exactly as the Spark
+    side shares ``_unigram_lp_model``. Kept-bigram logprobs quantize to
+    integer micro-nats (one ln() per distinct kept bigram; the conditional
+    denominator c1 is w1's count as a pair FIRST element); the backoff
+    constant ln(LM2_BACKOFF) quantizes engine-side too, and the per-doc
+    aggregate is an integer sum — fp-order-free."""
+    return f"""lm2w AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS w
+                FROM {src}
+            ),
+            lm2p AS MATERIALIZED (
+                SELECT doc_id,
+                       w[i + 1] AS w1,
+                       w[i + 2] AS w2
+                FROM (SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS i
+                      FROM lm2w WHERE len(w) >= 2)
+            ),
+            lm2c AS MATERIALIZED (
+                SELECT w1, w2, count(*) AS cnt
+                FROM lm2p GROUP BY w1, w2
+            ),
+            lm2ctx AS (
+                SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1
+                FROM lm2c GROUP BY w1
+            ),
+            lm2top AS (
+                SELECT w1, w2, cnt FROM lm2c
+                ORDER BY cnt DESC, w1, w2 LIMIT {textstats.LM2_TOP_K}
+            ),
+            lm2lp AS (
+                SELECT t.w1, t.w2,
+                       CAST(round(ln(t.cnt / CAST(x.c1 AS DOUBLE))
+                                  * {textstats.LM_MICRO}) AS BIGINT)
+                           AS lp12_micro
+                FROM lm2top t JOIN lm2ctx x USING (w1)
+            ),
+            lm2fl AS (
+                SELECT p.doc_id, b.lp12_micro, u.lp_micro AS lpu_micro
+                FROM lm2p p
+                LEFT JOIN lm2lp b ON p.w1 = b.w1 AND p.w2 = b.w2
+                LEFT JOIN lmlp u ON p.w2 = u.word
+            ),
+            lm2_doc AS (
+                SELECT doc_id, count(*) AS n_pairs,
+                       count(*) FILTER (WHERE lp12_micro IS NOT NULL)
+                           AS hit_pairs,
+                       CAST(sum(coalesce(lp12_micro,
+                           CAST(round(ln({textstats.LM2_BACKOFF})
+                                      * {textstats.LM_MICRO}) AS BIGINT)
+                           + coalesce(lpu_micro,
+                               CAST(round(ln(1.0 / (SELECT total FROM lmtot))
+                                          * {textstats.LM_MICRO})
+                                    AS BIGINT))))
+                           AS BIGINT) AS sum_lp2_micro
+                FROM lm2fl GROUP BY doc_id
+            )"""
+
+
+_LM2_FLAG_SQL = (
+    f"(-sum_lp2_micro) > n_pairs * {textstats.LM2_FLAG_NLL_MICRO}"
+)
 
 
 def _sampled_cte_sql() -> str:
@@ -1830,6 +1904,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, oov_tokens, sum_lp_micro,
                    {_LM_FLAG_SQL} AS lm_flag
             FROM lm_doc ORDER BY doc_id
+        """,
+        # bigram-LM quality scores (round 8): the order-2 chain composes ON
+        # the unigram chain — lm2_doc's backoff reads the SAME lmlp/lmtot
+        # tables the unigram oracle scores with, mirroring the Spark side's
+        # shared _unigram_lp_model. Same integer micro-nat scheme; both the
+        # kept-bigram hit path and the stupid-backoff path are hot on this
+        # corpus (LM2_TOP_K << distinct bigrams).
+        "lm_bigram_scores": f"""
+            WITH {_lm_ctes()},
+            {_lm2_ctes()}
+            SELECT doc_id, n_pairs, hit_pairs, sum_lp2_micro,
+                   {_LM2_FLAG_SQL} AS lm2_flag
+            FROM lm2_doc ORDER BY doc_id
         """,
         # Iceberg roundtrip: the Spark side commits documents to a fresh
         # spec-layout Iceberg table and reads it back through the

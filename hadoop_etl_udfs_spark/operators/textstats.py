@@ -635,13 +635,27 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_perplexity_scores_df(_docs(spark, sf_dir))
 
 
-def lm_perplexity_scores_df(docs: DataFrame) -> DataFrame:
-    """:func:`lm_perplexity_scores`'s composable form over an arbitrary
-    (doc_id, text) DataFrame."""
-    words = docs.select(
+def _lm_words(docs: DataFrame) -> DataFrame:
+    """(doc_id, word) token stream shared by the LM train/score passes —
+    the single tokenization both LM orders (and their oracles) score on."""
+    return docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
     ).filter(F.col("word") != "")
+
+
+def _unigram_lp_model(words: DataFrame):
+    """The unigram model shared by :func:`lm_perplexity_scores_df` (its
+    score table) and :func:`lm_bigram_scores_df` (its backoff
+    distribution): the top-``LM_TOP_K`` vocabulary with micro-nat-quantized
+    logprobs, and the OOV floor column. ONE definition, so the bigram
+    filter's backoff is EXACTLY the unigram filter's model — change the
+    unigram model, and both operators (and both oracle generators, which
+    import the same constants) move together.
+
+    The OOV floor is computed by the SAME engine-side expression shape as
+    the vocabulary logprobs (Catalyst folds it to a literal), mirroring
+    the oracle's ln(1.0/total) — never Python's math.log."""
     vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
     total = int(vocab.agg(F.sum("cnt")).collect()[0][0])  # 1-row scalar
     lp = (
@@ -654,12 +668,17 @@ def lm_perplexity_scores_df(docs: DataFrame) -> DataFrame:
             .alias("lp_micro"),
         )
     )
-    # the OOV floor is computed by the SAME engine-side expression shape as
-    # the vocabulary logprobs (Catalyst folds it to a literal), mirroring
-    # the oracle's ln(1.0/total) — never Python's math.log
     floor_micro = F.round(
         F.log(F.lit(1.0) / F.lit(float(total))) * LM_MICRO
     ).cast("long")
+    return lp, floor_micro
+
+
+def lm_perplexity_scores_df(docs: DataFrame) -> DataFrame:
+    """:func:`lm_perplexity_scores`'s composable form over an arbitrary
+    (doc_id, text) DataFrame."""
+    words = _lm_words(docs)
+    lp, floor_micro = _unigram_lp_model(words)
     per_doc = (
         words.join(F.broadcast(lp), "word", "left")
         .groupBy("doc_id")
@@ -682,6 +701,129 @@ def lm_perplexity_scores_df(docs: DataFrame) -> DataFrame:
             (-F.col("sum_lp_micro"))
             > F.col("n_tokens") * F.lit(LM_FLAG_NLL_MICRO)
         ).alias("lm_flag"),
+    ).orderBy("doc_id")
+
+
+LM2_TOP_K = 48                   # bigram table cap (production: ~10M)
+LM2_BACKOFF = 0.4                # stupid-backoff weight for unseen bigrams
+LM2_FLAG_NLL_MICRO = 4_600_000   # avg pair NLL above 4.6 nats -> flagged
+
+
+def lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality filter — the order-2 upgrade of
+    :func:`lm_perplexity_scores` (CCNet's production filter is a 5-gram
+    KenLM; the bigram is the first step up that ladder and exercises every
+    structural piece a higher order needs: a context-conditional
+    probability table, a backoff path, and an n-gram shuffle). Per adjacent
+    word pair (w1, w2) the score is
+
+      ln(c12 / c1)                    if (w1, w2) is in the top-``LM2_TOP_K``
+                                      bigram table (c1 = count of w1 as a
+                                      pair FIRST element — the true
+                                      conditional denominator)
+      ln(LM2_BACKOFF) + lp_uni(w2)    otherwise (stupid backoff, Brants
+                                      et al. 2007 — the web-scale standard
+                                      because it needs no discount pass),
+                                      where lp_uni is EXACTLY the unigram
+                                      filter's model incl. its OOV floor
+                                      (:func:`_unigram_lp_model` — shared).
+
+    Docs with fewer than 2 tokens have no pairs and are absent from the
+    output (planted-tested); the composed corpus has none. Exactness
+    across engines: same integer micro-nat scheme as the unigram filter —
+    each DISTINCT kept bigram's logprob and the two constants quantize
+    once, per-doc aggregation is an integer sum, the flag compares integer
+    mass (``-sum > n_pairs * LM2_FLAG_NLL_MICRO``).
+
+    Scale plan (100 TB): the bigram count is ONE map-side-combinable
+    shuffle whose output is the distinct-bigram table (the combine
+    collapses exactly the repeats an LM exists to count); context counts
+    aggregate THAT table (vocab-sized), never the corpus; the top-K sort
+    sorts the bigram table. The score pass streams the corpus once:
+    pair-explode, two BROADCAST joins (K2-row bigram table, K-row unigram
+    table), one combinable doc aggregate. No corpus-sized sort, no
+    self-join, the only driver scalar is the 1-row total. Reference
+    anchor: extends the engine past the reference's import/export scope
+    (HdfsSerDeImportService.java) toward the training-data brief."""
+    return lm_bigram_scores_df(_docs(spark, sf_dir))
+
+
+def lm_bigram_scores_df(docs: DataFrame) -> DataFrame:
+    """:func:`lm_bigram_scores`'s composable form over an arbitrary
+    (doc_id, text) DataFrame."""
+    words = _lm_words(docs)
+    lp_uni, floor_micro = _unigram_lp_model(words)
+    # pair-explode with the word array BOUND AS AN ATTRIBUTE (the
+    # repetition_signals lesson — an inlined split() re-evaluates per
+    # lambda element); size >= 2 also excludes the empty doc's [''] array
+    base = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_w")
+    )
+    w = F.col("_w")
+    pairs_arr = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.struct(
+                F.get(w, i).alias("w1"), F.get(w, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+    pairs = base.select("doc_id", F.explode(pairs_arr).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    ctx = c12.groupBy("w1").agg(F.sum("cnt").alias("c1"))
+    lp2 = (
+        c12.orderBy(F.desc("cnt"), "w1", "w2")
+        .limit(LM2_TOP_K)
+        .join(ctx, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.round(F.log(F.col("cnt") / F.col("c1")) * LM_MICRO)
+            .cast("long")
+            .alias("lp12_micro"),
+        )
+    )
+    backoff_micro = F.round(
+        F.log(F.lit(LM2_BACKOFF)) * LM_MICRO
+    ).cast("long")
+    per_doc = (
+        pairs.join(F.broadcast(lp2), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(
+                lp_uni.select(
+                    F.col("word").alias("w2"),
+                    F.col("lp_micro").alias("lpu_micro"),
+                )
+            ),
+            "w2",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.col("lp12_micro").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("hit_pairs"),
+            F.sum(
+                F.coalesce(
+                    F.col("lp12_micro"),
+                    backoff_micro + F.coalesce(F.col("lpu_micro"), floor_micro),
+                )
+            ).alias("sum_lp2_micro"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_pairs",
+        "hit_pairs",
+        "sum_lp2_micro",
+        (
+            (-F.col("sum_lp2_micro"))
+            > F.col("n_pairs") * F.lit(LM2_FLAG_NLL_MICRO)
+        ).alias("lm2_flag"),
     ).orderBy("doc_id")
 
 

@@ -609,6 +609,67 @@ def test_lm_perplexity_scores_on_planted_data(spark, tmp_path):
             assert srow[col_name] == v, (col_name, srow[col_name], v)
 
 
+def test_lm_bigram_scores_on_planted_data(spark, tmp_path):
+    """Bigram-LM scoring on data exercising every branch, with the driver
+    oracle as an in-test DuckDB mini-oracle on the same planted rows.
+    Plants: > LM2_TOP_K distinct bigrams (the cut fires, with the cnt-1
+    tie at the boundary broken by (w1, w2) order), a repeated-bigram doc
+    whose kept pairs score conditional-probability 1 (lp 0 — the hit
+    path), a chain doc whose singleton bigrams ALSO score lp 0 (c12 = c1 =
+    1 — the conditional table's tiny-corpus quirk, asserted on purpose), a
+    doc straddling the cut (hit + stupid-backoff-to-OOV-floor mix,
+    unflagged), an all-backoff all-OOV doc (flagged), and one-token /
+    whitespace docs (no pairs — no output row either side)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from hadoop_etl_udfs_spark.operators import textstats
+
+    assert textstats.LM2_TOP_K == 48  # plant sizes below depend on it
+    assert textstats.LM_TOP_K == 24
+    common = "ca cb " * 60                           # (ca,cb)x60 (cb,ca)x59
+    rares = " ".join(f"r{i:02d}" for i in range(30))  # 29 cnt-1 pairs
+    extras = " ".join(f"s{i:02d}" for i in range(30))  # 29 more: cut fires
+    oovs = " ".join(f"t{i:02d}" for i in range(20))   # 19 pairs, all cut
+    rows = [
+        (0, common.strip()),   # top-2 bigrams, p=1 each way: sum 0, unflagged
+        (1, rares),            # all 29 pairs kept, c12=c1=1: sum 0, unflagged
+        (2, extras),           # 17 kept (lex tie-break) + 12 backoff: unflagged
+        (3, oovs),             # all pairs cut, all w2 OOV: floor path, flagged
+        (4, "solo"),           # one token: no pairs, no row
+        (5, "   "),            # zero tokens: no row
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.lm_bigram_scores(spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3]
+    assert out[0]["hit_pairs"] == 119 and out[0]["sum_lp2_micro"] == 0
+    assert not out[0]["lm2_flag"]
+    assert out[1]["hit_pairs"] == 29 and out[1]["sum_lp2_micro"] == 0
+    assert out[2]["hit_pairs"] == 17 and out[2]["n_pairs"] == 29
+    assert not out[2]["lm2_flag"]
+    # doc 3: every pair backs off into the OOV floor — per-pair micro-NLL
+    # is exactly -(round(ln(0.4)e6) + round(ln(1/total)e6)), total = 201
+    assert out[3]["hit_pairs"] == 0
+    assert out[3]["sum_lp2_micro"] == 19 * (-916291 + -5303305)
+    assert out[3]["lm2_flag"]
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = con.execute(entry.oracle_sql()["lm_bigram_scores"]).fetchall()
+    cols = [dsc[0] for dsc in con.description]
+    assert len(got) == 4
+    for orow in got:
+        srow = out[orow[cols.index("doc_id")]]
+        for col_name, v in zip(cols, orow):
+            assert srow[col_name] == v, (col_name, srow[col_name], v)
+
+
 def test_boilerplate_and_lm_small_sides_broadcast(spark):
     """The round-7 text operators' small sides must BROADCAST back against
     the corpus scan (the decontamination precedent): the surviving
@@ -622,6 +683,11 @@ def test_boilerplate_and_lm_small_sides_broadcast(spark):
     assert "BroadcastExchange" in plan_of(
         textstats.lm_perplexity_scores(spark, SF)
     )
+    # the bigram scorer joins TWO bounded tables back: the K2-row bigram
+    # table and the K-row unigram backoff table — both must broadcast
+    assert plan_of(textstats.lm_bigram_scores(spark, SF)).count(
+        "BroadcastExchange"
+    ) >= 2
 
 
 def test_neardup_safe_split_keeps_clusters_in_one_split(spark):

@@ -1,6 +1,6 @@
 """Scale probe for the round-7/8 text-cleanup and packing operators
-(boilerplate removal, unigram-LM scoring, per-source quota cap, Gopher
-repetition signals, fixed-length sequence packing).
+(boilerplate removal, unigram- and bigram-LM scoring, per-source quota
+cap, Gopher repetition signals, fixed-length sequence packing).
 
 The driver-gate documents table is fixed at 500 rows, so the gate proves
 VALUES; this probe proves the SHAPE — the same operators over the
@@ -48,6 +48,7 @@ def _ops():
     )
     from hadoop_etl_udfs_spark.operators.textstats import (
         boilerplate_removal_df,
+        lm_bigram_scores_df,
         lm_perplexity_scores_df,
         repetition_signals_df,
     )
@@ -60,6 +61,9 @@ def _ops():
         .collect(),
         "lm_perplexity_scores": lambda docs: lm_perplexity_scores_df(docs)
         .agg(F.count("*"), F.sum("sum_lp_micro"))
+        .collect(),
+        "lm_bigram_scores": lambda docs: lm_bigram_scores_df(docs)
+        .agg(F.count("*"), F.sum("sum_lp2_micro"))
         .collect(),
         "source_quota_cap": lambda docs: source_quota_cap_df(docs)
         .agg(F.count("*"), F.sum("rk"))
