@@ -198,6 +198,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # _unigram_lp_model is shared, and the oracle composes _lm2_ctes
         # on top of _lm_ctes so the two LM orders cannot drift):
         "lm_bigram_scores": textstats.lm_bigram_scores,
+        # NEW round 8, same born-past-the-cap routing: per-source
+        # distribution-drift monitor — KL(P_source || P_corpus) over the
+        # unigram distributions, integer micro-nat exact:
+        "source_kl_divergence": textstats.source_kl_divergence,
         # rotated out round 8 (driver-green r1-r7) to admit the eight
         # round-7 operators; every expression/kernel they evidence keeps
         # >=1 in-gate oracle witness (see the docstring), all eight stay
@@ -1917,6 +1921,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_pairs, hit_pairs, sum_lp2_micro,
                    {_LM2_FLAG_SQL} AS lm2_flag
             FROM lm2_doc ORDER BY doc_id
+        """,
+        # per-source KL drift (round 8): one (source, word) wordcount, the
+        # corpus vocabulary and per-source totals aggregated FROM it; per
+        # distinct (source, word) the log-ratio quantizes once to integer
+        # micro-nats with all operands cast to double first and the
+        # multiply/divide order pinned — the per-source sum is an integer
+        # aggregate, the flag compares integer mass
+        "source_kl_divergence": f"""
+            WITH kw AS (
+                SELECT source,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS word
+                FROM documents
+            ),
+            kw2 AS (SELECT source, word FROM kw WHERE word <> ''),
+            kp AS MATERIALIZED (
+                SELECT source, word, count(*) AS c_sw
+                FROM kw2 GROUP BY source, word
+            ),
+            kg AS MATERIALIZED (
+                SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w
+                FROM kp GROUP BY word
+            ),
+            ks AS MATERIALIZED (
+                SELECT source, CAST(sum(c_sw) AS BIGINT) AS t_s,
+                       count(*) AS n_distinct_words
+                FROM kp GROUP BY source
+            ),
+            kt AS (SELECT CAST(sum(c_w) AS BIGINT) AS t_g FROM kg),
+            klr AS (
+                SELECT kp.source, kp.c_sw,
+                       CAST(round(ln(
+                           (CAST(kp.c_sw AS DOUBLE)
+                            * CAST((SELECT t_g FROM kt) AS DOUBLE))
+                           / (CAST(kg.c_w AS DOUBLE)
+                              * CAST(ks.t_s AS DOUBLE)))
+                           * {textstats.LM_MICRO}) AS BIGINT) AS lr
+                FROM kp JOIN kg USING (word) JOIN ks USING (source)
+            )
+            SELECT source, ks.t_s AS n_tokens, ks.n_distinct_words,
+                   CAST(sum(c_sw * lr) AS BIGINT) AS kl_sum_micro,
+                   CAST(sum(c_sw * lr) AS BIGINT)
+                       > ks.t_s * {textstats.KL_FLAG_MICRO} AS drift_flag
+            FROM klr JOIN ks USING (source)
+            GROUP BY source, ks.t_s, ks.n_distinct_words
+            ORDER BY source
         """,
         # Iceberg roundtrip: the Spark side commits documents to a fresh
         # spec-layout Iceberg table and reads it back through the

@@ -827,6 +827,86 @@ def lm_bigram_scores_df(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+KL_FLAG_MICRO = 50_000           # per-token KL above 0.05 nats -> drifted
+
+
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift monitor: the KL divergence of each
+    source's unigram word distribution from the whole-corpus distribution,
+    KL(P_source || P_corpus) = Σ_w P_s(w) · ln(P_s(w)/P_g(w)). The
+    operational triage signal a 100 TB ingest needs — a source whose
+    distribution drifts (template spam, language flip, encoding rot)
+    lights up here long before any per-doc filter fires, and the scan that
+    computes it is the wordcount the LM filters already pay.
+
+    Every source word exists in the corpus distribution by construction
+    (the corpus contains the source), so no smoothing is needed and
+    KL >= 0 exactly. Exactness across engines: per DISTINCT (source, word)
+    the log-ratio quantizes ONCE to integer micro-nats —
+    ``round(ln((c_sw·t_g)/(c_w·t_s)) · LM_MICRO)`` with every operand cast
+    to double FIRST and the multiply/divide order pinned (IEEE ops on
+    identical integer inputs give identical doubles in both engines) — and
+    the per-source aggregate is the INTEGER sum of c_sw·lr_micro;
+    ``kl_sum_micro / n_tokens`` is the KL in micro-nats, and the flag
+    compares integer mass (``kl_sum_micro > n_tokens * KL_FLAG_MICRO``).
+    int64 headroom: |lr| < 35e6 micro-nats, so the weighted sum is safe
+    through t_s ≈ 2.6e11 tokens (~1 TB of text) per source; past that,
+    drop LM_MICRO a decade.
+
+    Scale plan (100 TB): ONE (source, word) map-side-combinable wordcount
+    shuffle (output = per-source vocabularies); the corpus vocabulary and
+    per-source totals aggregate THAT table, never the corpus; the only
+    driver scalar is the 1-row grand total. The log-ratio join is
+    vocabulary-scale on the word key (co-partitioned sort-merge at real
+    vocab sizes; the per-source totals side is sources-sized and
+    broadcast). No corpus self-join, no per-doc state. Reference anchor:
+    extends the engine past the reference's import/export scope
+    (HdfsSerDeImportService.java) toward the training-data brief."""
+    return source_kl_divergence_df(_docs(spark, sf_dir))
+
+
+def source_kl_divergence_df(docs: DataFrame) -> DataFrame:
+    """:func:`source_kl_divergence`'s composable form over an arbitrary
+    (source, text) DataFrame."""
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    kp = words.groupBy("source", "word").agg(F.count("*").alias("c_sw"))
+    kg = kp.groupBy("word").agg(F.sum("c_sw").alias("c_w"))
+    ks = kp.groupBy("source").agg(
+        F.sum("c_sw").alias("t_s"),
+        F.count("*").cast("long").alias("n_distinct_words"),
+    )
+    t_g = int(kg.agg(F.sum("c_w")).collect()[0][0])  # 1-row scalar
+    lr_micro = F.round(
+        F.log(
+            (F.col("c_sw").cast("double") * F.lit(float(t_g)))
+            / (F.col("c_w").cast("double") * F.col("t_s").cast("double"))
+        )
+        * LM_MICRO
+    ).cast("long")
+    per_source = (
+        kp.join(kg, "word")
+        .join(F.broadcast(ks), "source")
+        .groupBy("source")
+        .agg(
+            F.min("t_s").alias("n_tokens"),
+            F.min("n_distinct_words").alias("n_distinct_words"),
+            F.sum(F.col("c_sw") * lr_micro).alias("kl_sum_micro"),
+        )
+    )
+    return per_source.select(
+        "source",
+        "n_tokens",
+        "n_distinct_words",
+        "kl_sum_micro",
+        (
+            F.col("kl_sum_micro") > F.col("n_tokens") * F.lit(KL_FLAG_MICRO)
+        ).alias("drift_flag"),
+    ).orderBy("source")
+
+
 N_SPLIT_BUCKETS = 10_000
 SPLIT_BOUNDS = (9_500, 9_750)   # train < 9500, val < 9750, test = rest
 

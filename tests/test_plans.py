@@ -670,6 +670,61 @@ def test_lm_bigram_scores_on_planted_data(spark, tmp_path):
             assert srow[col_name] == v, (col_name, srow[col_name], v)
 
 
+def test_source_kl_divergence_on_planted_data(spark, tmp_path):
+    """KL drift monitor on planted sources, with the driver oracle as an
+    in-test DuckDB mini-oracle. Plants: two sources with IDENTICAL word
+    distributions (their only divergence from the corpus is the small
+    drifted source's mass share — below the flag), one drifted source with
+    a disjoint vocabulary (KL = ln(t_g/t_z) exactly, hand-pinned in
+    micro-nats — flagged), and a whitespace-only source (zero tokens — no
+    output row either side)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from hadoop_etl_udfs_spark.operators import textstats
+
+    block = "c1 c2 c3 c4 " * 20                     # 80 tokens, uniform
+    rows = [
+        (0, block.strip(), "en", "srcA", 0),
+        (1, block.strip(), "en", "srcB", 0),
+        (2, "zz zz zz zz", "en", "srcZ", 0),        # disjoint vocab, tiny
+        (3, "   ", "en", "srcW", 0),                # zero tokens: no row
+    ]
+    cols = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows, cols).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r["source"]: r
+        for r in textstats.source_kl_divergence(spark, str(tmp_path)).collect()
+    }
+    assert sorted(out) == ["srcA", "srcB", "srcZ"]
+    # identical-distribution sources agree exactly and sit under the flag:
+    # their whole divergence is the drifted source's 4/164 mass share
+    assert out["srcA"]["kl_sum_micro"] == out["srcB"]["kl_sum_micro"]
+    assert not out["srcA"]["drift_flag"] and not out["srcB"]["drift_flag"]
+    # the drifted source: every token's log-ratio is ln((4*164)/(4*4)) =
+    # ln(41), quantized once -> 3713572 micro-nats, weighted by c_sw = 4
+    assert out["srcZ"]["n_tokens"] == 4
+    assert out["srcZ"]["kl_sum_micro"] == 4 * 3713572
+    assert out["srcZ"]["drift_flag"]
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source",
+                                    "n_chars"]),
+    )
+    got = con.execute(entry.oracle_sql()["source_kl_divergence"]).fetchall()
+    ocols = [dsc[0] for dsc in con.description]
+    assert len(got) == 3
+    for orow in got:
+        srow = out[orow[ocols.index("source")]]
+        for col_name, v in zip(ocols, orow):
+            assert srow[col_name] == v, (col_name, srow[col_name], v)
+
+
 def test_boilerplate_and_lm_small_sides_broadcast(spark):
     """The round-7 text operators' small sides must BROADCAST back against
     the corpus scan (the decontamination precedent): the surviving
