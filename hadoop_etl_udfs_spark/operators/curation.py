@@ -272,6 +272,7 @@ def curate_corpus(
     repetition_filter: bool = False,
     lm_filter: bool = False,
     lm_drop_frac: float | None = None,
+    lm_order: int = 1,
     split: bool = False,
 ) -> DataFrame:
     """The curation layer composed END-TO-END (round-7; extended round-8 to
@@ -289,7 +290,10 @@ def curate_corpus(
         corpus as it stands HERE, i.e. post-cap/post-cleanup — the CCNet
         order: clean first, then score. ``lm_drop_frac`` switches the cut
         from the absolute micro-nat threshold to the CCNet-style relative
-        one: drop the worst fraction by per-token NLL)
+        one: drop the worst fraction by per-token NLL. ``lm_order=2``
+        swaps in the bigram scorer — stupid backoff into the SAME unigram
+        model — scoring per-PAIR NLL; the checked twin and its oracle
+        stay on order 1)
       → best-in-cluster near-dup resolution (losers dropped)
       → token-budget shard packing
       → near-dup-safe split column      (``split=True``; reuses the dedup
@@ -353,10 +357,20 @@ def curate_corpus(
             "lm_drop_frac requires lm_filter=True (a relative cut with no "
             "LM stage to apply it to would be silently ignored)"
         )
+    if lm_order not in (1, 2):
+        raise ValueError(f"lm_order must be 1 or 2, got {lm_order!r}")
     if lm_filter:
-        from .textstats import lm_perplexity_scores_df
+        from .textstats import lm_bigram_scores_df, lm_perplexity_scores_df
 
-        scores = lm_perplexity_scores_df(sampled)
+        if lm_order == 2:
+            # per-PAIR NLL; <2-token docs have no score row and are KEPT
+            # (no signal is not a bad signal) — the left_anti below does
+            # exactly that for free
+            scores = lm_bigram_scores_df(sampled)
+            num_col, den_col, flag_col = "sum_lp2_micro", "n_pairs", "lm2_flag"
+        else:
+            scores = lm_perplexity_scores_df(sampled)
+            num_col, den_col, flag_col = "sum_lp_micro", "n_tokens", "lm_flag"
         if lm_drop_frac is not None:
             # scores feeds BOTH the percentile collect and the flagged
             # filter: materialize, or the full word-explode + vocab
@@ -371,13 +385,13 @@ def curate_corpus(
             # quality signal; production LM filters cut at perplexity
             # percentiles for exactly this reason. One 1-row
             # percentile_approx collect (metadata-scale).
-            nll = -F.col("sum_lp_micro") / F.col("n_tokens")
+            nll = -F.col(num_col) / F.col(den_col)
             cut = scores.agg(
                 F.percentile_approx(nll, 1.0 - lm_drop_frac).alias("c")
             ).collect()[0]["c"]
             flagged = scores.filter(nll > cut).select("doc_id")
         else:
-            flagged = scores.filter(F.col("lm_flag")).select("doc_id")
+            flagged = scores.filter(F.col(flag_col)).select("doc_id")
         sampled = hook("lm_filter", sampled.join(flagged, "doc_id", "left_anti"))
     labels = dedup_keep_best_df(sampled, method=method)
     if split:

@@ -9,6 +9,7 @@ losers) -> token-budget shard packing -> shard-clustered chunk-encode sink.
         [--input docs_parquet | --synthesize N] [--input-format parquet|iceberg] \
         [--budget-tokens 2048] [--no-check] \
         [--source-cap] [--boilerplate] [--repetition-filter] [--lm-filter] \
+        [--lm-order 2] \
         [--split] [--sequences]
 
 The four optional stages (round 8) slot in pipeline order: sample ->
@@ -89,6 +90,10 @@ def main() -> None:
                    help="relative LM cut: drop the worst FRAC of docs by "
                         "per-token NLL (default: the absolute micro-nat "
                         "threshold, which suits the driver corpus family)")
+    p.add_argument("--lm-order", type=int, default=1, choices=[1, 2],
+                   help="LM order for the filter stage: 1 = unigram "
+                        "(default), 2 = bigram with stupid backoff into "
+                        "the same unigram model")
     p.add_argument("--split", action="store_true",
                    help="near-dup-safe train/val/test split column")
     p.add_argument("--sequences", action="store_true",
@@ -151,7 +156,7 @@ def main() -> None:
         source_cap=args.source_cap, boilerplate=args.boilerplate,
         repetition_filter=args.repetition_filter,
         lm_filter=args.lm_filter, lm_drop_frac=args.lm_drop_frac,
-        split=args.split,
+        lm_order=args.lm_order, split=args.split,
     )
     curated_schema = CURATED_SPLIT_SCHEMA if args.split else CURATED_SCHEMA
     n_sampled = counts["stratified_sample"]

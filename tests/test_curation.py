@@ -370,6 +370,66 @@ def test_curate_corpus_repetition_stage(spark):
     assert got_ids and min(got_ids) >= 3000  # survivors are the clean docs
 
 
+def test_curate_corpus_lm_order2_stage(spark):
+    """The bigram variant of the LM stage (round 8, ``lm_order=2``; the
+    checked twin and its oracle stay on order 1 — the bigram operator has
+    its OWN oracle row and planted mini-oracle test, the composition is
+    pinned here). Plants: repeated-bigram docs and a lex-first filler doc
+    whose singleton bigrams fill the top-K table (all conditional-p=1 hit
+    pairs, NLL 0 — kept), and junk chain docs whose bigrams lose the
+    lexicographic tie at the cnt-1 cut AND whose words are OOV, so every
+    pair takes the backoff-to-floor path (flagged, dropped). Slotting the
+    stage into the chain must equal hand-composing the anti-join around
+    the (idempotent) sample gate. Also pins the loud-validation paths:
+    lm_order outside {1, 2} and lm_drop_frac without lm_filter raise."""
+    import pytest
+
+    from hadoop_etl_udfs_spark.operators import textstats
+
+    rows = []
+    for i in range(5):     # repeated-bigram docs: hit path, NLL 0
+        rows.append((1000 + i, ("ca cb " * 30).strip(), "zh", "s1"))
+    # lex-first filler: 47 words -> 46 singleton bigrams, all of which WIN
+    # the (w1, w2) tie at the cnt-1 cut (LM2_TOP_K=48 = 2 repeated + 46)
+    rows.append((2000, " ".join(f"a{j:02d}" for j in range(47)), "zh", "s1"))
+    for i in range(10):    # junk chains: pairs past the cut, words OOV
+        rows.append(
+            (3000 + i, " ".join(f"z{i}w{j}" for j in range(25)), "zh", "s2")
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    sampled = curation.stratified_sample_df(docs).localCheckpoint()
+    flags = {
+        r["doc_id"]: r["lm2_flag"]
+        for r in textstats.lm_bigram_scores_df(sampled).collect()
+    }
+    hot = {d for d, f in flags.items() if f}
+    assert hot and all(3000 <= d for d in hot)       # stage is hot
+    assert all(f for d, f in flags.items() if d >= 3000)
+    assert not any(f for d, f in flags.items() if d < 3000)
+
+    got = curation.curate_corpus(
+        docs, method="md5", lm_filter=True, lm_order=2
+    ).localCheckpoint()
+    hand = sampled.join(
+        spark.createDataFrame([(d,) for d in hot], "doc_id long"),
+        "doc_id",
+        "left_anti",
+    )
+    expected = curation.curate_corpus(hand, method="md5")
+    cols = ["doc_id", "text", "lang", "source", "n_tokens", "shard_id"]
+    snap = lambda df: sorted(tuple(r) for r in df.select(*cols).collect())
+    assert snap(got) == snap(expected)
+    got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert not (got_ids & hot)
+
+    with pytest.raises(ValueError, match="lm_order"):
+        curation.curate_corpus(docs, lm_filter=True, lm_order=3)
+    with pytest.raises(ValueError, match="lm_drop_frac"):
+        curation.curate_corpus(docs, lm_drop_frac=0.5)
+
+
 def test_source_quota_cap_matches_naive_window_on_skewed_plant(spark, tmp_path):
     """Two-phase distributed top-k == the naive per-source window, proven
     on a planted SKEWED corpus (one source far over the cap — the case the
