@@ -656,7 +656,10 @@ def _unigram_lp_model(words: DataFrame):
     The OOV floor is computed by the SAME engine-side expression shape as
     the vocabulary logprobs (Catalyst folds it to a literal), mirroring
     the oracle's ln(1.0/total) — never Python's math.log."""
-    vocab = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    # vocab feeds BOTH the total collect and the lp table (the >=2-
+    # consumers rule): materialize the vocabulary-sized count once, or
+    # every downstream action re-pays the corpus wordcount scan
+    vocab = words.groupBy("word").agg(F.count("*").alias("cnt")).localCheckpoint()
     total = int(vocab.agg(F.sum("cnt")).collect()[0][0])  # 1-row scalar
     lp = (
         vocab.orderBy(F.desc("cnt"), "word")
@@ -772,7 +775,10 @@ def lm_bigram_scores_df(docs: DataFrame) -> DataFrame:
     pairs = base.select("doc_id", F.explode(pairs_arr).alias("p")).select(
         "doc_id", "p.w1", "p.w2"
     )
-    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    # the bigram table feeds BOTH the context aggregate and the top-K cut
+    # (>=2 consumers): materialize the distinct-bigram table once, or each
+    # re-pays the corpus pair-explode shuffle
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cnt")).localCheckpoint()
     ctx = c12.groupBy("w1").agg(F.sum("cnt").alias("c1"))
     lp2 = (
         c12.orderBy(F.desc("cnt"), "w1", "w2")
