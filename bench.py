@@ -427,8 +427,13 @@ def run_ann_sink(workdir: str) -> dict:
     zip_path = os.path.join(repo, "dist", "hadoop_etl_udfs_spark.zip")
 
     def _job(args: list[str]) -> dict:
+        # spark-submit defaults the driver JVM to 1g; in local mode that
+        # heap IS the whole cluster, and a 32-thread full decode of the
+        # 1M-vector sink OOMs it (reproduced; build survives, search
+        # dies). Size it like the host the bench models.
         proc = subprocess.run(
             ["spark-submit", "--master", f"local[{CPUS}]",
+             "--driver-memory", "8g",
              "--py-files", zip_path,
              os.path.join(repo, "jobs", "ann_job.py"), *args],
             check=True, capture_output=True, text=True, cwd=repo,

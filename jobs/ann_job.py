@@ -8,6 +8,8 @@ table, then serve top-k searches that decode ONLY the probed cells' chunks.
         jobs/ann_job.py build --input /path/embeddings_parquet --sink /path/ivf \
         [--input-format parquet|iceberg] [--train | --demo-quantizer] [--n-cells 16]
     # search: probe cells, stamp-pruned decode, exact cosine top-k
+    # (pass --driver-memory >= 8g for million-vector sinks: local mode
+    # runs every task in the driver JVM, and spark-submit defaults to 1g)
     spark-submit ... jobs/ann_job.py search --sink /path/ivf \
         (--query-json '[0.1, ...]' | --query-from /path/emb --query-vec-id 0) \
         [--k 10] [--n-probe 4] [--compare-full]
