@@ -436,8 +436,16 @@ def run_ann_sink(workdir: str) -> dict:
              "--driver-memory", "8g",
              "--py-files", zip_path,
              os.path.join(repo, "jobs", "ann_job.py"), *args],
-            check=True, capture_output=True, text=True, cwd=repo,
+            capture_output=True, text=True, cwd=repo,
         )
+        if proc.returncode != 0:
+            # surface the job's own stderr — a bare CalledProcessError
+            # hides the cause (the 1g-heap OOM cost a full bench run to
+            # diagnose because only the exit code survived)
+            raise RuntimeError(
+                f"ann_job {args[0]} failed (exit {proc.returncode}); "
+                f"stderr tail:\n{proc.stderr[-2000:]}"
+            )
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     build = _job(["build", "--input", emb_path, "--sink", sink])
