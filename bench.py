@@ -404,7 +404,11 @@ def run_ann_sink(workdir: str) -> dict:
     from hadoop_etl_udfs_spark.operators.similarity import DIM
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    n = min(1_000_000, max(50_000, int(10_000_000 * SF)))
+    # 4M vectors at sf0.1 (round 8; was 1M): at 1M the packaged search is
+    # fixed-overhead-dominated and pruned ~= full (1.96 vs 2.02 s); at 4M
+    # the stamp pruning separates end-to-end (measured 3.38 vs 4.67 s,
+    # 19/70 chunks kept)
+    n = min(4_000_000, max(50_000, int(40_000_000 * SF)))
     emb_path = os.path.join(workdir, "ann_emb")
     sink = os.path.join(workdir, "ann_sink")
     spark = _session(CPUS, shuffle_partitions=max(32, CPUS))
@@ -433,7 +437,7 @@ def run_ann_sink(workdir: str) -> dict:
         # dies). Size it like the host the bench models.
         proc = subprocess.run(
             ["spark-submit", "--master", f"local[{CPUS}]",
-             "--driver-memory", "8g",
+             "--driver-memory", "12g",
              "--py-files", zip_path,
              os.path.join(repo, "jobs", "ann_job.py"), *args],
             capture_output=True, text=True, cwd=repo,
