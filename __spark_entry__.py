@@ -202,6 +202,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distribution-drift monitor — KL(P_source || P_corpus) over the
         # unigram distributions, integer micro-nat exact:
         "source_kl_divergence": textstats.source_kl_divergence,
+        # NEW round 8, same born-past-the-cap routing: BM25 top-k term
+        # retrieval — the term-based complement to the vector ANN rows
+        # (query-driven decontamination / corpus audit shape). Zero
+        # corpus shuffles: array-HOF tf/dl fold in the scan stage, 1-row
+        # stats collect, integer micro-unit scores (the LM trick):
+        "bm25_topk": textstats.bm25_topk,
         # rotated out round 8 (driver-green r1-r7) to admit the eight
         # round-7 operators; every expression/kernel they evidence keeps
         # >=1 in-gate oracle witness (see the docstring), all eight stay
@@ -800,6 +806,78 @@ def _source_rank_cte_sql(src: str = "documents") -> str:
                        ) AS rk
                 FROM {src}
             )"""
+
+
+def _bm25_sql(src: str = "documents") -> str:
+    """BM25 top-k oracle mirroring ``textstats.bm25_topk_df`` constant for
+    constant and operation for operation: the same filtered word-array
+    bind, the same per-doc (dl, tf per query term) HOF fold, the same
+    1-row stats aggregate, per-term idf quantized once to integer
+    micro-units (one ln per term on identical double inputs), and the same
+    pinned-order IEEE contribution expression rounded to integer
+    micro-units — so the per-doc score is an integer sum in both engines.
+    All float constants are derived in Python ONCE (``BM25_K1P1``,
+    ``BM25_1MB``) and injected as repr literals, which both engines parse
+    to the identical double."""
+    ts = textstats
+    terms = ts.BM25_QUERY
+    micro = float(ts.BM25_MICRO)
+    tf_defs = ",\n                   ".join(
+        f"CAST(len(list_filter(ws, w -> w = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_defs = ",\n                   ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{i}"
+        for i in range(len(terms))
+    )
+
+    def idf(i: int) -> str:
+        return (
+            f"CAST(round(ln(((CAST(n AS DOUBLE) - CAST(df_{i} AS DOUBLE)"
+            f" + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5)) + 1.0)"
+            f" * {micro!r}) AS BIGINT)"
+        )
+
+    contribs = "\n                 + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN CAST(round((CAST({idf(i)} AS DOUBLE)"
+        f" * (CAST(tf_{i} AS DOUBLE) * {ts.BM25_K1P1!r}))"
+        f" / (CAST(tf_{i} AS DOUBLE) + {ts.BM25_K1!r} * ({ts.BM25_1MB!r}"
+        f" + {ts.BM25_B!r} * (CAST(dl AS DOUBLE)"
+        f" / (CAST(t AS DOUBLE) / CAST(n AS DOUBLE)))))) AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i in range(len(terms))
+    )
+    hits = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(terms))
+    )
+    return f"""
+            WITH barr AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   w -> w <> '') AS ws
+                FROM {src}
+            ),
+            bdoc AS MATERIALIZED (
+                SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+                   {tf_defs}
+                FROM barr
+            ),
+            bstats AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(dl) AS BIGINT) AS t,
+                   {df_defs}
+                FROM bdoc
+            )
+            SELECT doc_id,
+                   CAST({hits} AS BIGINT) AS hit_terms,
+                   ({contribs}) AS score_micro
+            FROM bdoc, bstats
+            WHERE {hits} > 0
+            ORDER BY score_micro DESC, doc_id
+            LIMIT {ts.BM25_TOPK}
+        """
 
 
 def _lm_ctes(src: str = "documents") -> str:
@@ -1967,6 +2045,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source, ks.t_s, ks.n_distinct_words
             ORDER BY source
         """,
+        # BM25 top-k retrieval (round 8): generator mirrors the engine op
+        # constant-for-constant — see _bm25_sql's docstring
+        "bm25_topk": _bm25_sql(),
         # Iceberg roundtrip: the Spark side commits documents to a fresh
         # spec-layout Iceberg table and reads it back through the
         # metadata/manifest planner; the oracle reads the source directly —

@@ -1059,3 +1059,146 @@ def corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("keep_doc_id", "lang", "n_tokens", "n_copies")
         .orderBy("keep_doc_id")
     )
+
+
+# --- BM25 term-based retrieval (round 8) ------------------------------------
+
+BM25_K1 = 1.2                 # term-frequency saturation (Robertson-Walker)
+BM25_B = 0.75                 # document-length normalization strength
+BM25_K1P1 = BM25_K1 + 1.0     # derived in PYTHON once; injected into BOTH
+BM25_1MB = 1.0 - BM25_B       # engines as decimal literals (repr round-trips)
+BM25_MICRO = 1_000_000        # integer micro-unit quantum (the LM trick)
+BM25_TOPK = 25
+# rare term (df~25/500) + two common terms + one term ABSENT from the corpus
+# (df=0 exercises the +1 idf guard); deterministic, no external data
+BM25_QUERY = ("dup", "vector", "hash", "tensor")
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the documents table for the fixed
+    ``BM25_QUERY`` — the term-based complement to the embedding ANN
+    operators: retrieval-shaped filtering (query-driven decontamination,
+    targeted corpus audits, "find the docs about X") that an LLM-data
+    pipeline runs next to vector search. Okapi BM25 (Robertson &
+    Zaragoza 2009) with the Lucene-style ``ln(1 + (N-df+0.5)/(df+0.5))``
+    non-negative idf.
+
+    Exactness across engines: per-term idf quantizes ONCE to integer
+    micro-units (one ln per query term), the per-(doc, term) contribution
+    is a pinned-order IEEE double expression over exact integer inputs
+    (tf, dl, N, total tokens) rounded to integer micro-units, and the
+    per-doc score is an INTEGER sum over query terms — fp-order-free, the
+    same scheme as :func:`lm_perplexity_scores`. Ties at the k boundary
+    break on doc_id in both engines.
+
+    Scale plan (100 TB): NO corpus shuffle at all. The filtered word
+    array binds once per doc (two-step select, the _shingles pattern);
+    dl and one tf per query term fold out of it with array HOFs in the
+    scan stage — |Q| counting passes over an in-memory array beats an
+    explode of every token by orders of magnitude in shuffle bytes. The
+    per-doc projection (doc_id + 2+|Q| longs, corpus-row-count rows) is
+    localCheckpointed once for its two consumers: a 1-row stats aggregate
+    (map-side combined; the only collect) and the scorer, which is a pure
+    row expression over driver-literal idfs. Top-k is orderBy+limit =
+    TakeOrdered, O(k) per partition, never a global sort."""
+    return bm25_topk_df(_docs(spark, sf_dir))
+
+
+def bm25_topk_df(
+    docs: DataFrame,
+    query_terms: tuple = BM25_QUERY,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """:func:`bm25_topk`'s composable form over an arbitrary
+    (doc_id, text) DataFrame and query-term tuple."""
+    nq = len(query_terms)
+
+    # factory, not `lambda w, t=t`: PySpark reads the lambda's ARITY, and a
+    # second parameter (even defaulted) makes it the array-index column
+    def _tf(term: str):
+        return (
+            F.size(F.filter("ws", lambda w: w == F.lit(term)))
+            .cast("long")
+        )
+
+    arr = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda w: w != F.lit(""),
+        ).alias("ws"),
+    )
+    per_doc = arr.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("dl"),
+        *[
+            _tf(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)
+        ],
+    ).localCheckpoint()  # 2 consumers: stats aggregate + scorer
+    stats = per_doc.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("t"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(nq)
+        ],
+    ).collect()[0]
+    n = int(stats["n"])
+    if n == 0:
+        raise ValueError("bm25_topk_df: empty corpus")
+    t = int(stats["t"] or 0)
+    # avgdl as the SAME IEEE division of the same exact integers the oracle
+    # performs; idf quantized engine-side (F.log, never math.log) so the
+    # one ln() per term runs in the engine exactly as the oracle's ln()
+    avgdl = F.lit(t).cast("double") / F.lit(n).cast("double")
+    contribs, hits = [], []
+    for i in range(nq):
+        df_i = int(stats[f"df_{i}"])
+        idf_micro = F.round(
+            F.log(
+                (
+                    (
+                        F.lit(n).cast("double")
+                        - F.lit(df_i).cast("double")
+                        + F.lit(0.5)
+                    )
+                    / (F.lit(df_i).cast("double") + F.lit(0.5))
+                )
+                + F.lit(1.0)
+            )
+            * F.lit(float(BM25_MICRO))
+        ).cast("long")
+        tf = F.col(f"tf_{i}").cast("double")
+        contrib = F.round(
+            (idf_micro.cast("double") * (tf * F.lit(BM25_K1P1)))
+            / (
+                tf
+                + F.lit(BM25_K1)
+                * (
+                    F.lit(BM25_1MB)
+                    + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+                )
+            )
+        ).cast("long")
+        contribs.append(
+            F.when(F.col(f"tf_{i}") > 0, contrib).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+        hits.append((F.col(f"tf_{i}") > 0).cast("long"))
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    hit = hits[0]
+    for h in hits[1:]:
+        hit = hit + h
+    return (
+        per_doc.select(
+            "doc_id",
+            hit.alias("hit_terms"),
+            score.alias("score_micro"),
+        )
+        .where(F.col("hit_terms") > 0)
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(k)
+    )

@@ -895,3 +895,69 @@ def test_ivf_recall_identical_over_decoded_sink(spark, tmp_path):
     over = sorted(map(tuple, similarity.ann_recall_at_k_ivf_df(dec).collect()))
     assert raw == over
     assert len(raw) == 5  # the sf0.001 stride sample: 500/100 queries
+
+
+def test_bm25_topk_on_planted_data(spark, tmp_path):
+    """BM25 retrieval on a corpus built to pin every decision the operator
+    makes — rare-term idf dominance, tf saturation, length normalization,
+    the k-boundary tie broken by doc_id, docs with zero query-term hits
+    excluded, a query term absent from the corpus (df=0), and a zero-token
+    doc — with the driver oracle run as an in-test DuckDB mini-oracle on
+    the same planted rows, compared IN ORDER (top-k output order is part
+    of the contract)."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    import __spark_entry__ as entry
+    from hadoop_etl_udfs_spark.operators import textstats
+
+    filler = " ".join(["pad"] * 40)
+    rows = [
+        (0, "dup " + filler),                  # rare term, long doc
+        (1, "dup dup dup"),                    # rare term, tf=3, SHORT doc
+        (2, "vector hash " + filler),          # two common terms
+        (3, "vector " + filler),               # one common term
+        (4, "vector " + filler),               # identical to 3: exact tie,
+        (5, filler),                           #   broken by doc_id
+        (6, "   "),                            # zero tokens after trim/filter
+        (7, "hash hash hash hash " + filler),  # tf saturation vs doc 2
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = textstats.bm25_topk(spark, str(tmp_path)).collect()
+    by_id = {r["doc_id"]: r for r in got}
+
+    # docs 5 and 6 have no query-term hits: excluded from the result
+    assert set(by_id) == {0, 1, 2, 3, 4, 7}
+    # the short rare-term doc outranks everything (idf + length norm)
+    assert got[0]["doc_id"] == 1
+    # two common hits beat one; the exact tie breaks by doc_id
+    ids = [r["doc_id"] for r in got]
+    assert ids.index(2) < ids.index(3) < ids.index(4)
+    assert by_id[3]["score_micro"] == by_id[4]["score_micro"]
+    # tf saturation: 4x 'hash' scores above 1x but below 4x the single hit
+    one_hash = by_id[2]["score_micro"] - by_id[3]["score_micro"]  # same dl
+    assert one_hash > 0
+    assert by_id[7]["score_micro"] < 4 * one_hash  # k1 saturates tf
+
+    # mini-oracle: the SAME oracle SQL the driver runs, compared in order
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    orows = con.execute(entry.oracle_sql()["bm25_topk"]).fetchall()
+    cols = [d[0] for d in con.description]
+    assert [tuple(r[c] for c in cols) for r in got] == [
+        tuple(r) for r in orows
+    ]
+
+    # the k boundary cuts deterministically: k=3 keeps the top 3 in order
+    small = textstats.bm25_topk_df(
+        spark.read.parquet(str(tmp_path / "documents.parquet")), k=3
+    ).collect()
+    assert [r["doc_id"] for r in small] == ids[:3]
+
+    # empty corpus fails loud, never NaN-scores silently
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        textstats.bm25_topk_df(empty)
