@@ -382,6 +382,7 @@ REP_DUP_SEG = (3, 10)       # duplicated-segment occurrence fraction > 0.30
 REP_DUP_SEG_CHAR = (1, 5)   # chars inside duplicated segments       > 0.20
 REP_TOP_2GRAM = (1, 5)      # chars of the most frequent word-2gram  > 0.20
 REP_DUP_5GRAM = (3, 20)     # chars inside duplicated word-5grams    > 0.15
+_REP_PACK = 2_147_483_648   # 2^31: (cnt, glen) -> cnt*2^31 + glen long pack
 
 
 def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,16 +410,19 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``array_join(words, ' ')``), and the top-2gram tie-break is
     (count, char-length, gram) descending — deterministic in both engines.
 
-    Scale plan (100 TB): three explode+aggregate passes over the corpus
-    (segments, 2-grams, 5-grams), each ONE map-side-combinable shuffle
-    keyed (doc_id, gram) followed by the doc_id re-aggregate — the
-    (doc_id, gram) partial combine collapses exactly the repeated grams
-    this operator exists to find, so the second shuffle carries distinct
-    grams only. The top-2gram pick is a struct-max AGGREGATE (map-side
-    combinable), never a per-doc sort window. No corpus self-join, no
-    driver collect. Reference anchor: the reference stops at import/export
-    (HdfsSerDeImportService.java); this extends the engine toward its
-    training-data-pipeline brief."""
+    Scale plan (100 TB): ONE fused explode over the corpus (segments,
+    2-grams, 5-grams tagged from one projection) and ZERO gram-row
+    exchanges — the input repartitions by doc_id BEFORE the explode
+    (shuffling compact doc rows, ~12x fewer bytes than the ~2-entries-
+    per-token gram rows), and since every gram of a doc then lives in
+    its doc's partition, hash(doc_id) satisfies the clustering
+    requirement of BOTH downstream aggregates: Catalyst plans no further
+    Exchange. The top-2gram pick packs (count, char-length) into one
+    BIGINT so the max stays a HASH aggregate — a struct-valued max
+    forces SortAggregate, i.e. a full sort of every distinct gram row.
+    No corpus self-join, no driver collect. Reference anchor: the
+    reference stops at import/export (HdfsSerDeImportService.java); this
+    extends the engine toward its training-data-pipeline brief."""
     return repetition_signals_df(_docs(spark, sf_dir))
 
 
@@ -443,11 +447,26 @@ def repetition_signals_df(docs: DataFrame) -> DataFrame:
     word-5grams are tagged and exploded from ONE projection of the corpus
     as (kind, xxhash64-of-the-words-in-place, char length) — no gram
     string is ever built (the :func:`_shingle_hashes` lesson: string
-    construction, not hashing, was the measured 4x term) — counted in
-    ONE (doc_id, kind, hash) map-side-combinable shuffle over fixed-width
-    8-byte keys, and reduced in ONE conditional doc_id aggregate. Versus
-    the naive three explode+count string passes this is 1 scan + 2
-    shuffles + 0 joins with ~3x narrower shuffle rows.
+    construction, not hashing, was the measured 4x term) — counted by
+    (doc_id, kind, hash) and reduced in ONE conditional doc_id aggregate.
+    Versus the naive three explode+count string passes this is 1 scan +
+    0 joins with ~3x narrower rows.
+
+    Round-8 plan tightening, ZERO gram-row exchanges: the input
+    repartitions on doc_id BEFORE the explode — doc rows are ~12x fewer
+    bytes than the exploded gram entries (measured 150 MB text vs 1.8 GB
+    gram rows at 200k docs), and once a doc's grams are co-partitioned
+    with their doc, hash(doc_id) satisfies ClusteredDistribution for
+    BOTH aggregates (their keys are supersets of doc_id), so Catalyst
+    plans no Exchange after the explode. The top-2gram max packs
+    (cnt, glen) into cnt*2^31+glen — lexicographically identical for
+    the positive operands, but a plain long max keeps the aggregate
+    HASH-based where a struct max demotes to SortAggregate (a full sort
+    of every distinct gram row; both verified on .explain). Values are
+    bit-identical to the struct form (A/B exceptAll = 0 at 200k docs);
+    local wall is within the host's throttle spread (the kernel is
+    memory-bandwidth-bound here), the win is shuffle BYTES and the
+    removed sort — the terms that matter on a real cluster's network.
 
     Hash-equality counting is the same standing approximation as
     `_shingle_hashes`: occurrence counts over 64-bit gram hashes equal
@@ -471,7 +490,8 @@ def repetition_signals_df(docs: DataFrame) -> DataFrame:
     CollapseProject will not inline a non-cheap alias referenced more
     than once, so the two projections survive optimization — keep the
     binding if this kernel is reshaped."""
-    base = docs.select(
+    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = docs.repartition(n_part, "doc_id").select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("_w")
     ).select(
         "doc_id",
@@ -550,7 +570,14 @@ def repetition_signals_df(docs: DataFrame) -> DataFrame:
         F.sum(F.when((k == 0) & (cnt > 1), gchars).otherwise(0))
         .cast("long")
         .alias("dup_seg_chars"),
-        F.max(F.when(k == 1, F.struct(cnt, F.col("glen")))).alias("t2"),
+        # packed (cnt, glen) long max == struct lexicographic max for the
+        # positive operands; keeps this a HashAggregate (struct max =>
+        # SortAggregate = full sort of distinct gram rows). Bounds: glen
+        # < 2^31 (a >1 GB 2-gram string otherwise), cnt*2^31 ANSI-throws
+        # loud past a 2^32-occurrence gram — both beyond any real doc
+        F.max(
+            F.when(k == 1, cnt * F.lit(_REP_PACK) + F.col("glen"))
+        ).alias("t2p"),
         F.sum(F.when((k == 2) & (cnt > 1), gchars).otherwise(0))
         .cast("long")
         .alias("dup5_chars"),
@@ -562,8 +589,11 @@ def repetition_signals_df(docs: DataFrame) -> DataFrame:
         "dup_seg_occ",
         F.greatest(F.col("seg_chars_raw"), F.lit(1)).alias("seg_chars"),
         "dup_seg_chars",
+        # integer DIV, never floor(double/L): packed values pass 2^53
+        # once cnt*glen does; both operands are positive longs here
         F.coalesce(
-            F.col("t2.cnt") * F.col("t2.glen"), F.lit(0).cast("long")
+            F.expr(f"t2p DIV {_REP_PACK}") * (F.col("t2p") % F.lit(_REP_PACK)),
+            F.lit(0).cast("long"),
         ).alias("top2_chars"),
         "dup5_chars",
     )
