@@ -414,3 +414,152 @@ def encode_resumable(
         "bytes_in": agg["bytes_in"],
         "bytes_out": agg["bytes_out"],
     }
+
+
+def delete_from_sink(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    ids,
+    key_column: str = "doc_id",
+    schema: str | None = None,
+    cluster_by: str | None = None,
+    codec: str = "auto",
+    global_dicts: dict | None = None,
+) -> dict:
+    """Row-level takedown on a compressed chunk sink: rewrite ``src_dir``
+    to ``dst_dir`` with every row whose ``key_column`` is in ``ids``
+    removed — the right-to-be-forgotten / contaminated-document purge a
+    training-corpus store must support without re-encoding the corpus.
+
+    Surgical on CPU, sequential on IO. Only chunks that actually CONTAIN
+    a doomed row pay decode + re-encode: the key column alone is decoded
+    first (one column of the sink, with projection/directory pruning on a
+    column-partitioned sink) to map chunk_id -> hit, and the affected
+    chunk-id set is metadata-scale (a takedown names documents, not
+    fractions of the corpus). Every other chunk's rows are carried to the
+    destination as RAW parquet rows — no decode, no codec CPU, pure IO in
+    the same cost class as any compaction pass; batch takedowns to
+    amortize it, exactly as Iceberg's rewrite-files treats accumulated
+    deletes. The union of carried rows and re-encoded chunks commits in
+    ONE parquet job — the sink's standard all-or-nothing crash contract
+    (a mid-write kill leaves only ``_temporary``; ``src_dir`` is never
+    touched).
+
+    ``ids`` is a Python iterable of key values (broadcast as a literal
+    IN-set) or a single-column DataFrame (broadcast semi/anti join) for
+    takedown lists too big to inline.
+
+    A sink carrying cluster stamps requires ``cluster_by`` (the stamp
+    column's name, which the sink does not record): rewriting its chunks
+    without re-stamping would leave NULL-stamped chunks that every range
+    prune must conservatively scan — silent unprunable chunks are a bug,
+    not a mode, so this raises instead. Chunks whose every row is doomed
+    are dropped entirely (no empty replacement chunk).
+
+    Returns ``{"chunks_total", "chunks_affected", "chunks_new",
+    "rows_deleted"}`` — re-encoding regroups the surviving rows, so
+    affected chunks and their replacements are not 1:1 (a fully-doomed
+    chunk simply has no successor rows)."""
+    import pyarrow as pa
+    from pyspark.sql.types import StructType
+
+    from ..codecs.api import decode_array
+    from ..operators.encode import (
+        _expected_arrow_fields,
+        _type_align,
+        decode_chunks,
+        encode_pages,
+        subset_schema,
+    )
+
+    enc = read_encoded(spark, src_dir).dropDuplicates(["chunk_id", "column"])
+    enc = enc.localCheckpoint()  # 3 consumers: key scan, carry, victims
+
+    stamped = bool(
+        enc.filter(F.col("cluster_lo").isNotNull()).limit(1).collect()
+    )
+    if stamped and cluster_by is None:
+        raise ValueError(
+            f"sink at {src_dir} carries cluster stamps but no cluster_by "
+            "was given — rewriting chunks without re-stamping would make "
+            "them silently unprunable; pass the sink's cluster column"
+        )
+
+    # --- 1. key-column-only decode, chunk_id kept: (chunk_id, __key) ---
+    key_ddl = subset_schema([key_column], schema)
+    key_type = StructType.fromDDL(key_ddl).fields[0].dataType.simpleString()
+    want_arrow = _expected_arrow_fields(key_ddl)[0][1]
+    gd_bc = spark.sparkContext.broadcast(global_dicts or {})
+
+    def _kdec(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"chunk_id": pa.array([], pa.int64()),
+                 "__key": pa.nulls(0, want_arrow)}
+            )
+        arr = _type_align(
+            decode_array(
+                tbl.column("payload")[0].as_py(),
+                tbl.column("meta")[0].as_py(),
+                global_dict=gd_bc.value.get(key_column),
+            ),
+            want_arrow,
+        )
+        cid = tbl.column("chunk_id")[0].as_py()
+        return pa.table(
+            {"chunk_id": pa.array([cid] * len(arr), pa.int64()),
+             "__key": arr}
+        )
+
+    keys = (
+        enc.filter(F.col("column") == key_column)
+        .groupBy("chunk_id")
+        .applyInArrow(_kdec, f"chunk_id long, __key {key_type}")
+    )
+    if isinstance(ids, DataFrame):
+        id_col = ids.columns[0]
+        ids_df = F.broadcast(ids.select(F.col(id_col).alias("__key")).distinct())
+        hit = keys.join(ids_df, "__key", "leftsemi")
+    else:
+        ids = list(ids)
+        hit = keys.filter(F.col("__key").isin(ids))
+    affected = {r["chunk_id"] for r in hit.select("chunk_id").distinct().collect()}
+    n_total = enc.select("chunk_id").distinct().count()
+
+    # --- 2. carry untouched chunk rows raw; decode + purge the victims ---
+    carried = enc.filter(~F.col("chunk_id").isin(affected))
+    stats = {"chunks_total": n_total, "chunks_affected": len(affected),
+             "chunks_new": 0, "rows_deleted": 0}
+    if affected:
+        victims = enc.filter(F.col("chunk_id").isin(affected))
+        rows = decode_chunks(victims, schema=schema, global_dicts=global_dicts)
+        rows = rows.localCheckpoint()  # 2 consumers: counts + re-encode
+        n_before = rows.count()
+        if isinstance(ids, DataFrame):
+            keep = rows.join(
+                ids_df.select(F.col("__key").alias(key_column)),
+                key_column,
+                "leftanti",
+            )
+        else:
+            keep = rows.filter(~F.col(key_column).isin(ids))
+        keep = keep.localCheckpoint()  # 2 consumers: count + encode
+        n_after = keep.count()
+        stats["rows_deleted"] = n_before - n_after
+        reenc = encode_pages(
+            keep, codec=codec, shuffle=False, cluster_by=cluster_by,
+            global_dicts=global_dicts,
+        )
+        out = carried.unionByName(reenc)
+    else:
+        out = carried
+    write_encoded(out, dst_dir, mode="errorifexists")
+    if affected:
+        # counted from the WRITTEN sink — counting reenc pre-write would
+        # run the encode job twice (the >=2-consumers rule)
+        stats["chunks_new"] = (
+            read_encoded(spark, dst_dir).select("chunk_id").distinct().count()
+            - (n_total - len(affected))
+        )
+    return stats

@@ -961,3 +961,122 @@ def test_bm25_topk_on_planted_data(spark, tmp_path):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="empty corpus"):
         textstats.bm25_topk_df(empty)
+
+
+def test_delete_from_sink_surgical_takedown(spark, tmp_path):
+    """Row-level takedown on the compressed sink: named rows vanish, every
+    surviving row is bit-identical, and ONLY chunks containing a doomed
+    row are replaced — untouched chunk rows carry over with their chunk
+    ids (and payload bytes) intact. Covers the list and DataFrame id
+    forms, the no-match no-op, the fully-doomed chunk (no successor), and
+    the stamped-sink guard (cluster_by required, stamps preserved)."""
+    from hadoop_etl_udfs_spark.operators.encode import encode_pages
+    from hadoop_etl_udfs_spark.plans import lineage
+    from hadoop_etl_udfs_spark.sources.pages import synthesize_pages
+
+    src = str(tmp_path / "src")
+    pages = synthesize_pages(spark, 600, seed=33).repartition(4).cache()
+    lineage.write_encoded(encode_pages(pages, shuffle=False), src)
+    src_ids = {
+        r["chunk_id"]
+        for r in lineage.read_encoded(spark, src)
+        .select("chunk_id").distinct().collect()
+    }
+    victims = [r["url"] for r in pages.limit(3).collect()]
+
+    dst = str(tmp_path / "dst")
+    stats = lineage.delete_from_sink(
+        spark, src, dst, victims, key_column="url"
+    )
+    assert stats["rows_deleted"] == 3
+    assert stats["chunks_total"] == len(src_ids)
+    assert 1 <= stats["chunks_affected"] <= 3
+    # exact surviving content, bit-identical
+    got = lineage.decode_chunks(
+        lineage.read_encoded(spark, dst)
+    ) if hasattr(lineage, "decode_chunks") else None
+    from hadoop_etl_udfs_spark.operators.encode import decode_chunks
+    got = decode_chunks(lineage.read_encoded(spark, dst))
+    want = pages.filter(~F.col("url").isin(victims))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # surgical: replaced ids gone, every other src chunk id carried as-is
+    dst_ids = {
+        r["chunk_id"]
+        for r in lineage.read_encoded(spark, dst)
+        .select("chunk_id").distinct().collect()
+    }
+    assert len(src_ids - dst_ids) == stats["chunks_affected"]
+    assert len(dst_ids - src_ids) == stats["chunks_new"]
+    carried = src_ids & dst_ids
+    assert len(carried) == len(src_ids) - stats["chunks_affected"]
+    # carried payloads are byte-identical (raw copy, no re-encode)
+    s = lineage.read_encoded(spark, src).filter(
+        F.col("chunk_id").isin(list(carried))
+    ).select("chunk_id", "column", F.crc32(F.col("payload")).alias("c"))
+    d = lineage.read_encoded(spark, dst).filter(
+        F.col("chunk_id").isin(list(carried))
+    ).select("chunk_id", "column", F.crc32(F.col("payload")).alias("c"))
+    assert s.exceptAll(d).count() == 0 and d.exceptAll(s).count() == 0
+
+    # DataFrame-id form produces the same result
+    dst_df = str(tmp_path / "dst_df")
+    ids_df = spark.createDataFrame([(u,) for u in victims], "url string")
+    stats_df = lineage.delete_from_sink(
+        spark, src, dst_df, ids_df, key_column="url"
+    )
+    assert stats_df["rows_deleted"] == 3
+    got_df = decode_chunks(lineage.read_encoded(spark, dst_df))
+    assert got_df.exceptAll(got).count() == 0
+    assert got.exceptAll(got_df).count() == 0
+
+    # no-match takedown: a faithful copy, zero chunks touched
+    dst_noop = str(tmp_path / "dst_noop")
+    stats0 = lineage.delete_from_sink(
+        spark, src, dst_noop, ["no-such-url"], key_column="url"
+    )
+    assert stats0["rows_deleted"] == 0 and stats0["chunks_affected"] == 0
+    assert stats0["chunks_new"] == 0
+    noop_ids = {
+        r["chunk_id"]
+        for r in lineage.read_encoded(spark, dst_noop)
+        .select("chunk_id").distinct().collect()
+    }
+    assert noop_ids == src_ids
+
+    # fully-doomed chunk: kill EVERY row of one chunk -> no successor
+    one_chunk = lineage.read_encoded(spark, src).select("chunk_id").first()[0]
+    chunk_rows = decode_chunks(
+        lineage.read_encoded(spark, src).filter(F.col("chunk_id") == one_chunk)
+    )
+    all_urls = [r["url"] for r in chunk_rows.select("url").collect()]
+    dst_kill = str(tmp_path / "dst_kill")
+    stats_k = lineage.delete_from_sink(
+        spark, src, dst_kill, all_urls, key_column="url"
+    )
+    assert stats_k["rows_deleted"] >= len(all_urls)
+    kill_ids = {
+        r["chunk_id"]
+        for r in lineage.read_encoded(spark, dst_kill)
+        .select("chunk_id").distinct().collect()
+    }
+    assert one_chunk not in kill_ids
+
+    # stamped sink: cluster_by is REQUIRED and stamps survive the rewrite
+    src_c = str(tmp_path / "src_c")
+    lineage.write_encoded(
+        encode_pages(
+            pages.repartitionByRange(4, F.col("warc_ts")),
+            shuffle=False, cluster_by="warc_ts",
+        ),
+        src_c,
+    )
+    dst_c = str(tmp_path / "dst_c")
+    with pytest.raises(ValueError, match="cluster stamps"):
+        lineage.delete_from_sink(spark, src_c, dst_c, victims, key_column="url")
+    stats_c = lineage.delete_from_sink(
+        spark, src_c, dst_c, victims, key_column="url", cluster_by="warc_ts"
+    )
+    assert stats_c["rows_deleted"] == 3
+    enc_c = lineage.read_encoded(spark, dst_c)
+    assert enc_c.filter(F.col("cluster_lo").isNull()).count() == 0
