@@ -208,6 +208,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus shuffles: array-HOF tf/dl fold in the scan stage, 1-row
         # stats collect, integer micro-unit scores (the LM trick):
         "bm25_topk": textstats.bm25_topk,
+        # NEW round 8, same born-past-the-cap routing: point lookup
+        # through the engine's own compressed sink — encode with a Bloom
+        # filter on doc_id, bloom-pruned chunk decode, exact row filter;
+        # the oracle is the plain WHERE doc_id IN (...) over the raw
+        # table (decode is bit-identical by construction):
+        "point_lookup_over_encoded": textstats.point_lookup_over_encoded,
         # rotated out round 8 (driver-green r1-r7) to admit the eight
         # round-7 operators; every expression/kernel they evidence keeps
         # >=1 in-gate oracle witness (see the docstring), all eight stay
@@ -2048,6 +2054,16 @@ def oracle_sql() -> dict[str, str]:
         # BM25 top-k retrieval (round 8): generator mirrors the engine op
         # constant-for-constant — see _bm25_sql's docstring
         "bm25_topk": _bm25_sql(),
+        # Point lookup over the encoded sink (round 8): the engine side
+        # encodes with a doc_id Bloom filter and decodes only admitted
+        # chunks; decode is bit-identical, so the oracle is the plain
+        # IN-list over the raw table (ids shared from the operator module)
+        "point_lookup_over_encoded": f"""
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE doc_id IN ({", ".join(str(i) for i in textstats.POINT_LOOKUP_IDS)})
+            ORDER BY doc_id
+        """,
         # Iceberg roundtrip: the Spark side commits documents to a fresh
         # spec-layout Iceberg table and reads it back through the
         # metadata/manifest planner; the oracle reads the source directly —

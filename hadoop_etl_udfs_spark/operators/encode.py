@@ -217,6 +217,7 @@ def encode_pages(
     global_dicts: dict | None = None,
     cluster_by: str | None = None,
     partition_cols: list[str] | None = None,
+    bloom_by: list[str] | None = None,
 ) -> DataFrame:
     """pages DataFrame -> encoded column-chunk DataFrame.
 
@@ -239,7 +240,39 @@ def encode_pages(
     silently stamping NULLs would make every later clustered decode scan the
     whole sink with no error (all-null *chunks* still stamp NULL, which
     readers conservatively keep).
+
+    ``bloom_by`` declares point-lookup key columns (string/int/timestamp/
+    date): each chunk stamps a Bloom filter over its values of those
+    columns inside the ``stats`` JSON (plans/bloom.py — no sink schema
+    change), so equality lookups (plans.lineage.decode_chunks_where_key_in)
+    and takedowns (delete_from_sink) decode only chunks that can contain a
+    requested key. Misspelled or non-indexable columns raise here, at
+    write time, for the same reason cluster_by does.
     """
+    from ..plans.bloom import bloom_domain
+    from pyspark.sql.types import StructType as _StructType
+
+    bloom_set = frozenset(bloom_by or ())
+    if bloom_set:
+        missing = sorted(bloom_set - set(df.columns))
+        if missing:
+            raise ValueError(
+                f"bloom_by columns {missing} not in input columns "
+                f"{df.columns} — a misspelled key column must fail loud at "
+                "write time, not produce an unprunable sink"
+            )
+        arrow_probe = pa.schema(
+            _expected_arrow_fields(
+                _StructType([df.schema[c] for c in sorted(bloom_set)])
+            )
+        )
+        for f in arrow_probe:
+            if bloom_domain(f.type) is None:
+                raise TypeError(
+                    f"bloom_by column {f.name!r} has type {f.type} — bloom "
+                    "filters index exact-match key domains "
+                    "(string/int/timestamp/date) only"
+                )
     if cluster_by is not None:
         if cluster_by not in df.columns:
             raise ValueError(
@@ -340,7 +373,12 @@ def encode_pages(
                 rows["data_bytes"].append(enc.data_bytes)
                 rows["crc32"].append(enc.crc32)
                 rows["meta"].append(enc.meta)
-                rows["stats"].append(_col_stats(batch.column(i)))
+                st = _col_stats(batch.column(i))
+                if name in bloom_set:
+                    from ..plans.bloom import bloom_build, merge_bloom_into_stats
+
+                    st = merge_bloom_into_stats(st, bloom_build(batch.column(i)))
+                rows["stats"].append(st)
                 rows["cluster_lo"].append(cl_lo)
                 rows["cluster_hi"].append(cl_hi)
                 rows["payload"].append(enc.payload)

@@ -98,6 +98,39 @@ def encode_documents_lineage_checked(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+POINT_LOOKUP_IDS = [3, 77, 123, 211, 400]  # fixed probe set, mirrored in SQL
+
+
+def point_lookup_over_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup THROUGH THE ENGINE'S OWN COMPRESSED SINK: encode the
+    documents table with a Bloom filter on ``doc_id`` (plans/bloom.py),
+    then fetch five fixed doc_ids back via the bloom-pruned reader
+    (plans.lineage.decode_chunks_where_key_in) — only chunks whose filter
+    admits a probed key pay any decode.
+
+    The decode is bit-identical by construction (CRC-verified codecs), so
+    the oracle is the plain ``WHERE doc_id IN (...)`` over the raw table —
+    value agreement proves encode → bloom stamp → bloom probe → pruned
+    decode → exact row filter end-to-end. The pruning itself (not just the
+    values) is asserted in tests/test_bloom.py; this gate entry pins the
+    VALUES across engines."""
+    from ..plans.lineage import decode_chunks_where_key_in
+    from .encode import encode_pages
+
+    docs = _docs(spark, sf_dir).repartition(4, "lang", "source").sortWithinPartitions(
+        "lang", "source", "doc_id"
+    )
+    enc = encode_pages(docs, shuffle=False, bloom_by=["doc_id"])
+    # 2 consumers (bloom probe over stats; pruned decode) — materialize once
+    enc = enc.localCheckpoint()
+    got = decode_chunks_where_key_in(
+        spark, enc, "doc_id", POINT_LOOKUP_IDS,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+    return got.orderBy("doc_id")
+
+
 BENCH_EVERY = 37      # deterministic stand-in benchmark set: doc_id % 37 == 0
 MIN_OVERLAP = 3       # distinct shared shingles to flag a doc contaminated
 

@@ -283,6 +283,121 @@ def decode_chunks_where_clustered(
     return decode_chunks(data.filter(keep), out_schema, global_dicts)
 
 
+def sink_bloom_columns(enc: DataFrame) -> list[str]:
+    """Column names carrying a Bloom filter in this sink's stats — blooms
+    name their column (one stats row per chunk-column), so rewrite jobs
+    (delete_from_sink, recluster_sink) re-derive ``bloom_by`` from the sink
+    itself instead of asking the caller (unlike cluster stamps, which do
+    NOT record their source column and therefore must be passed)."""
+    return sorted(
+        r["column"]
+        for r in enc.filter(
+            F.get_json_object("stats", "$.bloom.m").isNotNull()
+        )
+        .select("column")
+        .distinct()
+        .collect()
+    )
+
+
+def bloom_candidate_chunks(
+    st: DataFrame, key_column: str, ids, spark: SparkSession
+) -> DataFrame:
+    """chunk_id DataFrame of chunks that MAY contain any of ``ids`` in
+    ``key_column``, judged manifest-side against the per-chunk Bloom
+    filters (plans/bloom.py). ``st`` is the key column's (chunk_id, stats)
+    projection. Chunk rows without a bloom are kept conservatively —
+    pruning is safe, not clever (same contract as the zone maps). Raises
+    if NO chunk row carries a bloom: a silent full scan from a
+    point-lookup API is the unprunable-sink bug this engine fails loud on.
+    """
+    import json as _json
+
+    from .bloom import hash_query_ids, stats_hit_udf
+
+    probe = (
+        st.filter(F.get_json_object("stats", "$.bloom.m").isNotNull())
+        .select("stats")
+        .first()
+    )
+    if probe is None:
+        raise ValueError(
+            f"no Bloom filters on column {key_column!r} in this sink — "
+            "encode with encode_pages(bloom_by=[...]) or use decode_chunks "
+            "+ a row filter (full scan) explicitly"
+        )
+    dom = _json.loads(probe["stats"])["bloom"]["dom"]
+    hashes = hash_query_ids(ids, dom)
+    hit = stats_hit_udf(spark, hashes)
+    no_bloom = F.get_json_object("stats", "$.bloom.m").isNull()
+    return st.filter(no_bloom | hit(F.col("stats"))).select("chunk_id")
+
+
+def decode_chunks_where_key_in(
+    spark: SparkSession,
+    enc_or_dir,
+    key_column: str,
+    ids,
+    schema: str | None = None,
+    global_dicts: dict | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Bloom-pruned POINT LOOKUP: decode only chunks whose ``key_column``
+    Bloom filter admits at least one of ``ids``, then filter rows to the
+    exact keys — "fetch THESE documents by url/doc_id" touching ~|ids|
+    chunks (+ <1% false positives) of the corpus instead of all of it.
+
+    The equality twin of decode_chunks_where: zone maps prune ranges,
+    blooms prune point sets (per-chunk [min, max] of a high-cardinality
+    key spans nearly the whole domain, so a zone map never prunes an
+    equality probe). Composes with the same projection pushdown
+    (``columns``; the key column itself need not be in the output subset —
+    the probe reads only manifest rows, and the exact row filter decodes
+    the key column only when requested... so when ``columns`` excludes the
+    key it IS added to the decode set and dropped after the filter).
+
+    ``ids`` must match the sink's recorded hash domain (strings for string
+    keys, epoch ints for timestamp/date) — a mismatch raises rather than
+    silently never-matching. Sinks without blooms on ``key_column`` raise;
+    chunk rows without a bloom (mixed-era sinks) decode conservatively.
+
+    ``enc_or_dir``: a sink path (directory pruning applies on
+    column-partitioned layouts) or an encoded DataFrame (in-memory
+    composition — e.g. a just-encoded table queried without a sink)."""
+    from ..operators.encode import decode_chunks, subset_schema
+
+    on_disk = isinstance(enc_or_dir, str)
+    enc = read_encoded(spark, enc_or_dir) if on_disk else enc_or_dir
+    st = enc.filter(F.col("column") == key_column).select("chunk_id", "stats")
+    if st.first() is None:
+        raise ValueError(
+            f"column {key_column!r} has no chunk rows in this sink — "
+            "misspelled key columns must fail loud, not decode nothing"
+        )
+    keep = bloom_candidate_chunks(st, key_column, ids, spark)
+    if columns:
+        dec_set = sorted(set(columns) | {key_column})
+        data = (
+            read_encoded_columns(spark, enc_or_dir, dec_set)
+            if on_disk
+            else enc.filter(F.col("column").isin(dec_set))
+        )
+    else:
+        data = enc
+    cand = [r["chunk_id"] for r in keep.limit(_ISIN_PUSHDOWN_MAX + 1).collect()]
+    if len(cand) <= _ISIN_PUSHDOWN_MAX:
+        pruned = data.filter(F.col("chunk_id").isin(cand))
+    else:
+        pruned = data.join(keep, "chunk_id")
+    dec_cols = sorted(set(columns) | {key_column}) if columns else None
+    out_schema = subset_schema(dec_cols, schema) if dec_cols else schema
+    dec = decode_chunks(pruned, out_schema, global_dicts)
+    dec = dec.filter(F.col(key_column).isin(list(ids)))
+    if columns and key_column not in columns:
+        dec = dec.drop(key_column)
+    return dec
+
+
 def completed_chunk_ids(spark: SparkSession, out_dir: str, n_columns: int) -> set[int]:
     """Chunks with all columns present (a torn write of some columns does not
     count as done). countDistinct, not count(*): duplicate manifest rows (the
@@ -350,17 +465,20 @@ def recluster_sink(
     run it column-complete per time slice, not all-at-once.
 
     ``shuffle=False`` on the re-encode preserves the range partitioning
-    (the salted host shuffle would scatter it)."""
+    (the salted host shuffle would scatter it). Bloom filters the source
+    sink carries are re-stamped on the same columns automatically
+    (``sink_bloom_columns``) — OPTIMIZE must never downgrade a sink's
+    pruning capabilities."""
     from ..operators.encode import decode_chunks, encode_pages
 
-    pages = decode_chunks(
-        read_encoded(spark, src_dir), schema=schema, global_dicts=global_dicts
-    )
+    src = read_encoded(spark, src_dir)
+    bloom_cols = sink_bloom_columns(src)
+    pages = decode_chunks(src, schema=schema, global_dicts=global_dicts)
     n = n_partitions or spark.sparkContext.defaultParallelism
     pages = pages.repartitionByRange(n, F.col(cluster_by))
     enc = encode_pages(
         pages, codec=codec, shuffle=False, cluster_by=cluster_by,
-        global_dicts=global_dicts,
+        global_dicts=global_dicts, bloom_by=bloom_cols or None,
     )
     write_encoded(
         enc, dst_dir, mode="errorifexists",
@@ -457,10 +575,18 @@ def delete_from_sink(
     not a mode, so this raises instead. Chunks whose every row is doomed
     are dropped entirely (no empty replacement chunk).
 
+    Bloom filters compose both ways automatically: when the sink carries
+    a bloom on ``key_column`` (and ``ids`` is a literal list), the key
+    scan itself is bloom-pruned — only candidate chunks pay even the
+    one-column decode, so the takedown's read cost tracks the blast
+    radius, not the corpus. And rewritten chunks re-stamp blooms for
+    every column the sink already bloomed (``sink_bloom_columns`` —
+    blooms name their column, so no parameter is needed).
+
     Returns ``{"chunks_total", "chunks_affected", "chunks_new",
-    "rows_deleted"}`` — re-encoding regroups the surviving rows, so
-    affected chunks and their replacements are not 1:1 (a fully-doomed
-    chunk simply has no successor rows)."""
+    "rows_deleted", "chunks_key_scanned"}`` — re-encoding regroups the
+    surviving rows, so affected chunks and their replacements are not 1:1
+    (a fully-doomed chunk simply has no successor rows)."""
     import pyarrow as pa
     from pyspark.sql.types import StructType
 
@@ -512,8 +638,21 @@ def delete_from_sink(
              "__key": arr}
         )
 
+    key_rows = enc.filter(F.col("column") == key_column)
+    bloom_cols = sink_bloom_columns(enc)
+    n_total = enc.select("chunk_id").distinct().count()
+    n_key_scanned = n_total
+    if key_column in bloom_cols and not isinstance(ids, DataFrame):
+        # bloom-pruned key scan: only candidate chunks pay the decode.
+        # (DataFrame ids stay unpruned — the DF form exists for id lists
+        # too big to hash driver-side; correctness is identical.)
+        cand = bloom_candidate_chunks(
+            key_rows.select("chunk_id", "stats"), key_column, ids, spark
+        )
+        key_rows = key_rows.join(cand, "chunk_id")
+        n_key_scanned = key_rows.select("chunk_id").distinct().count()
     keys = (
-        enc.filter(F.col("column") == key_column)
+        key_rows
         .groupBy("chunk_id")
         .applyInArrow(_kdec, f"chunk_id long, __key {key_type}")
     )
@@ -525,12 +664,12 @@ def delete_from_sink(
         ids = list(ids)
         hit = keys.filter(F.col("__key").isin(ids))
     affected = {r["chunk_id"] for r in hit.select("chunk_id").distinct().collect()}
-    n_total = enc.select("chunk_id").distinct().count()
 
     # --- 2. carry untouched chunk rows raw; decode + purge the victims ---
     carried = enc.filter(~F.col("chunk_id").isin(affected))
     stats = {"chunks_total": n_total, "chunks_affected": len(affected),
-             "chunks_new": 0, "rows_deleted": 0}
+             "chunks_new": 0, "rows_deleted": 0,
+             "chunks_key_scanned": n_key_scanned}
     if affected:
         victims = enc.filter(F.col("chunk_id").isin(affected))
         rows = decode_chunks(victims, schema=schema, global_dicts=global_dicts)
@@ -549,7 +688,7 @@ def delete_from_sink(
         stats["rows_deleted"] = n_before - n_after
         reenc = encode_pages(
             keep, codec=codec, shuffle=False, cluster_by=cluster_by,
-            global_dicts=global_dicts,
+            global_dicts=global_dicts, bloom_by=bloom_cols or None,
         )
         out = carried.unionByName(reenc)
     else:
