@@ -544,6 +544,7 @@ def delete_from_sink(
     cluster_by: str | None = None,
     codec: str = "auto",
     global_dicts: dict | None = None,
+    partition_by_column: bool = False,
 ) -> dict:
     """Row-level takedown on a compressed chunk sink: rewrite ``src_dir``
     to ``dst_dir`` with every row whose ``key_column`` is in ``ids``
@@ -599,8 +600,15 @@ def delete_from_sink(
         subset_schema,
     )
 
-    enc = read_encoded(spark, src_dir).dropDuplicates(["chunk_id", "column"])
-    enc = enc.localCheckpoint()  # 3 consumers: key scan, carry, victims
+    enc = read_encoded(spark, src_dir)
+    if sink_has_duplicates(spark, src_dir):
+        # rare (resume over drifted input): dedupe once, materialize once.
+        # The common clean sink skips BOTH — its parquet files on disk ARE
+        # the materialization, and an unconditional payload localCheckpoint
+        # here measured as the single biggest cost of the whole takedown
+        # (it copies the corpus once before any work starts); each consumer
+        # below re-scans the column-pruned parquet instead.
+        enc = enc.dropDuplicates(["chunk_id", "column"]).localCheckpoint()
 
     stamped = bool(
         enc.filter(F.col("cluster_lo").isNotNull()).limit(1).collect()
@@ -693,7 +701,10 @@ def delete_from_sink(
         out = carried.unionByName(reenc)
     else:
         out = carried
-    write_encoded(out, dst_dir, mode="errorifexists")
+    write_encoded(
+        out, dst_dir, mode="errorifexists",
+        partition_by_column=partition_by_column,
+    )
     if affected:
         # counted from the WRITTEN sink — counting reenc pre-write would
         # run the encode job twice (the >=2-consumers rule)
@@ -701,4 +712,107 @@ def delete_from_sink(
             read_encoded(spark, dst_dir).select("chunk_id").distinct().count()
             - (n_total - len(affected))
         )
+    return stats
+
+
+def compact_sink(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    min_rows: int,
+    schema: str | None = None,
+    cluster_by: str | None = None,
+    codec: str = "auto",
+    global_dicts: dict | None = None,
+    partition_by_column: bool = False,
+) -> dict:
+    """Merge FRAGMENT chunks (n_rows < ``min_rows``) into full-size ones —
+    the small-files compaction every streaming-built sink eventually needs:
+    each micro-batch of the incremental encode appends its own chunks, so
+    a low-rate stream accretes thousands of tiny chunks whose per-chunk
+    overheads (manifest rows, codec framing, per-chunk decode tasks)
+    erode scan efficiency long before data volume does.
+
+    Surgical like :func:`delete_from_sink`, and cheaper still: victim
+    selection reads ONLY manifest metadata (``n_rows`` is a column of the
+    chunk row — no payload is touched to decide), fragments alone pay
+    decode + re-encode (regrouped to the session's Arrow batch size, i.e.
+    the engine's standard chunk row count), and every full-size chunk's
+    rows are carried RAW to ``dst_dir``. One all-or-nothing parquet
+    commit, ``src_dir`` never touched.
+
+    A lone fragment is carried, not rewritten — re-encoding a single
+    chunk by itself merges nothing and would only churn its chunk id.
+
+    Stamped sinks require ``cluster_by`` (re-stamp on rewrite; the merged
+    chunks are ``repartitionByRange`` on that column so the compacted
+    chunks stay range-narrow); bloomed sinks re-stamp blooms
+    automatically (``sink_bloom_columns``). Rewrite invariant shared with
+    delete_from_sink: a rewrite may never downgrade the sink's pruning.
+
+    Returns ``{"chunks_total", "chunks_fragment", "chunks_new",
+    "rows_compacted"}``."""
+    from ..operators.encode import decode_chunks, encode_pages
+
+    enc = read_encoded(spark, src_dir)
+    if sink_has_duplicates(spark, src_dir):
+        # same conditional-materialization rationale as delete_from_sink
+        enc = enc.dropDuplicates(["chunk_id", "column"]).localCheckpoint()
+
+    stamped = bool(
+        enc.filter(F.col("cluster_lo").isNotNull()).limit(1).collect()
+    )
+    if stamped and cluster_by is None:
+        raise ValueError(
+            f"sink at {src_dir} carries cluster stamps but no cluster_by "
+            "was given — compacting without re-stamping would make the "
+            "merged chunks silently unprunable; pass the cluster column"
+        )
+    bloom_cols = sink_bloom_columns(enc)
+
+    frag = {
+        r["chunk_id"]
+        for r in enc.filter(F.col("n_rows") < min_rows)
+        .select("chunk_id")
+        .distinct()
+        .collect()
+    }
+    n_total = enc.select("chunk_id").distinct().count()
+    stats = {"chunks_total": n_total, "chunks_fragment": len(frag),
+             "chunks_new": 0, "rows_compacted": 0}
+    if len(frag) <= 1:
+        write_encoded(
+            enc, dst_dir, mode="errorifexists",
+            partition_by_column=partition_by_column,
+        )
+        return stats
+
+    victims = enc.filter(F.col("chunk_id").isin(list(frag)))
+    carried = enc.filter(~F.col("chunk_id").isin(list(frag)))
+    rows = decode_chunks(victims, schema=schema, global_dicts=global_dicts)
+    rows = rows.localCheckpoint()  # 2 consumers: count + re-encode
+    n_rows = rows.count()
+    stats["rows_compacted"] = n_rows
+    # regroup to the engine's standard chunk size: the session's Arrow
+    # batch row count IS the chunk row count (session.py pins it)
+    target = int(
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    )
+    n_out = max(1, -(-n_rows // target))
+    if cluster_by is not None:
+        rows = rows.repartitionByRange(n_out, F.col(cluster_by))
+    else:
+        rows = rows.repartition(n_out)
+    reenc = encode_pages(
+        rows, codec=codec, shuffle=False, cluster_by=cluster_by,
+        global_dicts=global_dicts, bloom_by=bloom_cols or None,
+    )
+    write_encoded(
+        carried.unionByName(reenc), dst_dir, mode="errorifexists",
+        partition_by_column=partition_by_column,
+    )
+    stats["chunks_new"] = (
+        read_encoded(spark, dst_dir).select("chunk_id").distinct().count()
+        - (n_total - len(frag))
+    )
     return stats

@@ -34,6 +34,7 @@ def start_encode_stream(
     salt_buckets: int = 8,
     max_files_per_trigger: int = 16,
     cluster_by: str | None = None,
+    bloom_by: list[str] | None = None,
 ) -> StreamingQuery:
     stream = (
         spark.readStream.schema(PAGES_SCHEMA)
@@ -45,7 +46,7 @@ def start_encode_stream(
         done = lineage.completed_chunk_ids(spark, out_dir, n_columns=5)
         enc = encode_pages(
             batch_df, codec=codec, salt_buckets=salt_buckets,
-            skip_chunk_ids=done, cluster_by=cluster_by,
+            skip_chunk_ids=done, cluster_by=cluster_by, bloom_by=bloom_by,
         )
         lineage.write_encoded(enc, out_dir, mode="append")
 

@@ -51,6 +51,9 @@ def main() -> None:
     p.add_argument("--cluster-by", default=None,
                    help="numeric-domain column whose per-chunk [min,max] is "
                         "stamped on every chunk row (scan-level zone maps)")
+    p.add_argument("--bloom-by", action="append", default=[],
+                   help="key column(s) stamped with a per-chunk Bloom "
+                        "filter (point-lookup pruning; repeatable)")
     p.add_argument("--partition-cols", default=None,
                    help="comma-separated co-location key for NON-pages "
                         "tables (e.g. 'vec_id' for embeddings): shuffles on "
@@ -116,6 +119,7 @@ def main() -> None:
         skip_chunk_ids=done,
         global_dicts=gds or None,
         cluster_by=args.cluster_by,
+        bloom_by=args.bloom_by or None,
         partition_cols=(
             args.partition_cols.split(",") if args.partition_cols else None
         ),

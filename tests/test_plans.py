@@ -1080,3 +1080,105 @@ def test_delete_from_sink_surgical_takedown(spark, tmp_path):
     assert stats_c["rows_deleted"] == 3
     enc_c = lineage.read_encoded(spark, dst_c)
     assert enc_c.filter(F.col("cluster_lo").isNull()).count() == 0
+
+
+def test_compact_sink_merges_fragments_surgically(spark, tmp_path):
+    """Small-chunk compaction: fragment chunks (streaming micro-batch
+    leftovers) merge to full-size chunks chosen by MANIFEST metadata only;
+    full-size chunks carry over raw (byte-identical payloads); content is
+    exact; blooms re-stamp; stamped sinks require cluster_by and stay
+    range-stamped; a lone fragment and a fragment-free sink are copies."""
+    from hadoop_etl_udfs_spark.operators.encode import decode_chunks, encode_pages
+    from hadoop_etl_udfs_spark.plans import lineage
+    from hadoop_etl_udfs_spark.sources.pages import synthesize_pages
+
+    src = str(tmp_path / "src")
+    pages = synthesize_pages(spark, 2400, seed=21).cache()
+    pages.count()
+    # 1 full-size chunk (1200 rows) + 6 fragment appends (~200 rows each)
+    big = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 0).repartition(1)
+    lineage.write_encoded(
+        encode_pages(big, shuffle=False, bloom_by=["url"]), src
+    )
+    small = pages.filter(F.pmod(F.xxhash64("url"), F.lit(2)) == 1)
+    for i in range(6):
+        b = small.filter(F.pmod(F.xxhash64("url", "html"), F.lit(6)) == i)
+        lineage.write_encoded(
+            encode_pages(b.repartition(1), shuffle=False, bloom_by=["url"]),
+            src, mode="append",
+        )
+    enc = lineage.read_encoded(spark, src)
+    src_ids = {r["chunk_id"] for r in enc.select("chunk_id").distinct().collect()}
+    big_ids = {
+        r["chunk_id"]
+        for r in enc.filter(F.col("n_rows") >= 600)
+        .select("chunk_id").distinct().collect()
+    }
+    assert len(big_ids) == 1 and len(src_ids) == 7
+
+    dst = str(tmp_path / "dst")
+    stats = lineage.compact_sink(spark, src, dst, min_rows=600)
+    assert stats == {
+        "chunks_total": 7, "chunks_fragment": 6, "chunks_new": 1,
+        "rows_compacted": small.count(),
+    }
+    dst_enc = lineage.read_encoded(spark, dst)
+    got = decode_chunks(dst_enc)
+    assert got.exceptAll(pages).count() == 0
+    assert pages.exceptAll(got).count() == 0
+    # the big chunk carried raw: same id, byte-identical payloads
+    dst_ids = {r["chunk_id"] for r in dst_enc.select("chunk_id").distinct().collect()}
+    assert big_ids < dst_ids and len(dst_ids) == 2
+    s = lineage.read_encoded(spark, src).filter(
+        F.col("chunk_id").isin(list(big_ids))
+    ).select("chunk_id", "column", F.crc32("payload").alias("c"))
+    d = dst_enc.filter(F.col("chunk_id").isin(list(big_ids))).select(
+        "chunk_id", "column", F.crc32("payload").alias("c")
+    )
+    assert s.exceptAll(d).count() == 0 and d.exceptAll(s).count() == 0
+    # merged chunk is full-size and carries a fresh bloom
+    merged = dst_enc.filter(~F.col("chunk_id").isin(list(big_ids)))
+    assert merged.select("n_rows").first()[0] >= 600
+    assert lineage.sink_bloom_columns(dst_enc) == ["url"]
+
+    # fragment-free sink: pure copy, nothing rewritten
+    dst2 = str(tmp_path / "dst2")
+    stats2 = lineage.compact_sink(spark, dst, dst2, min_rows=100)
+    assert stats2["chunks_fragment"] == 0 and stats2["chunks_new"] == 0
+    assert {
+        r["chunk_id"]
+        for r in lineage.read_encoded(spark, dst2)
+        .select("chunk_id").distinct().collect()
+    } == dst_ids
+
+    # lone fragment: carried, not churned
+    dst3 = str(tmp_path / "dst3")
+    stats3 = lineage.compact_sink(spark, dst, dst3, min_rows=600 + 1)
+    # exactly one of the two chunks is under the bar (the carried big one
+    # holds 1200, the merged one >= 600): lone fragment -> no rewrite
+    if stats3["chunks_fragment"] == 1:
+        assert stats3["chunks_new"] == 0 and stats3["rows_compacted"] == 0
+
+    # stamped sink: cluster_by required, merged chunks re-stamped + ranged
+    src_c = str(tmp_path / "src_c")
+    for i in range(4):
+        b = pages.filter(F.pmod(F.xxhash64("url"), F.lit(4)) == i)
+        lineage.write_encoded(
+            encode_pages(
+                b.repartition(1), shuffle=False, cluster_by="warc_ts"
+            ),
+            src_c, mode="append",
+        )
+    dst_c = str(tmp_path / "dst_c")
+    with pytest.raises(ValueError, match="cluster stamps"):
+        lineage.compact_sink(spark, src_c, dst_c, min_rows=5000)
+    stats_c = lineage.compact_sink(
+        spark, src_c, dst_c, min_rows=5000, cluster_by="warc_ts"
+    )
+    assert stats_c["chunks_fragment"] == 4
+    enc_c = lineage.read_encoded(spark, dst_c)
+    assert enc_c.filter(F.col("cluster_lo").isNull()).count() == 0
+    got_c = decode_chunks(enc_c)
+    assert got_c.exceptAll(pages).count() == 0
+    assert pages.exceptAll(got_c).count() == 0
+    pages.unpersist()

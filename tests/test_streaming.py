@@ -38,7 +38,8 @@ def test_streaming_incremental_encode(spark, cluster_by):
         wave1.coalesce(1).write.parquet(os.path.join(in_dir, "w1"))
 
         q = start_encode_stream(
-            spark, in_dir + "/*", out_dir, ckpt, cluster_by=cluster_by
+            spark, in_dir + "/*", out_dir, ckpt, cluster_by=cluster_by,
+            bloom_by=["url"],
         )
         q.processAllAvailable()
         q.stop()
@@ -47,7 +48,8 @@ def test_streaming_incremental_encode(spark, cluster_by):
 
         wave2.coalesce(1).write.parquet(os.path.join(in_dir, "w2"))
         q = start_encode_stream(
-            spark, in_dir + "/*", out_dir, ckpt, cluster_by=cluster_by
+            spark, in_dir + "/*", out_dir, ckpt, cluster_by=cluster_by,
+            bloom_by=["url"],
         )
         q.processAllAvailable()
         q.stop()
@@ -64,6 +66,17 @@ def test_streaming_incremental_encode(spark, cluster_by):
         assert result["ok"], result
         metrics = streaming_lineage_metrics(spark, out_dir)
         assert metrics.count() >= 5
+        # blooms stamp on the streaming path exactly like batch: every
+        # chunk of every wave carries one, and a point lookup over the
+        # micro-batch-built sink works
+        assert lineage.sink_bloom_columns(enc) == ["url"]
+        probe_url = (
+            wave1.filter(F.xxhash64("url") % 2 != 0).select("url").first()[0]
+        )  # wave-1-only: wave2 re-synthesizes the even-hash half
+        got_rows = lineage.decode_chunks_where_key_in(
+            spark, out_dir, "url", [probe_url]
+        )
+        assert got_rows.count() == 1
         if cluster_by is None:
             # default path: no stamps, clustered decode refuses loudly
             assert enc.filter(F.col("cluster_lo").isNotNull()).count() == 0

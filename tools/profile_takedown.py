@@ -39,7 +39,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
 
-N_DOCS = int(os.environ.get("SPARK_GRAFT_TAKEDOWN_DOCS", "205547"))
+# 16x the standard 205k corpus: at 205k the full decode is ~0.7 s on 32
+# cores — BOTH paths are Spark job-latency-bound and the probe measures
+# fixed overheads, not pruning (measured speedup 0.4x; still 0.65x at
+# 822k). Only at multi-million docs does decode/encode CPU dominate the
+# fixed job costs and the pruning separation become the real effect —
+# the same sizing lesson as the 4M-vector ann_sink bench.
+N_DOCS = int(os.environ.get("SPARK_GRAFT_TAKEDOWN_DOCS", "3288752"))
 N_KEYS = int(os.environ.get("SPARK_GRAFT_TAKEDOWN_KEYS", "20"))
 PASSES = int(os.environ.get("SPARK_GRAFT_TAKEDOWN_PASSES", "2"))
 
@@ -59,18 +65,30 @@ def main() -> None:
     pages = synthesize_pages(spark, N_DOCS).cache()
     pages.count()
     t0 = time.time()
+    # column-partitioned: the 100 TB layout — the takedown's key scan and
+    # the lookup's bloom probe then read the key column's directory only
     lineage.write_encoded(
-        encode_pages(pages, salt_buckets="adaptive", bloom_by=["url"]), src
+        encode_pages(pages, salt_buckets="adaptive", bloom_by=["url"]), src,
+        partition_by_column=True,
     )
     encode_wall = time.time() - t0
     enc = lineage.read_encoded(spark, src)
     n_chunks = enc.select("chunk_id").distinct().count()
 
-    # deterministic probe set spread across the corpus
+    # deterministic probe set, hash-spread across the corpus (never a
+    # full-corpus collect: stride-filter distributed, collect <= 2K keys)
     keys = [
         r["url"]
-        for r in pages.orderBy("url").limit(N_DOCS).collect()[:: N_DOCS // N_KEYS]
-    ][:N_KEYS]
+        for r in pages.select("url")
+        .filter(
+            F.pmod(F.xxhash64("url"), F.lit(max(1, N_DOCS // (2 * N_KEYS))))
+            == 0
+        )
+        .orderBy("url")
+        .limit(N_KEYS)
+        .collect()
+    ]
+    assert len(keys) == N_KEYS
 
     # --- point lookup: bloom-pruned vs naive full decode -------------------
     pruned_w, full_w = float("inf"), float("inf")
@@ -98,7 +116,9 @@ def main() -> None:
     for p in range(PASSES):
         dst = os.path.join(work, f"dst_surgical_{p}")
         t0 = time.time()
-        stats = lineage.delete_from_sink(spark, src, dst, keys, key_column="url")
+        stats = lineage.delete_from_sink(
+            spark, src, dst, keys, key_column="url", partition_by_column=True
+        )
         surgical_w = min(surgical_w, time.time() - t0)
 
         dst_n = os.path.join(work, f"dst_naive_{p}")
@@ -107,7 +127,8 @@ def main() -> None:
             ~F.col("url").isin(keys)
         )
         lineage.write_encoded(
-            encode_pages(rows, shuffle=False, bloom_by=["url"]), dst_n
+            encode_pages(rows, shuffle=False, bloom_by=["url"]), dst_n,
+            partition_by_column=True,
         )
         naive_w = min(naive_w, time.time() - t0)
         n_surgical = decode_chunks(lineage.read_encoded(spark, dst)).count()
