@@ -214,6 +214,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the oracle is the plain WHERE doc_id IN (...) over the raw
         # table (decode is bit-identical by construction):
         "point_lookup_over_encoded": textstats.point_lookup_over_encoded,
+        # NEW round 8, same born-past-the-cap routing: scan-free aggregate
+        # pushdown from the sink MANIFEST (zone maps + n_rows +
+        # kernel-recorded data_bytes; payload never read, plan-asserted):
+        "sink_stats_over_encoded": textstats.sink_stats_over_encoded,
         # rotated out round 8 (driver-green r1-r7) to admit the eight
         # round-7 operators; every expression/kernel they evidence keeps
         # >=1 in-gate oracle witness (see the docstring), all eight stay
@@ -2063,6 +2067,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id IN ({", ".join(str(i) for i in textstats.POINT_LOOKUP_IDS)})
             ORDER BY doc_id
+        """,
+        # Manifest aggregate pushdown (round 8): the engine answers from
+        # chunk zone maps / row counts / logical byte sums without reading
+        # payloads; the oracle recomputes from the raw table. CASTs per the
+        # HUGEINT lesson (encode_documents_lineage_checked comment above)
+        "sink_stats_over_encoded": """
+            SELECT CAST(min(doc_id) AS BIGINT)   AS min_doc_id,
+                   CAST(max(doc_id) AS BIGINT)   AS max_doc_id,
+                   CAST(min(n_chars) AS BIGINT)  AS min_n_chars,
+                   CAST(max(n_chars) AS BIGINT)  AS max_n_chars,
+                   count(*)                      AS n_rows,
+                   CAST(sum(strlen(text)) AS BIGINT) AS text_bytes
+            FROM documents
         """,
         # Iceberg roundtrip: the Spark side commits documents to a fresh
         # spec-layout Iceberg table and reads it back through the

@@ -131,6 +131,37 @@ def point_lookup_over_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.orderBy("doc_id")
 
 
+def sink_stats_over_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-free aggregate pushdown over the engine's own sink: count,
+    min/max, and exact logical byte sums answered from the MANIFEST
+    (plans.lineage.sink_stats — payload column never read, plan-asserted
+    in tests), here pinned against DuckDB recomputing the same quantities
+    from the raw table. min/max come from the per-chunk zone maps
+    (exact: stats record real values, and SQL min/max ignore the all-null
+    chunks that carry none), counts from n_rows, text_bytes from the
+    kernel-recorded data_bytes — the parquet-footer trick applied to the
+    compressed corpus."""
+    from ..plans.lineage import sink_stats
+    from .encode import encode_pages
+
+    docs = _docs(spark, sf_dir).repartition(4, "lang", "source").sortWithinPartitions(
+        "lang", "source", "doc_id"
+    )
+    st = sink_stats(spark, encode_pages(docs, shuffle=False))
+    dc = F.col("column") == "doc_id"
+    nc = F.col("column") == "n_chars"
+    return st.agg(
+        F.max(F.when(dc, F.col("min_long"))).alias("min_doc_id"),
+        F.max(F.when(dc, F.col("max_long"))).alias("max_doc_id"),
+        F.max(F.when(nc, F.col("min_long"))).alias("min_n_chars"),
+        F.max(F.when(nc, F.col("max_long"))).alias("max_n_chars"),
+        F.max(F.when(dc, F.col("n_rows"))).alias("n_rows"),
+        F.max(
+            F.when(F.col("column") == "text", F.col("data_bytes"))
+        ).alias("text_bytes"),
+    )
+
+
 BENCH_EVERY = 37      # deterministic stand-in benchmark set: doc_id % 37 == 0
 MIN_OVERLAP = 3       # distinct shared shingles to flag a doc contaminated
 

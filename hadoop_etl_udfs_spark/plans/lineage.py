@@ -283,6 +283,63 @@ def decode_chunks_where_clustered(
     return decode_chunks(data.filter(keep), out_schema, global_dicts)
 
 
+def sink_stats(spark: SparkSession, enc_or_dir) -> DataFrame:
+    """Scan-free per-column statistics of a chunk sink, answered ENTIRELY
+    from the manifest — the parquet-footer/Iceberg-manifest aggregate
+    pushdown applied to the engine's own sink: ``count(*)``, ``min``,
+    ``max``, and exact logical ``sum(byte length)`` over a 100 TB corpus
+    without touching one payload byte (parquet column pruning keeps the
+    payload column out of the scan — plan-asserted in tests).
+
+    One row per column: ``n_chunks``, ``n_rows``, ``data_bytes`` (exact
+    logical value bytes, recorded in the encode kernel), ``bytes_out``
+    (compressed footprint), ``min_long``/``max_long`` (the zone-map
+    min/max in the numeric domain — ints as values, timestamps/dates as
+    epoch in the column's unit; NULL for string domains via try_cast),
+    ``min_str``/``max_str`` (the string domain; lexicographic — only
+    meaningful for string columns), and ``stats_complete``.
+
+    ``min``/``max`` are EXACT only when ``stats_complete`` is true: a
+    chunk writes no zone-map stats when its values are oversized strings
+    (> _STATS_MAX_STR) or the chunk is all-null. The all-null case is
+    harmless (no values — SQL min/max ignore it), so completeness counts
+    only stat-less chunks that DO carry values (``data_bytes > 0``);
+    all-null int chunks still record fixed-width data_bytes and are
+    flagged conservatively. ``n_rows``/``data_bytes``/``bytes_out`` are
+    exact regardless."""
+    enc = (
+        read_encoded(spark, enc_or_dir)
+        if isinstance(enc_or_dir, str)
+        else enc_or_dir
+    )
+    mn = F.get_json_object("stats", "$.min")
+    mx = F.get_json_object("stats", "$.max")
+    return (
+        enc.groupBy("column")
+        .agg(
+            F.countDistinct("chunk_id").alias("n_chunks"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("data_bytes").alias("data_bytes"),
+            F.sum("bytes_out").alias("bytes_out"),
+            F.min(F.expr(
+                "try_cast(get_json_object(stats, '$.min') as long)"
+            )).alias("min_long"),
+            F.max(F.expr(
+                "try_cast(get_json_object(stats, '$.max') as long)"
+            )).alias("max_long"),
+            F.min(mn).alias("min_str"),
+            F.max(mx).alias("max_str"),
+            # keyed on $.min, not the stats column: a bloomed chunk whose
+            # values are oversized carries a stats JSON with a bloom but
+            # NO zone map — still incomplete for min/max purposes
+            (F.count_if(
+                mn.isNull() & (F.col("data_bytes") > 0)
+            ) == 0).alias("stats_complete"),
+        )
+        .orderBy("column")
+    )
+
+
 def sink_bloom_columns(enc: DataFrame) -> list[str]:
     """Column names carrying a Bloom filter in this sink's stats — blooms
     name their column (one stats row per chunk-column), so rewrite jobs

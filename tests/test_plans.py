@@ -1182,3 +1182,40 @@ def test_compact_sink_merges_fragments_surgically(spark, tmp_path):
     assert got_c.exceptAll(pages).count() == 0
     assert pages.exceptAll(got_c).count() == 0
     pages.unpersist()
+
+
+def test_sink_stats_scan_free_aggregates(spark, tmp_path):
+    """Manifest-only aggregate pushdown: values match the decoded truth,
+    the plan never reads the payload column, and stats_complete
+    distinguishes exact min/max (int zone maps; all-null chunks harmless)
+    from value-bearing chunks that wrote no stats (oversized strings)."""
+    from hadoop_etl_udfs_spark.operators.encode import encode_pages
+    from hadoop_etl_udfs_spark.plans import lineage
+
+    src = str(tmp_path / "sink")
+    docs = spark.createDataFrame(
+        [
+            (1, "x" * 300, 7),     # text oversized -> no string zone map
+            (2, "y" * 300, None),  # null in the int column
+            (5, "z" * 300, -3),
+        ],
+        "doc_id long, text string, score long",
+    ).repartition(1)
+    lineage.write_encoded(encode_pages(docs, shuffle=False), src)
+    st = lineage.sink_stats(spark, src).cache()
+
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    read = plan.split("ReadSchema")[-1][:400]
+    assert "payload" not in read  # scan-free: manifest columns only
+
+    rows = {r["column"]: r for r in st.collect()}
+    assert rows["doc_id"]["n_rows"] == 3
+    assert rows["doc_id"]["min_long"] == 1
+    assert rows["doc_id"]["max_long"] == 5
+    assert rows["doc_id"]["stats_complete"]
+    assert rows["score"]["min_long"] == -3
+    assert rows["score"]["max_long"] == 7
+    assert rows["text"]["data_bytes"] == 900
+    assert rows["text"]["min_long"] is None  # string domain: no long stats
+    assert not rows["text"]["stats_complete"]  # oversized, values present
+    st.unpersist()
