@@ -296,8 +296,12 @@ def sink_stats(spark: SparkSession, enc_or_dir) -> DataFrame:
     (compressed footprint), ``min_long``/``max_long`` (the zone-map
     min/max in the numeric domain — ints as values, timestamps/dates as
     epoch in the column's unit; NULL for string domains via try_cast),
-    ``min_str``/``max_str`` (the string domain; lexicographic — only
-    meaningful for string columns), and ``stats_complete``.
+    ``min_str``/``max_str`` (string domains ONLY — numeric columns read
+    NULL here, string columns NULL in min_long/max_long: the JSON quoting
+    of the zone map decides, so a numeric-looking string column can never
+    leak lexicographic bounds into the long stats), and
+    ``stats_complete``. Duplicated sinks (resume over drifted input) are
+    deduped before the sums — counts stay exact.
 
     ``min``/``max`` are EXACT only when ``stats_complete`` is true: a
     chunk writes no zone-map stats when its values are oversized strings
@@ -312,8 +316,22 @@ def sink_stats(spark: SparkSession, enc_or_dir) -> DataFrame:
         if isinstance(enc_or_dir, str)
         else enc_or_dir
     )
+    # duplicate (chunk_id, column) rows — resume over drifted input — are
+    # value-identical by contract and deduped by every reader; the SUM
+    # aggregates here would double-count them (min/max would not).
+    # Manifest-scale shuffle, payload column still absent from the scan.
+    enc = enc.dropDuplicates(["chunk_id", "column"])
     mn = F.get_json_object("stats", "$.min")
     mx = F.get_json_object("stats", "$.max")
+    # string-domain zone maps JSON-quote their values ('"min":"...'); the
+    # numeric try_cast must NOT apply to them — a numeric-LOOKING string
+    # column ('9' < '10' lexicographically) would otherwise cast its
+    # lexicographic bounds into inverted long stats
+    str_dom = F.col("stats").rlike('"min":"')
+    long_of = lambda col: F.when(
+        ~str_dom,
+        F.expr(f"try_cast(get_json_object(stats, '$.{col}') as long)"),
+    )
     return (
         enc.groupBy("column")
         .agg(
@@ -321,14 +339,10 @@ def sink_stats(spark: SparkSession, enc_or_dir) -> DataFrame:
             F.sum("n_rows").alias("n_rows"),
             F.sum("data_bytes").alias("data_bytes"),
             F.sum("bytes_out").alias("bytes_out"),
-            F.min(F.expr(
-                "try_cast(get_json_object(stats, '$.min') as long)"
-            )).alias("min_long"),
-            F.max(F.expr(
-                "try_cast(get_json_object(stats, '$.max') as long)"
-            )).alias("max_long"),
-            F.min(mn).alias("min_str"),
-            F.max(mx).alias("max_str"),
+            F.min(long_of("min")).alias("min_long"),
+            F.max(long_of("max")).alias("max_long"),
+            F.min(F.when(str_dom, mn)).alias("min_str"),
+            F.max(F.when(str_dom, mx)).alias("max_str"),
             # keyed on $.min, not the stats column: a bloomed chunk whose
             # values are oversized carries a stats JSON with a bloom but
             # NO zone map — still incomplete for min/max purposes
@@ -390,6 +404,26 @@ def bloom_candidate_chunks(
     return st.filter(no_bloom | hit(F.col("stats"))).select("chunk_id")
 
 
+def _key_probe_col(df: DataFrame, key_column: str):
+    """The comparison column for LIST ids over a key column, in the SAME
+    domain the blooms hash (plans/bloom.py): timestamps compare as
+    epoch-µs ints and dates as epoch-day ints (the zone-map convention),
+    everything else as itself. A raw ``isin()`` of epoch ints against a
+    TIMESTAMP/DATE column is an AnalysisException (DATA_DIFF_TYPES), so
+    the exact row filter must translate, not the caller."""
+    t = df.schema[key_column].dataType.typeName()
+    if t == "timestamp":
+        return F.unix_micros(F.col(key_column))
+    if t == "timestamp_ntz":
+        raise TypeError(
+            "timestamp_ntz key columns have no session-tz-free epoch "
+            "mapping for list ids — pass ids as a DataFrame instead"
+        )
+    if t == "date":
+        return F.unix_date(F.col(key_column))
+    return F.col(key_column)
+
+
 def decode_chunks_where_key_in(
     spark: SparkSession,
     enc_or_dir,
@@ -432,8 +466,8 @@ def decode_chunks_where_key_in(
             "misspelled key columns must fail loud, not decode nothing"
         )
     keep = bloom_candidate_chunks(st, key_column, ids, spark)
-    if columns:
-        dec_set = sorted(set(columns) | {key_column})
+    dec_set = sorted(set(columns) | {key_column}) if columns else None
+    if dec_set:
         data = (
             read_encoded_columns(spark, enc_or_dir, dec_set)
             if on_disk
@@ -446,10 +480,9 @@ def decode_chunks_where_key_in(
         pruned = data.filter(F.col("chunk_id").isin(cand))
     else:
         pruned = data.join(keep, "chunk_id")
-    dec_cols = sorted(set(columns) | {key_column}) if columns else None
-    out_schema = subset_schema(dec_cols, schema) if dec_cols else schema
+    out_schema = subset_schema(dec_set, schema) if dec_set else schema
     dec = decode_chunks(pruned, out_schema, global_dicts)
-    dec = dec.filter(F.col(key_column).isin(list(ids)))
+    dec = dec.filter(_key_probe_col(dec, key_column).isin(list(ids)))
     if columns and key_column not in columns:
         dec = dec.drop(key_column)
     return dec
@@ -711,11 +744,24 @@ def delete_from_sink(
         # bloom-pruned key scan: only candidate chunks pay the decode.
         # (DataFrame ids stay unpruned — the DF form exists for id lists
         # too big to hash driver-side; correctness is identical.)
+        # The candidate set is collected ONCE: it is chunk-id-scale (blast
+        # radius + fp), and leaving it lazy would re-run the JSON-parsing
+        # bloom probe over the whole key-column manifest for every
+        # consumer downstream (the >=2-consumers rule, metadata edition).
         cand = bloom_candidate_chunks(
             key_rows.select("chunk_id", "stats"), key_column, ids, spark
         )
-        key_rows = key_rows.join(cand, "chunk_id")
-        n_key_scanned = key_rows.select("chunk_id").distinct().count()
+        cand_ids = [
+            r["chunk_id"]
+            for r in cand.limit(_ISIN_PUSHDOWN_MAX + 1).collect()
+        ]
+        if len(cand_ids) <= _ISIN_PUSHDOWN_MAX:
+            key_rows = key_rows.filter(F.col("chunk_id").isin(cand_ids))
+            n_key_scanned = len(cand_ids)
+        else:
+            cand = cand.localCheckpoint()
+            key_rows = key_rows.join(cand, "chunk_id")
+            n_key_scanned = cand.count()
     keys = (
         key_rows
         .groupBy("chunk_id")
@@ -727,7 +773,9 @@ def delete_from_sink(
         hit = keys.join(ids_df, "__key", "leftsemi")
     else:
         ids = list(ids)
-        hit = keys.filter(F.col("__key").isin(ids))
+        # timestamp/date keys: list ids are epoch ints (the bloom/zone-map
+        # domain) — compare in that domain, a raw isin() would throw
+        hit = keys.filter(_key_probe_col(keys, "__key").isin(ids))
     affected = {r["chunk_id"] for r in hit.select("chunk_id").distinct().collect()}
 
     # --- 2. carry untouched chunk rows raw; decode + purge the victims ---
@@ -747,7 +795,7 @@ def delete_from_sink(
                 "leftanti",
             )
         else:
-            keep = rows.filter(~F.col(key_column).isin(ids))
+            keep = rows.filter(~_key_probe_col(rows, key_column).isin(ids))
         keep = keep.localCheckpoint()  # 2 consumers: count + encode
         n_after = keep.count()
         stats["rows_deleted"] = n_before - n_after

@@ -80,7 +80,11 @@ def main() -> None:
         ids = list(args.ids)
         if args.ids_file:
             with open(args.ids_file, encoding="utf-8") as f:
-                ids.extend(line.rstrip("\n") for line in f if line.strip())
+                # rstrip CR too: a CRLF takedown list would otherwise
+                # silently never-match every key (rows_deleted == 0)
+                ids.extend(
+                    line.rstrip("\r\n") for line in f if line.strip()
+                )
         if not ids:
             raise SystemExit("delete: no ids given (--id / --ids-file)")
         if args.int_ids:

@@ -238,3 +238,39 @@ def test_recluster_preserves_blooms(spark, tmp_path):
     assert lineage.sink_bloom_columns(dst_enc) == ["url"]
     url = [r["url"] for r in pages.limit(1).collect()]
     assert lineage.decode_chunks_where_key_in(spark, dst, "url", url).count() == 1
+
+
+def test_timestamp_key_lookup_and_takedown(spark, tmp_path):
+    """Timestamp key columns work end-to-end with LIST ids in the bloom
+    domain (epoch-µs ints, the zone-map convention): the exact row filter
+    compares in that domain instead of throwing DATA_DIFF_TYPES."""
+    from hadoop_etl_udfs_spark.operators.encode import decode_chunks, encode_pages
+
+    schema = "doc_id long, ts timestamp, text string"
+    df = (
+        spark.range(400)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.timestamp_micros(F.col("id") * 86_400_000_000).alias("ts"),
+            F.concat(F.lit("doc-"), F.col("id")).alias("text"),
+        )
+        .repartition(4)
+    )
+    src = str(tmp_path / "ts_sink")
+    lineage.write_encoded(encode_pages(df, shuffle=False, bloom_by=["ts"]), src)
+
+    ids = [5 * 86_400_000_000, 111 * 86_400_000_000]
+    got = lineage.decode_chunks_where_key_in(
+        spark, src, "ts", ids, schema=schema
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == [5, 111]
+
+    dst = str(tmp_path / "ts_dst")
+    stats = lineage.delete_from_sink(
+        spark, src, dst, ids, key_column="ts", schema=schema
+    )
+    assert stats["rows_deleted"] == 2
+    assert stats["chunks_key_scanned"] <= stats["chunks_total"]
+    left = decode_chunks(lineage.read_encoded(spark, dst), schema=schema)
+    assert left.count() == 398
+    assert left.filter(F.col("doc_id").isin([5, 111])).count() == 0

@@ -992,9 +992,6 @@ def test_delete_from_sink_surgical_takedown(spark, tmp_path):
     assert stats["chunks_total"] == len(src_ids)
     assert 1 <= stats["chunks_affected"] <= 3
     # exact surviving content, bit-identical
-    got = lineage.decode_chunks(
-        lineage.read_encoded(spark, dst)
-    ) if hasattr(lineage, "decode_chunks") else None
     from hadoop_etl_udfs_spark.operators.encode import decode_chunks
     got = decode_chunks(lineage.read_encoded(spark, dst))
     want = pages.filter(~F.col("url").isin(victims))
@@ -1219,3 +1216,30 @@ def test_sink_stats_scan_free_aggregates(spark, tmp_path):
     assert rows["text"]["min_long"] is None  # string domain: no long stats
     assert not rows["text"]["stats_complete"]  # oversized, values present
     st.unpersist()
+
+
+def test_sink_stats_dedupes_and_guards_string_domains(spark, tmp_path):
+    """The sums dedupe duplicate (chunk_id, column) rows (resume over
+    drifted input), and numeric-LOOKING string columns never leak their
+    lexicographic zone-map bounds into min_long/max_long."""
+    from hadoop_etl_udfs_spark.operators.encode import encode_pages
+    from hadoop_etl_udfs_spark.plans import lineage
+
+    src = str(tmp_path / "sink")
+    docs = spark.createDataFrame(
+        [(1, "9"), (2, "10"), (3, "7")], "doc_id long, numstr string"
+    ).repartition(1)
+    enc = encode_pages(docs, shuffle=False).localCheckpoint()
+    lineage.write_encoded(enc, src)
+    lineage.write_encoded(enc, src, mode="append")  # duplicated sink
+    assert lineage.sink_has_duplicates(spark, src)
+
+    rows = {r["column"]: r for r in lineage.sink_stats(spark, src).collect()}
+    assert rows["doc_id"]["n_rows"] == 3  # deduped, not 6
+    assert rows["doc_id"]["data_bytes"] == 24
+    assert rows["doc_id"]["min_str"] is None  # numeric domain: no str stats
+    # lexicographic bounds ('10' < '9') stay in the string domain only
+    assert rows["numstr"]["min_long"] is None
+    assert rows["numstr"]["max_long"] is None
+    assert rows["numstr"]["min_str"] == "10"
+    assert rows["numstr"]["max_str"] == "9"

@@ -16,7 +16,7 @@ blast radius and touching the corpus:
      chunks_affected / chunks_new.
 
 Methodology per CLAUDE.md: this host throttles CPU in minute-scale
-windows, so >=2 interleaved passes and per-cell minima; Spark work is
+windows, so >=3 interleaved passes and per-cell minima; Spark work is
 measured warm (one untimed lookup pass first).
 
 Output: compact JSON on stdout (last line) + BENCH/takedown_scale_latest.json.
@@ -47,7 +47,7 @@ import bench  # noqa: E402
 # the same sizing lesson as the 4M-vector ann_sink bench.
 N_DOCS = int(os.environ.get("SPARK_GRAFT_TAKEDOWN_DOCS", "3288752"))
 N_KEYS = int(os.environ.get("SPARK_GRAFT_TAKEDOWN_KEYS", "20"))
-PASSES = int(os.environ.get("SPARK_GRAFT_TAKEDOWN_PASSES", "2"))
+PASSES = int(os.environ.get("SPARK_GRAFT_TAKEDOWN_PASSES", "3"))
 
 
 def main() -> None:
