@@ -17,6 +17,8 @@ all-or-nothing commit, all three preserve cluster stamps and blooms.
         [--cluster-by warc_ts] [--codec auto] [--partition-by-column] \
         [--schema DDL]
 
+    spark-submit ... jobs/maintenance_job.py stats --src SINK
+
 delete: removes every row whose key is listed (right-to-be-forgotten /
 contaminated-doc purge). Only chunks containing a doomed row re-encode;
 on bloomed sinks even the key scan is bloom-pruned. ``--ids-file`` takes
@@ -25,6 +27,10 @@ key columns — the sink's recorded bloom domain rejects a mismatch loud.
 
 compact: merges fragment chunks (n_rows < --min-rows) the streaming
 encode accretes; victims chosen from manifest metadata only.
+
+stats: scan-free per-column sink statistics from the manifest alone
+(plans.lineage.sink_stats) — one JSON line per column; payload bytes are
+never read, so this is safe to run against a sink of any size.
 
 The destination must not exist (errorifexists). Prints one JSON line of
 the operation's stats plus wall seconds.
@@ -67,6 +73,9 @@ def main() -> None:
     c.add_argument("--min-rows", type=int, required=True,
                    help="chunks under this row count are merged")
 
+    st = sub.add_parser("stats", help="scan-free manifest statistics")
+    st.add_argument("--src", required=True, help="existing encoded sink")
+
     args = p.parse_args()
 
     from hadoop_etl_udfs_spark.session import get_job_spark
@@ -76,6 +85,14 @@ def main() -> None:
     from hadoop_etl_udfs_spark.plans import lineage
 
     t0 = time.time()
+    if args.cmd == "stats":
+        for row in lineage.sink_stats(spark, args.src).collect():
+            print(json.dumps(row.asDict()))
+        print(json.dumps(
+            {"op": "stats", "wall_s": round(time.time() - t0, 2)}
+        ))
+        spark.stop()
+        return
     if args.cmd == "delete":
         ids = list(args.ids)
         if args.ids_file:
