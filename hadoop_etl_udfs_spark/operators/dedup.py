@@ -263,19 +263,42 @@ def lsh_band_pairs(
     buckets = sig.select("doc_id", F.explode(bands).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    small = (
-        buckets.groupBy("band", "sig")
-        .agg(F.count("*").alias("_bn"))
-        .filter(F.col("_bn") <= max_band_bucket)
-        .select("band", "sig")
+    # Round 9 restructure (guide §2.4/§3.3): the former cap filter was an
+    # aggregate + RE-JOIN on (band, sig) followed by a bucket SELF-join —
+    # four evaluations of the whole signature subtree in one plan (the
+    # sf0.1 physical plan showed 4 parquet scans, 8 exchanges and 3
+    # joins; plans/r09/minhash_lsh_pairs_before.txt). Instead: ONE pass —
+    # a window count on the same (band, sig) partitioning replaces the
+    # count-join (WindowExec spills gracefully on a degenerate bucket),
+    # then each surviving bucket collects its doc ids (bounded by the cap
+    # — the array only materializes AFTER the filter) and emits each
+    # unordered pair exactly once via an index-offset transform. Same
+    # pairs, same n_shared_bands (= co-occurring buckets), one subtree:
+    # 1 scan, 4 exchanges, joins eliminated (…_after.txt).
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("band", "sig")
+    kept = (
+        buckets.withColumn("_bn", F.count("*").over(w))
+        .filter(
+            (F.col("_bn") <= max_band_bucket) & (F.col("_bn") >= 2)
+        )
+        .drop("_bn")
     )
-    buckets = buckets.join(small, ["band", "sig"])
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    grouped = kept.groupBy("band", "sig").agg(
+        F.collect_list("doc_id").alias("ids")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> "
+                "struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
     return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_bands"))
         .orderBy("doc_a", "doc_b")
     )
@@ -301,15 +324,43 @@ def simhash64(
     ).withColumn("h", _hash64([F.col("tok")], 0, method))
     # per-bit ONE counts instead of ±1 votes: the ±1 sum equals
     # 2*ones - n, so vote>0 ⇔ 2*ones > n — same simhash, but each
-    # aggregate is a bare bitop sum (no CASE branch), ~13% faster measured
-    ones = [
-        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(1)).alias(f"o{b}")
-        for b in range(n_bits)
-    ]
-    agg = tok.groupBy("doc_id").agg(*ones, F.count("*").alias("_n"))
+    # aggregate is a bare bitop sum (no CASE branch).
+    #
+    # Round 9: TWO bit-counts ride in ONE sum aggregate via 32-bit lanes —
+    # bit b accumulates in the low lane, bit b+half in the high lane
+    # (sum(lo_bit + hi_bit<<32)). Profiled at sf0.1: the per-aggregate
+    # input projection dominates this stage (64 one-expression aggregates
+    # 2.26 s vs 32 packed 0.83 s vs 64 aggregates of ONE shared expression
+    # 0.63 s — the distinct shift expressions are the cost, the buffer
+    # updates are not), so halving the aggregate count halves the hot
+    # term. Lanes cannot collide under ANSI: a doc's text is one Spark
+    # string (< 2^31 bytes), so per-doc token counts are < 2^30 and the
+    # packed sum stays below 2^30·(2^32+1) < 2^63. Unpacking uses
+    # shiftrightunsigned / bitwiseAND, so the per-bit ones counts — and
+    # therefore every simhash bit — are identical to the unpacked form
+    # (tests/test_dedup.py parity test).
+    half = (n_bits + 1) // 2
+    packed = []
+    for b in range(half):
+        lo = F.shiftrightunsigned(F.col("h"), b).bitwiseAND(1)
+        hi_bit = b + half
+        if hi_bit < n_bits:
+            hi = F.shiftrightunsigned(F.col("h"), hi_bit).bitwiseAND(1)
+            expr = lo + F.shiftleft(hi, 32)
+        else:  # odd n_bits: the last lane carries only its low bit
+            expr = lo
+        packed.append(F.sum(expr).alias(f"p{b}"))
+    agg = tok.groupBy("doc_id").agg(*packed, F.count("*").alias("_n"))
+    _LANE_MASK = F.lit((1 << 32) - 1)
+
+    def _ones(b: int):
+        if b < half:
+            return F.col(f"p{b}").bitwiseAND(_LANE_MASK)
+        return F.shiftrightunsigned(F.col(f"p{b - half}"), 32)
+
     sim = None
     for b in range(n_bits):
-        bit = F.when(2 * F.col(f"o{b}") > F.col("_n"), F.lit(1).cast("long")).otherwise(0)
+        bit = F.when(2 * _ones(b) > F.col("_n"), F.lit(1).cast("long")).otherwise(0)
         term = F.shiftleft(bit, b)
         sim = term if sim is None else sim.bitwiseXOR(term)
     return agg.select("doc_id", sim.alias("simhash")).orderBy("doc_id")

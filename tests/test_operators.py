@@ -68,6 +68,40 @@ def test_simhash_identical_texts_equal(spark):
     assert a == b
 
 
+@pytest.mark.parametrize("method,n_bits", [("xxhash64", 64), ("md5", 32)])
+def test_simhash_packed_lanes_match_unpacked_reference(spark, method, n_bits):
+    """Round 9: simhash's per-bit ones counts ride two-per-aggregate in
+    32-bit lanes (half the aggregate expressions — the profiled hot term).
+    Every simhash value must equal the straightforward one-sum-per-bit
+    form, for BOTH hash methods (the md5/32 pair is the in-gate
+    simhash_checked configuration)."""
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).withColumn("h", dedup._hash64([F.col("tok")], 0, method))
+    ones = [
+        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(1)).alias(f"o{b}")
+        for b in range(n_bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*ones, F.count("*").alias("_n"))
+    ref = None
+    for b in range(n_bits):
+        bit = F.when(
+            2 * F.col(f"o{b}") > F.col("_n"), F.lit(1).cast("long")
+        ).otherwise(0)
+        term = F.shiftleft(bit, b)
+        ref = term if ref is None else ref.bitwiseXOR(term)
+    want = {
+        r["doc_id"]: r["simhash"]
+        for r in agg.select("doc_id", ref.alias("simhash")).collect()
+    }
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash64(spark, SF, method=method, n_bits=n_bits).collect()
+    }
+    assert got == want
+
+
 def test_ngram_jaccard_exact_value(spark):
     t1 = "a b c d e f"        # shingles: abc bcd cde def (4)
     t2 = "a b c d x y"        # shingles: abc bcd cdx dxy (4), intersect 2
