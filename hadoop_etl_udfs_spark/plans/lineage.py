@@ -113,6 +113,28 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
 _ISIN_PUSHDOWN_MAX = 100_000  # keep-set size above which IN becomes a join
 
 
+def _chunk_id_filter(enc: DataFrame, chunk_ids, keep: bool) -> DataFrame:
+    """Rows of ``enc`` whose chunk_id is in (``keep=True``) / not in
+    (``keep=False``) the driver-side id set — as an IN literal under
+    ``_ISIN_PUSHDOWN_MAX``, as a semi/anti join on a broadcast id table
+    past it. The rewrite ops (delete_from_sink, compact_sink) previously
+    built uncapped ``isin(affected)`` literals; a mass takedown or a
+    sink with hundreds of thousands of fragments would push a giant IN
+    expression through the planner (r8 verdict item 5). chunk_id is
+    never NULL (every manifest row carries one), so the anti-join and
+    ``~isin`` semantics agree."""
+    ids = list(chunk_ids)
+    if len(ids) <= _ISIN_PUSHDOWN_MAX:
+        pred = F.col("chunk_id").isin(ids)
+        return enc.filter(pred if keep else ~pred)
+    id_df = enc.sparkSession.createDataFrame(
+        [(int(i),) for i in ids], "chunk_id long"
+    )
+    return enc.join(
+        F.broadcast(id_df), "chunk_id", "leftsemi" if keep else "leftanti"
+    )
+
+
 def decode_chunks_where(
     spark: SparkSession,
     out_dir: str,
@@ -327,7 +349,14 @@ def sink_stats(spark: SparkSession, enc_or_dir) -> DataFrame:
     # numeric try_cast must NOT apply to them — a numeric-LOOKING string
     # column ('9' < '10' lexicographically) would otherwise cast its
     # lexicographic bounds into inverted long stats
-    str_dom = F.col("stats").rlike('"min":"')
+    # whitespace-tolerant: every in-repo stats writer serializes compact
+    # (separators=(",", ":")), but a future writer using json.dumps
+    # defaults ('"min": "...') must not silently flip string columns into
+    # the numeric branch (lexicographic bounds leaking into min_long —
+    # the exact inversion this guard exists to prevent; r8 ADVICE item 3).
+    # The pattern cannot match inside a JSON string VALUE: quotes there
+    # are \"-escaped by every JSON serializer.
+    str_dom = F.col("stats").rlike('"min"\\s*:\\s*"')
     long_of = lambda col: F.when(
         ~str_dom,
         F.expr(f"try_cast(get_json_object(stats, '$.{col}') as long)"),
@@ -479,7 +508,12 @@ def decode_chunks_where_key_in(
     if len(cand) <= _ISIN_PUSHDOWN_MAX:
         pruned = data.filter(F.col("chunk_id").isin(cand))
     else:
-        pruned = data.join(keep, "chunk_id")
+        # the limit().collect() above already ran the JSON-parsing bloom
+        # probe over the key-column manifest once; joining the LAZY keep
+        # would run it a second time (the >=2-consumers rule — the same
+        # reason delete_from_sink checkpoints its candidate set).
+        # r8 ADVICE item 2.
+        pruned = data.join(keep.localCheckpoint(), "chunk_id")
     out_schema = subset_schema(dec_set, schema) if dec_set else schema
     dec = decode_chunks(pruned, out_schema, global_dicts)
     dec = dec.filter(_key_probe_col(dec, key_column).isin(list(ids)))
@@ -779,12 +813,12 @@ def delete_from_sink(
     affected = {r["chunk_id"] for r in hit.select("chunk_id").distinct().collect()}
 
     # --- 2. carry untouched chunk rows raw; decode + purge the victims ---
-    carried = enc.filter(~F.col("chunk_id").isin(affected))
+    carried = _chunk_id_filter(enc, affected, keep=False)
     stats = {"chunks_total": n_total, "chunks_affected": len(affected),
              "chunks_new": 0, "rows_deleted": 0,
              "chunks_key_scanned": n_key_scanned}
     if affected:
-        victims = enc.filter(F.col("chunk_id").isin(affected))
+        victims = _chunk_id_filter(enc, affected, keep=True)
         rows = decode_chunks(victims, schema=schema, global_dicts=global_dicts)
         rows = rows.localCheckpoint()  # 2 consumers: counts + re-encode
         n_before = rows.count()
@@ -795,7 +829,14 @@ def delete_from_sink(
                 "leftanti",
             )
         else:
-            keep = rows.filter(~_key_probe_col(rows, key_column).isin(ids))
+            # NULL-key rows must be KEPT explicitly: under three-valued
+            # logic `~isin(ids)` evaluates to NULL for a NULL key and the
+            # filter would silently DELETE every NULL-key row sharing a
+            # chunk with a doomed row — data loss beyond the named ids,
+            # and a semantics fork from the DataFrame-ids branch (whose
+            # leftanti join keeps NULL keys). r8 ADVICE item 1.
+            kcol = _key_probe_col(rows, key_column)
+            keep = rows.filter(kcol.isNull() | ~kcol.isin(ids))
         keep = keep.localCheckpoint()  # 2 consumers: count + encode
         n_after = keep.count()
         stats["rows_deleted"] = n_before - n_after
@@ -892,8 +933,8 @@ def compact_sink(
         )
         return stats
 
-    victims = enc.filter(F.col("chunk_id").isin(list(frag)))
-    carried = enc.filter(~F.col("chunk_id").isin(list(frag)))
+    victims = _chunk_id_filter(enc, frag, keep=True)
+    carried = _chunk_id_filter(enc, frag, keep=False)
     rows = decode_chunks(victims, schema=schema, global_dicts=global_dicts)
     rows = rows.localCheckpoint()  # 2 consumers: count + re-encode
     n_rows = rows.count()

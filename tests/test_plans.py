@@ -1079,6 +1079,90 @@ def test_delete_from_sink_surgical_takedown(spark, tmp_path):
     assert enc_c.filter(F.col("cluster_lo").isNull()).count() == 0
 
 
+def test_delete_from_sink_null_keys_and_join_fallback(spark, tmp_path):
+    """Round-9 fixes, both on the takedown path:
+
+    1. NULL-key rows sharing a chunk with a doomed row must SURVIVE a
+       list-ids takedown (r8 ADVICE item 1: `~isin(ids)` is NULL for a
+       NULL key under three-valued logic and the filter silently dropped
+       them — data loss beyond the named ids, and a fork from the
+       DataFrame-ids branch whose leftanti join keeps NULL keys).
+    2. Affected-chunk filters fall back to a broadcast semi/anti JOIN
+       past _ISIN_PUSHDOWN_MAX instead of a giant IN literal (r8 verdict
+       item 5); results must be exact through that path too.
+    """
+    from hadoop_etl_udfs_spark.operators.encode import (
+        decode_chunks,
+        encode_pages,
+    )
+    from hadoop_etl_udfs_spark.plans import lineage
+
+    schema = "url string, text string"
+    rows = [(f"u{i}", f"text {i}") for i in range(20)]
+    rows += [(None, f"null-key {i}") for i in range(5)]
+    df = spark.createDataFrame(rows, schema).repartition(2).cache()
+    src = str(tmp_path / "src")
+    lineage.write_encoded(encode_pages(df, shuffle=False), src)
+    victims = ["u1", "u2", "u3"]
+    want = df.filter(F.col("url").isNull() | ~F.col("url").isin(victims))
+
+    dst = str(tmp_path / "dst")
+    stats = lineage.delete_from_sink(
+        spark, src, dst, victims, key_column="url", schema=schema
+    )
+    assert stats["rows_deleted"] == 3  # exactly the named ids, nothing more
+    got = decode_chunks(lineage.read_encoded(spark, dst), schema=schema)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.filter(F.col("url").isNull()).count() == 5
+
+    # DataFrame-ids branch agrees on the same nullable-key sink
+    dst_df = str(tmp_path / "dst_df")
+    ids_df = spark.createDataFrame([(u,) for u in victims], "url string")
+    lineage.delete_from_sink(
+        spark, src, dst_df, ids_df, key_column="url", schema=schema
+    )
+    got_df = decode_chunks(lineage.read_encoded(spark, dst_df), schema=schema)
+    assert got_df.exceptAll(got).count() == 0
+    assert got.exceptAll(got_df).count() == 0
+
+    # over-cap: force the join fallback for carried/victims selection
+    import hadoop_etl_udfs_spark.plans.lineage as lin_mod
+
+    orig = lin_mod._ISIN_PUSHDOWN_MAX
+    lin_mod._ISIN_PUSHDOWN_MAX = 1
+    try:
+        dst_j = str(tmp_path / "dst_join")
+        stats_j = lineage.delete_from_sink(
+            spark, src, dst_j, victims, key_column="url", schema=schema
+        )
+        assert stats_j["rows_deleted"] == 3
+        got_j = decode_chunks(
+            lineage.read_encoded(spark, dst_j), schema=schema
+        )
+        assert got_j.exceptAll(want).count() == 0
+        assert want.exceptAll(got_j).count() == 0
+
+        # compact_sink's victim/carried selection through the same fallback
+        frag_src = str(tmp_path / "frag_src")
+        small = spark.createDataFrame(
+            [(f"f{i}", f"frag {i}") for i in range(12)], schema
+        ).repartition(6)  # 6 fragment chunks of ~2 rows
+        lineage.write_encoded(encode_pages(small, shuffle=False), frag_src)
+        frag_dst = str(tmp_path / "frag_dst")
+        cstats = lineage.compact_sink(
+            spark, frag_src, frag_dst, min_rows=10, schema=schema
+        )
+        assert cstats["chunks_fragment"] >= 2
+        got_c = decode_chunks(
+            lineage.read_encoded(spark, frag_dst), schema=schema
+        )
+        assert got_c.exceptAll(small).count() == 0
+        assert small.exceptAll(got_c).count() == 0
+    finally:
+        lin_mod._ISIN_PUSHDOWN_MAX = orig
+
+
 def test_compact_sink_merges_fragments_surgically(spark, tmp_path):
     """Small-chunk compaction: fragment chunks (streaming micro-batch
     leftovers) merge to full-size chunks chosen by MANIFEST metadata only;
