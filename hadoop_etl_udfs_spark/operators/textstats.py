@@ -5,6 +5,7 @@ encode engine applied to a driver table (lineage rows-only check).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -447,6 +448,10 @@ REP_DUP_SEG_CHAR = (1, 5)   # chars inside duplicated segments       > 0.20
 REP_TOP_2GRAM = (1, 5)      # chars of the most frequent word-2gram  > 0.20
 REP_DUP_5GRAM = (3, 20)     # chars inside duplicated word-5grams    > 0.15
 _REP_PACK = 2_147_483_648   # 2^31: (cnt, glen) -> cnt*2^31 + glen long pack
+# Java regex \s (the split(trim(text), '\s+') tokenizer) is the ASCII set
+# [ \t\n\x0B\f\r]; re.ASCII pins Python's \s to exactly that set so the
+# doc-local kernel tokenizes identically to the Catalyst expression form.
+_WS_ASCII = re.compile(r"\s+", re.ASCII)
 
 
 def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,6 +511,202 @@ def _word_ngrams(words, n: int):
 def repetition_signals_df(docs: DataFrame) -> DataFrame:
     """:func:`repetition_signals`'s composable form over an arbitrary
     (doc_id, text) DataFrame.
+
+    Round 9: ZERO-SHUFFLE doc-local kernel. The round-8 fused-explode
+    form (kept as :func:`repetition_signals_expr_df` — the parity/oracle
+    reference, the ``lsh_bucket_expr`` convention) was measurably
+    super-linear: 5.31x wall at 4x docs (r8 verdict item 2), because the
+    per-partition (doc_id, kind, gh, glen) count hash-aggregate grows
+    with EVERY distinct gram in the partition (~2 entries/token —
+    measured 35.4 s @200k docs / 119.6 s @800k at 32 partitions;
+    re-partitioning 512-ways recovered only part of it: 15.5 / 86.1 s —
+    the state is still corpus-proportional). But every count this
+    operator needs is PER-DOCUMENT by definition, so the aggregation
+    state never has to outlive one document: a ``mapInArrow`` kernel
+    tokenizes each doc and counts its segments/2-grams/5-grams in a
+    doc-sized dict (guide §4.2 — the decision data is tiny; state is
+    O(doc), wall is linear in docs by construction). Measured 2.2 s
+    @200k / 5.5 s @800k (interleaved minima, same session as the
+    expression-form probe's 24.5 / 128.9 s) — 2.53x at 4x docs, 11x and
+    23x absolute, and the corpus is never shuffled at all (the old form
+    repartitioned every doc row before its explode).
+
+    Exactness contract (the kernel emits INTEGER tallies only; the
+    fraction rounding, flag comparisons and output projection below are
+    the UNCHANGED Spark expressions, so no float semantics moved into
+    Python):
+
+    - tokenization mirrors ``split(trim(text), '\\s+')``: strip ASCII
+      spaces only (SQL TRIM), split on Java ``\\s`` = ``[ \\t\\n\\x0B
+      \\f\\r]`` — ``re.ASCII`` pins Python's ``\\s`` to the same set;
+      the empty doc keeps its single '' word, NULL text drops the row
+      (explode-of-NULL semantics), leading non-space whitespace yields
+      the same leading '' token.
+    - counts key on the literal word TUPLES, within one doc only — the
+      hash-equality approximation of the expression form (counts over
+      xxhash64 of the words) equals tuple counting except on 64-bit
+      collisions, the standing `_shingle_hashes` caveat, so the planted
+      mini-oracle and the string-based DuckDB oracle pin both forms.
+    - the top-2gram pick compares the same packed (cnt, glen) order and
+      returns cnt*glen; ties beyond (cnt, glen) were already proven
+      output-invariant (equal product).
+
+    Parity: ``test_repetition_signals_kernel_matches_expr_form`` asserts
+    kernel == expression form row-for-row on planted + fuzzed corpora."""
+    from collections.abc import Iterator as _Iter
+
+    import pyarrow as _pa
+
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    out_ddl = (
+        f"doc_id {id_type}, d_chars long, n_seg_occ long, dup_seg_occ long, "
+        "seg_chars long, dup_seg_chars long, top2_chars long, dup5_chars long"
+    )
+    W = SEGMENT_WORDS
+    pack = _REP_PACK
+
+    def _analyze(text: str) -> tuple:
+        words = _WS_ASCII.split(text.strip(" "))
+        n = len(words)
+        wl = [len(w) for w in words]
+        sum_wl = 0
+        for x in wl:
+            sum_wl += x
+        d_chars = sum_wl + n - 1
+        if d_chars < 1:
+            d_chars = 1
+        # segments: W-word groups, the last one partial
+        n_segs = -(-n // W)
+        segs: dict = {}
+        for i in range(n_segs):
+            t = tuple(words[i * W : i * W + W])
+            e = segs.get(t)
+            if e is None:
+                glen = sum(wl[i * W : i * W + W]) + len(t) - 1
+                segs[t] = [1, glen]
+            else:
+                e[0] += 1
+        dup_seg_occ = 0
+        seg_chars = 0
+        dup_seg_chars = 0
+        for c, glen in segs.values():
+            mass = c * glen
+            seg_chars += mass
+            if c > 1:
+                dup_seg_occ += c
+                dup_seg_chars += mass
+        if seg_chars < 1:
+            seg_chars = 1
+        # word 2-grams: top (cnt, glen) by the packed order
+        top2_chars = 0
+        if n >= 2:
+            g2: dict = {}
+            for i in range(n - 1):
+                t = (words[i], words[i + 1])
+                e = g2.get(t)
+                if e is None:
+                    g2[t] = [1, wl[i] + wl[i + 1] + 1]
+                else:
+                    e[0] += 1
+            best = -1
+            for c, glen in g2.values():
+                p = c * pack + glen
+                if p > best:
+                    best = p
+                    top2_chars = c * glen
+        # word 5-grams: duplicated char mass
+        dup5_chars = 0
+        if n >= 5:
+            g5: dict = {}
+            for i in range(n - 4):
+                t = (words[i], words[i + 1], words[i + 2], words[i + 3],
+                     words[i + 4])
+                e = g5.get(t)
+                if e is None:
+                    g5[t] = [
+                        1,
+                        wl[i] + wl[i + 1] + wl[i + 2] + wl[i + 3]
+                        + wl[i + 4] + 4,
+                    ]
+                else:
+                    e[0] += 1
+            for c, glen in g5.values():
+                if c > 1:
+                    dup5_chars += c * glen
+        return (d_chars, n_segs, dup_seg_occ, seg_chars, dup_seg_chars,
+                top2_chars, dup5_chars)
+
+    def kernel(batches: _Iter[_pa.RecordBatch]) -> _Iter[_pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            id_arr = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            keep_idx = []
+            cols = [[] for _ in range(7)]
+            for row, text in enumerate(texts):
+                if text is None:  # explode-of-NULL: the doc emits no rows
+                    continue
+                keep_idx.append(row)
+                for ci, v in enumerate(_analyze(text)):
+                    cols[ci].append(v)
+            if not keep_idx:
+                continue
+            yield _pa.RecordBatch.from_arrays(
+                [id_arr.take(_pa.array(keep_idx, _pa.int32()))]
+                + [_pa.array(c, _pa.int64()) for c in cols],
+                names=["doc_id", "d_chars", "n_seg_occ", "dup_seg_occ",
+                       "seg_chars", "dup_seg_chars", "top2_chars",
+                       "dup5_chars"],
+            )
+
+    j = docs.select("doc_id", "text").mapInArrow(kernel, out_ddl)
+    return _repetition_output(j)
+
+
+def _repetition_output(j: DataFrame) -> DataFrame:
+    """The UNCHANGED fraction/flag projection over the integer tallies —
+    shared verbatim by the kernel and expression forms so the float
+    rounding and threshold semantics live in exactly one place."""
+    flag = (
+        (F.col("dup_seg_occ") * REP_DUP_SEG[1] > F.col("n_seg_occ") * REP_DUP_SEG[0])
+        | (
+            F.col("dup_seg_chars") * REP_DUP_SEG_CHAR[1]
+            > F.col("seg_chars") * REP_DUP_SEG_CHAR[0]
+        )
+        | (
+            F.col("top2_chars") * REP_TOP_2GRAM[1]
+            > F.col("d_chars") * REP_TOP_2GRAM[0]
+        )
+        | (
+            F.col("dup5_chars") * REP_DUP_5GRAM[1]
+            > F.col("d_chars") * REP_DUP_5GRAM[0]
+        )
+    )
+    return j.select(
+        "doc_id",
+        F.round(F.col("dup_seg_occ") / F.col("n_seg_occ"), 6).alias(
+            "dup_seg_frac"
+        ),
+        F.round(F.col("dup_seg_chars") / F.col("seg_chars"), 6).alias(
+            "dup_seg_char_frac"
+        ),
+        F.round(F.col("top2_chars") / F.col("d_chars"), 6).alias(
+            "top_2gram_char_frac"
+        ),
+        F.round(F.col("dup5_chars") / F.col("d_chars"), 6).alias(
+            "dup_5gram_char_frac"
+        ),
+        flag.alias("repetition_flag"),
+    ).orderBy("doc_id")
+
+
+def repetition_signals_expr_df(docs: DataFrame) -> DataFrame:
+    """The round-8 fused-explode EXPRESSION form — retained as the parity
+    reference for the doc-local kernel (the ``lsh_bucket_expr``
+    convention: tests assert kernel == expression), not a production
+    path: its count hash-aggregate state grows with the corpus, the
+    measured source of the 5.31x-at-4x-docs curve the kernel removes.
 
     Fused single-scan STRING-FREE kernel: segments, word-2grams, and
     word-5grams are tagged and exploded from ONE projection of the corpus
@@ -661,37 +862,7 @@ def repetition_signals_df(docs: DataFrame) -> DataFrame:
         ).alias("top2_chars"),
         "dup5_chars",
     )
-    flag = (
-        (F.col("dup_seg_occ") * REP_DUP_SEG[1] > F.col("n_seg_occ") * REP_DUP_SEG[0])
-        | (
-            F.col("dup_seg_chars") * REP_DUP_SEG_CHAR[1]
-            > F.col("seg_chars") * REP_DUP_SEG_CHAR[0]
-        )
-        | (
-            F.col("top2_chars") * REP_TOP_2GRAM[1]
-            > F.col("d_chars") * REP_TOP_2GRAM[0]
-        )
-        | (
-            F.col("dup5_chars") * REP_DUP_5GRAM[1]
-            > F.col("d_chars") * REP_DUP_5GRAM[0]
-        )
-    )
-    return j.select(
-        "doc_id",
-        F.round(F.col("dup_seg_occ") / F.col("n_seg_occ"), 6).alias(
-            "dup_seg_frac"
-        ),
-        F.round(F.col("dup_seg_chars") / F.col("seg_chars"), 6).alias(
-            "dup_seg_char_frac"
-        ),
-        F.round(F.col("top2_chars") / F.col("d_chars"), 6).alias(
-            "top_2gram_char_frac"
-        ),
-        F.round(F.col("dup5_chars") / F.col("d_chars"), 6).alias(
-            "dup_5gram_char_frac"
-        ),
-        flag.alias("repetition_flag"),
-    ).orderBy("doc_id")
+    return _repetition_output(j)
 
 
 LM_TOP_K = 24                    # vocabulary cap (production: ~100k)

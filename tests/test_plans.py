@@ -498,6 +498,44 @@ def test_boilerplate_removal_on_planted_data(spark, tmp_path):
             assert srow[col_name] == v, (col_name, srow[col_name], v)
 
 
+def test_repetition_signals_kernel_matches_expr_form(spark):
+    """Round 9: repetition_signals runs as a doc-local mapInArrow kernel
+    (zero shuffles, O(doc) state — the fix for the measured 5.31x-at-4x-
+    docs curve). The retained round-8 fused-explode expression form is
+    the parity reference (the lsh_bucket_expr convention): every output
+    row must match, including the tokenizer edge cases — empty doc,
+    spaces-only doc (trim leaves ''), TAB-led doc (trim strips only
+    ASCII spaces, so split yields a leading '' token), single-word doc,
+    exact-window doc — and a fuzzed word-soup corpus."""
+    import random
+
+    from hadoop_etl_udfs_spark.operators.textstats import (
+        repetition_signals_df,
+        repetition_signals_expr_df,
+    )
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (1, "a b c d e f g h i j a b c d e f g h i j"),  # doubled segment
+        (2, ""),                                          # empty
+        (3, "   "),                                       # spaces-only
+        (4, "\tx y\tz"),                                  # tab-led + inner tab
+        (5, "lonely"),
+        (6, " ".join(["p q"] * 30)),                      # hot 2gram
+        (7, " ".join(vocab[:10])),                        # exactly one window
+    ] + [
+        (100 + i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = repetition_signals_df(docs)
+    want = repetition_signals_expr_df(docs)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == len(rows)
+
+
 def test_repetition_signals_on_planted_data(spark, tmp_path):
     """Gopher-style repetition signals on data that triggers EVERY signal
     (the sf corpora only heat the top-2gram path — the content_flags
