@@ -30,19 +30,27 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_ish_token_count(text: Column) -> Column:
-    """BPE-ish token estimate: word-pieces of <=4 chars (regexp count)."""
-    return F.size(
-        F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]{1,4}|[^\sA-Za-z0-9]"), 0)
+    """BPE-ish token estimate: word-pieces of <=4 chars (regexp count).
+
+    Round 9: ``regexp_count`` instead of ``size(regexp_extract_all(...))``
+    — the same non-overlapping Java-regex match count without
+    materializing an array of every match string (guide §1.2 per-task
+    work; value-identical, oracle-gated via text_stats)."""
+    return F.regexp_count(
+        text, F.lit(r"[A-Za-z0-9]{1,4}|[^\sA-Za-z0-9]")
     ).cast("long")
 
 
 def punct_ratio(text: Column) -> Column:
-    punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    # count the punct chars directly — length(regexp_replace(text,
+    # "[^...]", "")) built a stripped COPY of every row's text only to
+    # take its length; the match count is the same integer
+    punct = F.regexp_count(text, F.lit(r"[.!?,;:]"))
     return punct / F.greatest(F.length(text), F.lit(1))
 
 
 def upper_ratio(text: Column) -> Column:
-    upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    upper = F.regexp_count(text, F.lit(r"[A-Z]"))
     return upper / F.greatest(F.length(text), F.lit(1))
 
 
@@ -51,10 +59,10 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     hits = None
     for w in words:
-        h = (
-            F.length(padded)
-            - F.length(F.regexp_replace(padded, rf" {w} ", ""))
-        ) / (len(w) + 2)
+        # regexp_count(" w ") equals the former length-difference form
+        # exactly: each non-overlapping match removed len(w)+2 chars, so
+        # diff/(len(w)+2) was already the integer match count (as double)
+        h = F.regexp_count(padded, F.lit(f" {w} "))
         hits = h if hits is None else hits + h
     return hits / F.greatest(token_count(text), F.lit(1))
 
@@ -78,10 +86,7 @@ def lang_id(text: Column) -> Column:
     def hits(lang: str) -> Column:
         total = None
         for w in LANG_MARKERS[lang]:
-            h = (
-                F.length(padded)
-                - F.length(F.regexp_replace(padded, rf" {w} ", ""))
-            ) / (len(w) + 2)
+            h = F.regexp_count(padded, F.lit(f" {w} "))
             total = h if total is None else total + h
         return total
 

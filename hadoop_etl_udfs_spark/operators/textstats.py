@@ -222,16 +222,16 @@ def content_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-filter signals beyond the quality score: PII-ish pattern
     counts (emails, URLs) and the type-token ratio (distinct words /
     words — low TTR = boilerplate/repetition, the Gopher-style repetition
-    signal). All scan-stage expressions (regexp_extract_all +
+    signal). All scan-stage expressions (regexp_count +
     array_distinct), zero shuffle; patterns live in module constants the
     oracle SQL imports, so the two engines can't drift."""
     docs = _docs(spark, sf_dir)
     words = F.split(F.trim(F.col("text")), r"\s+")
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0)))
+        F.regexp_count("text", F.lit(_EMAIL_RE))
         .cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all("text", F.lit(_URL_RE), F.lit(0)))
+        F.regexp_count("text", F.lit(_URL_RE))
         .cast("long").alias("n_urls"),
         F.round(
             F.size(F.array_distinct(words))
@@ -260,11 +260,13 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     t3 = F.regexp_replace(t2, _IPV4_RE, "<IP>")
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all(t0, F.lit(_URL_RE), F.lit(0)))
+        # regexp_count == size(regexp_extract_all(..., 0)): the same
+        # non-overlapping match count without building the match array
+        F.regexp_count(t0, F.lit(_URL_RE))
         .cast("long").alias("n_urls"),
-        F.size(F.regexp_extract_all(t1, F.lit(_EMAIL_RE), F.lit(0)))
+        F.regexp_count(t1, F.lit(_EMAIL_RE))
         .cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all(t2, F.lit(_IPV4_RE), F.lit(0)))
+        F.regexp_count(t2, F.lit(_IPV4_RE))
         .cast("long").alias("n_ips"),
         F.md5(t3).alias("redacted_md5"),
     ).orderBy("doc_id")
