@@ -1044,8 +1044,24 @@ def lm_bigram_scores_df(docs: DataFrame) -> DataFrame:
     )
     # the bigram table feeds BOTH the context aggregate and the top-K cut
     # (>=2 consumers): materialize the distinct-bigram table once, or each
-    # re-pays the corpus pair-explode shuffle
-    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cnt")).localCheckpoint()
+    # re-pays the corpus pair-explode shuffle.
+    #
+    # Round 9 (guide §2.5/§5): hash-partition the RAW pairs by the bigram
+    # key BEFORE aggregating (AQE-sized exchange — no fixed partition
+    # count), so each task's aggregation state is global_distinct/n
+    # instead of min(pairs_per_task, global_distinct). The former
+    # partial-aggregate hash grew with every distinct bigram a task saw
+    # (~3-4M string-pair keys per task at 800k docs) and spilled — the
+    # count stage alone measured 6.1 s @200k docs vs 34.2 s @800k (5.6x
+    # at 4x docs); keyspace-partitioned it is 2.8 / 9.2 s. Counts are
+    # identical — the exchange only moves where each pair is counted.
+    c12 = (
+        pairs.select("w1", "w2")
+        .repartition(F.col("w1"), F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
     ctx = c12.groupBy("w1").agg(F.sum("cnt").alias("c1"))
     lp2 = (
         c12.orderBy(F.desc("cnt"), "w1", "w2")
