@@ -494,7 +494,7 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     No corpus self-join, no driver collect. Reference anchor: the
     reference stops at import/export (HdfsSerDeImportService.java); this
     extends the engine toward its training-data-pipeline brief."""
-    return repetition_signals_df(_docs(spark, sf_dir))
+    return repetition_signals_df(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def _word_ngrams(words, n: int):
@@ -700,7 +700,8 @@ def _repetition_output(j: DataFrame) -> DataFrame:
             "dup_5gram_char_frac"
         ),
         flag.alias("repetition_flag"),
-    ).orderBy("doc_id")
+    )  # sort-free: repetition_signals() adds the orderBy; curate's filter
+    # stage consumes this unsorted (round 9)
 
 
 def repetition_signals_expr_df(docs: DataFrame) -> DataFrame:
@@ -899,7 +900,7 @@ def lm_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, never the corpus. Pass 2 streams the corpus once: explode,
     BROADCAST-join the K-row logprob table, one map-side-combinable
     groupBy(doc_id). Nothing quadratic, no corpus-sized sort or collect."""
-    return lm_perplexity_scores_df(_docs(spark, sf_dir))
+    return lm_perplexity_scores_df(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def _lm_words(docs: DataFrame) -> DataFrame:
@@ -971,7 +972,9 @@ def lm_perplexity_scores_df(docs: DataFrame) -> DataFrame:
             (-F.col("sum_lp_micro"))
             > F.col("n_tokens") * F.lit(LM_FLAG_NLL_MICRO)
         ).alias("lm_flag"),
-    ).orderBy("doc_id")
+    )  # sort-free: the driver-query wrapper owns the orderBy (round 9 —
+    # curate's lm stage localCheckpoints this table and a global sort of
+    # it was pure waste in the pipeline)
 
 
 LM2_TOP_K = 48                   # bigram table cap (production: ~10M)
@@ -1015,7 +1018,7 @@ def lm_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, the only driver scalar is the 1-row total. Reference
     anchor: extends the engine past the reference's import/export scope
     (HdfsSerDeImportService.java) toward the training-data brief."""
-    return lm_bigram_scores_df(_docs(spark, sf_dir))
+    return lm_bigram_scores_df(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def lm_bigram_scores_df(docs: DataFrame) -> DataFrame:
@@ -1113,7 +1116,7 @@ def lm_bigram_scores_df(docs: DataFrame) -> DataFrame:
             (-F.col("sum_lp2_micro"))
             > F.col("n_pairs") * F.lit(LM2_FLAG_NLL_MICRO)
         ).alias("lm2_flag"),
-    ).orderBy("doc_id")
+    )  # sort-free: the wrapper owns the orderBy (see lm_perplexity note)
 
 
 KL_FLAG_MICRO = 50_000           # per-token KL above 0.05 nats -> drifted
