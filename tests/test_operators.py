@@ -102,6 +102,54 @@ def test_simhash_packed_lanes_match_unpacked_reference(spark, method, n_bits):
     assert got == want
 
 
+def test_star_ops_window_form_matches_join_form(spark):
+    """Round 9: _large_star/_small_star compute the per-node minimum via a
+    window over hashpartitioning(u) instead of groupBy + join-back (one
+    exchange and no join per star op). The edge algebra must be EXACTLY
+    Kiveris et al.'s — pin the window form against the former join form
+    on random graphs (chains, stars and cliques all arise at 400 edges
+    over 300 nodes)."""
+    import random
+
+    rng = random.Random(7)
+
+    def large_star_join(e):
+        sym = dedup._sym(e)
+        m = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least("mv", F.col("u")).alias("m"))
+        return dedup._canon_edges(
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star_join(e):
+        le = dedup._sym(e).filter(F.col("v") < F.col("u"))
+        m = le.groupBy("u").agg(F.min("v").alias("m"))
+        children = (
+            le.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        selfs = m.select("u", F.col("m").alias("v"))
+        return dedup._canon_edges(children.union(selfs))
+
+    for trial in range(2):
+        edges = [
+            (rng.randint(0, 300), rng.randint(0, 300)) for _ in range(400)
+        ]
+        e = dedup._canon_edges(
+            spark.createDataFrame(edges, "u long, v long")
+        ).localCheckpoint()
+        for new, old in (
+            (dedup._large_star, large_star_join),
+            (dedup._small_star, small_star_join),
+        ):
+            a, b = new(e), old(e)
+            assert a.exceptAll(b).count() == 0
+            assert b.exceptAll(a).count() == 0
+
+
 def test_ngram_jaccard_exact_value(spark):
     t1 = "a b c d e f"        # shingles: abc bcd cde def (4)
     t2 = "a b c d x y"        # shingles: abc bcd cdx dxy (4), intersect 2
