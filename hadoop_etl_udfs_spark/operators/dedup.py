@@ -610,24 +610,46 @@ def _blocked_shingle_inter(
         docs.select("doc_id", "lang", "source"), "doc_id"
     )
     sh = sh.dropDuplicates(["doc_id", "sh"])
-    rare = (
-        sh.groupBy("sh")
-        .agg(F.count("*").alias("_df"))
+    # Round 9 restructure, the lsh_band_pairs pattern (guide §2.4): the
+    # former rare-filter aggregate + RE-JOIN followed by a shingle
+    # self-join evaluated the whole hashed-shingle subtree four times.
+    # One pass instead: a window count on sh applies the
+    # document-frequency cap (same distinct-per-doc counting — the
+    # dropDuplicates above runs first either way), each surviving
+    # (sh, lang, source) bucket collects its cap-bounded doc ids
+    # (hashpartitioning(sh) already clusters the superset key — no new
+    # exchange), pairs explode once per co-occurring shingle, and sizes
+    # come from the SAME grouped table (explode + per-doc count) instead
+    # of a second subtree evaluation. Intersections and set sizes are
+    # identical by construction; both oracle-gated consumers stay green.
+    from pyspark.sql import Window as W
+
+    kept = (
+        sh.withColumn("_df", F.count("*").over(W.partitionBy("sh")))
         .filter(F.col("_df") <= max_shingle_df)
-        .select("sh")
+        .drop("_df")
     )
-    sh = sh.join(rare, "sh")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    grouped = kept.groupBy("sh", "lang", "source").agg(
+        F.collect_list("doc_id").alias("ids")
+    ).localCheckpoint()  # 2 consumers: pair explode + sizes explode
+    sizes = (
+        grouped.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grouped.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> "
+                    "struct(least(x, y) as doc_a, greatest(x, y) as doc_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     return inter, sizes
